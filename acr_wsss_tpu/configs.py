@@ -1,0 +1,125 @@
+"""Dataclass configs for every pipeline stage.
+
+The reference drives each stage with argparse flags whose values of record
+live in shell scripts (``train_acr.sh:8-19,26-37,40-47``). Here each stage
+has one typed config object; CLIs build these from flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+VOC_CLASSES: Tuple[str, ...] = (
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+)
+
+VOC_CATEGORIES: Tuple[str, ...] = ("background",) + VOC_CLASSES
+
+# ImageNet statistics used by the reference normalization
+# (``myTool.py:1177-1179``).
+IMAGENET_MEAN: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+IMAGENET_STD: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """ACR task-model configuration (reference ``DPT/ACR.py:147-165``)."""
+
+    backbone: str = "vitb_hybrid"  # vitb_hybrid | vitb | vitl | deit | deit_distilled
+    num_classes: int = 20
+    features: int = 256            # DPT scratch width (kept for decoder parity)
+    # Which transformer blocks feed the DPT reassemble taps
+    # (reference ``DPT/ACR.py:59-65``); resolved per backbone if None.
+    hooks: Optional[Tuple[int, int, int, int]] = None
+    # Compute dtype for matmul-heavy ops. Attention probabilities are always
+    # computed/exported in float32 (the reference force-disables AMP,
+    # ``train_acr.py:137``; fp32 probs on TPU keeps parity while bf16
+    # matmuls keep the MXU fast).
+    compute_dtype: str = "bfloat16"
+    # Attention implementation: "xla" reference einsum path or "pallas"
+    # fused kernel (kernel exports head-mean probs without materializing
+    # per-head probs in HBM).
+    attn_impl: str = "xla"
+    # Include the (unused-in-forward) DPT scratch convs so checkpoints can be
+    # round-tripped with the reference state dict. Default off: JAX has no
+    # "unused parameter" requirement (torch needed find_unused_parameters=True,
+    # ``train_acr.py:99``).
+    with_scratch: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """VOC/COCO training (reference ``train_acr.py:49-117``, ``train_acr.sh``)."""
+
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    dataset: str = "voc12"
+    crop_size: int = 384
+    batch_size: int = 4            # global batch (reference: 1/GPU x 4 GPUs)
+    max_epochs: int = 10
+    lr: float = 0.05
+    weight_decay: float = 5e-4
+    momentum: float = 0.9
+    poly_power: float = 0.9        # lr * (1 - step/max_step) ** power
+    alpha: float = 125.0           # consistency-loss weight (train_acr.sh:16)
+    seed: int = 0
+    log_every: int = 50
+    val_every: int = 5000
+    checkpoint_every: int = 5000
+    checkpoint_dir: str = "weight"
+    session_name: str = "acr_tpu"
+    # Data locations
+    voc12_root: str = "voc/path"
+    image_dir: str = "voc/image/path"
+    train_list: str = "voc12/train_aug_id.txt"
+    val_list: str = "voc12/val_id.txt"
+    cls_labels_path: str = "voc12/cls_labels.npy"
+    num_workers: int = 8
+    # Mesh axes: data parallel is the reference's only strategy
+    # (SURVEY.md §2.7); model axis enables tensor parallelism over heads/MLP.
+    mesh_shape: Tuple[int, ...] = (-1,)          # -1: all devices on 'data'
+    mesh_axes: Tuple[str, ...] = ("data",)
+    # Reference quirk: PolyOptimizer passes weight_decay into torch SGD's
+    # momentum slot (tool/torchutils.py:12), so the reference effectively
+    # trains with momentum=5e-4 and no weight decay. Set True to reproduce.
+    reference_optimizer_quirk: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class InferConfig:
+    """CAM/GETAM inference (reference ``infer_cam.py:43-99``, ``train_acr.sh:26-37``)."""
+
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    weights: str = "weight/acr_tpu_last"
+    crop_size: int = 384
+    start_layer: int = 10
+    getam_func: str = "grad"       # grad | grad_s | cam_grad | cam_grad_s
+    use_aff: bool = True           # patch-affinity refinement (infer_cam.py:183-185)
+    scales: Sequence[float] = (1.0,)
+    flip_tta: bool = True
+    out_cam: Optional[str] = None
+    out_crf: Optional[str] = None
+    heatmap: Optional[str] = None
+    low_alpha: int = 1
+    high_alpha: int = 12
+    image_dir: str = "voc/image/path"
+    infer_list: str = "voc12/train_id.txt"
+    cls_labels_path: str = "voc12/cls_labels.npy"
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Pseudo-mask mIoU evaluation (reference ``evaluation.py:106-133``)."""
+
+    predict_dir: str = "output/cam_npy"
+    gt_dir: str = "VOC2012/SegmentationClass"
+    name_list: str = "voc12/train_id.txt"
+    logfile: str = "evallog.txt"
+    comment: str = ""
+    input_type: str = "npy"        # npy | png
+    threshold: Optional[float] = None
+    curve: bool = False
+    num_classes: int = 21
+    num_workers: int = 8

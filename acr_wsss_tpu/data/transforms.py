@@ -1,0 +1,117 @@
+"""Host-side image transforms for the training/eval pipelines.
+
+Behavioral counterparts of the reference chunk loader's augmentation chain
+(``myTool.py:1158-1199`` train, ``:1364-1404`` val):
+
+  load -> RGB -> RandomResizeLong(0.9*crop, crop/0.875) -> hflip(p=.5)
+       -> per-channel ImageNet normalize -> RandomCrop to crop^2
+
+All randomness is driven by an explicit ``numpy.random.Generator`` instead
+of the reference's global ``np.random``/``random`` state, so per-host data
+sharding is reproducible (fold the host id into the seed).
+
+Images are returned **NHWC float32** (TPU-native layout; the reference
+transposes to NCHW for torch).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from acr_wsss_tpu.configs import IMAGENET_MEAN, IMAGENET_STD
+
+
+def load_image_rgb(path: str) -> np.ndarray:
+    """uint8 HWC RGB."""
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def resize_bilinear_np(img: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:
+    """PIL bilinear resize to (h, w); float path goes through PIL mode 'F'."""
+    h, w = size_hw
+    if img.dtype == np.uint8:
+        return np.asarray(
+            Image.fromarray(img).resize((w, h), Image.BILINEAR)
+        )
+    chans = [
+        np.asarray(Image.fromarray(img[..., c].astype(np.float32), mode="F")
+                   .resize((w, h), Image.BILINEAR))
+        for c in range(img.shape[-1])
+    ]
+    return np.stack(chans, axis=-1)
+
+
+def random_resize_long(img: np.ndarray, min_long: int, max_long: int,
+                       rng: np.random.Generator) -> np.ndarray:
+    """Resize so the LONG side is uniform in [min_long, max_long]
+    (reference ``RandomResizeLong``, ``myTool.py:995-1008``)."""
+    target_long = int(rng.integers(min_long, max_long + 1))
+    h, w = img.shape[:2]
+    if w < h:
+        shape = (target_long, int(round(w * target_long / h)))
+    else:
+        shape = (int(round(h * target_long / w)), target_long)
+    return resize_bilinear_np(img, shape)
+
+
+def normalize(img: np.ndarray) -> np.ndarray:
+    """uint8/float [0,255] HWC -> ImageNet-normalized float32
+    (reference ``myTool.py:1177-1179``)."""
+    img = img.astype(np.float32) / 255.0
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    return (img - mean) / std
+
+
+def denormalize_uint8(img: np.ndarray) -> np.ndarray:
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    return np.clip((img * std + mean) * 255.0, 0, 255).astype(np.uint8)
+
+
+def random_crop(img: np.ndarray, cropsize: int,
+                rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
+    """Random square crop with zero-padding when the image is smaller
+    (reference ``RandomCrop``, ``myTool.py:923-955``). Returns
+    (crop, valid-mask)."""
+    h, w = img.shape[:2]
+    ch, cw = min(cropsize, h), min(cropsize, w)
+
+    w_space, h_space = w - cropsize, h - cropsize
+    if w_space > 0:
+        cont_left, img_left = 0, int(rng.integers(0, w_space + 1))
+    else:
+        cont_left, img_left = int(rng.integers(0, -w_space + 1)), 0
+    if h_space > 0:
+        cont_top, img_top = 0, int(rng.integers(0, h_space + 1))
+    else:
+        cont_top, img_top = int(rng.integers(0, -h_space + 1)), 0
+
+    container = np.zeros((cropsize, cropsize, img.shape[-1]), np.float32)
+    cropping = np.zeros((cropsize, cropsize), bool)
+    container[cont_top:cont_top + ch, cont_left:cont_left + cw] = \
+        img[img_top:img_top + ch, img_left:img_left + cw]
+    cropping[cont_top:cont_top + ch, cont_left:cont_left + cw] = True
+    return container, cropping
+
+
+def train_transform(img: np.ndarray, crop_size: int,
+                    rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
+    """Full training augmentation chain; returns (normalized crop HWC f32,
+    valid mask)."""
+    img = random_resize_long(img, int(crop_size * 0.9), int(crop_size / 0.875), rng)
+    if rng.uniform() > 0.5:
+        img = img[:, ::-1]
+    img = normalize(img)
+    return random_crop(img, crop_size, rng)
+
+
+def val_transform(img: np.ndarray, crop_size: int) -> np.ndarray:
+    """Deterministic val path: plain resize to crop^2 then normalize
+    (reference ``get_data_from_chunk_val``, ``myTool.py:1364-1404``)."""
+    img = resize_bilinear_np(img, (crop_size, crop_size))
+    return normalize(img)

@@ -1,0 +1,208 @@
+"""Pseudo-mask mIoU evaluation with background-threshold sweep.
+
+Produces the same numbers and ``evallog.txt`` format as the reference
+``evaluation.py`` but restructured for speed:
+
+* Per-image CAM decode happens **once**; the 100-point threshold curve
+  (reference ``evaluation.py:126-133`` re-reads and re-decodes every image
+  at every threshold) is computed from cached per-pixel
+  ``(argmax_class, max_score)`` pairs, turning the curve into a histogram
+  pass — ~100x less IO.
+* TP/P/T accumulation is vectorized ``bincount`` instead of the
+  per-class/locked-counter loop (reference ``evaluation.py:43-51``).
+* Work is spread over a process pool; partial confusion tallies are summed
+  on the host (no shared locked counters needed).
+
+Exact decode semantics preserved (reference ``evaluation.py:28-36``): a CAM
+``.npy`` file holds ``{class_id: HxW float}``; channel 0 is the background
+filled with the threshold; prediction = argmax over the 21-channel stack
+(ties go to background, matching ``np.argmax`` tie-breaking since the
+background channel is index 0); ground-truth pixels with value 255 are
+ignored.
+"""
+
+from __future__ import annotations
+
+import argparse
+import multiprocessing
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from acr_wsss_tpu.configs import VOC_CATEGORIES
+
+
+def _decode_npy(path: str) -> tuple:
+    """Load a CAM dict and reduce to per-pixel (best fg class + 1, best score).
+
+    Background insertion for a threshold t then follows as
+    ``pred = where(best_score > t, best_class, 0)``, which is equivalent to
+    stacking ``tensor[0]=t`` and taking argmax: argmax prefers index 0
+    (background) exactly when ``best_score <= t``.
+    """
+    cam_dict = np.load(path, allow_pickle=True).item()
+    first = next(iter(cam_dict.values()))
+    h, w = first.shape
+    stack = np.zeros((len(cam_dict), h, w), dtype=np.float32)
+    keys = np.fromiter(cam_dict.keys(), dtype=np.int64)
+    for i, key in enumerate(cam_dict.keys()):
+        stack[i] = cam_dict[key]
+    best = np.argmax(stack, axis=0)
+    best_score = np.max(stack, axis=0)
+    best_class = keys[best] + 1  # foreground ids are stored 0-based
+    return best_class.astype(np.uint8), best_score
+
+
+def _eval_chunk(args) -> np.ndarray:
+    """Accumulate [n_thresh, 3, num_cls] (TP, P, T) over a slice of images."""
+    (predict_folder, gt_folder, names, input_type, thresholds, num_cls) = args
+    out = np.zeros((len(thresholds), 3, num_cls), dtype=np.int64)
+    for name in names:
+        gt = np.asarray(Image.open(os.path.join(gt_folder, f"{name}.png")))
+        valid = gt < 255
+        gt_v = gt[valid].astype(np.int64)
+        t_count = np.bincount(gt_v, minlength=num_cls)
+
+        if input_type == "png":
+            pred = np.asarray(
+                Image.open(os.path.join(predict_folder, f"{name}.png"))
+            )
+            preds = [pred[valid].astype(np.int64)] * len(thresholds)
+        else:
+            best_class, best_score = _decode_npy(
+                os.path.join(predict_folder, f"{name}.npy")
+            )
+            bc_v = best_class[valid].astype(np.int64)
+            bs_v = best_score[valid]
+            preds = [np.where(bs_v > t, bc_v, 0) for t in thresholds]
+
+        for ti, pred_v in enumerate(preds):
+            out[ti, 1] += np.bincount(pred_v, minlength=num_cls)
+            out[ti, 2] += t_count
+            agree = pred_v[pred_v == gt_v]
+            out[ti, 0] += np.bincount(agree, minlength=num_cls)
+    return out
+
+
+def _metrics_from_counts(counts: np.ndarray, num_cls: int) -> Dict[str, float]:
+    """Reference metric formulas (``evaluation.py:60-76``)."""
+    TP, P, T = counts[0].astype(np.float64), counts[1].astype(np.float64), counts[2].astype(np.float64)
+    iou = TP / (T + P - TP + 1e-10)
+    loglist = {VOC_CATEGORIES[i] if num_cls == 21 else str(i): iou[i] * 100
+               for i in range(num_cls)}
+    loglist["mIoU"] = float(np.mean(iou) * 100)
+    return loglist
+
+
+def do_python_eval(
+    predict_folder: str,
+    gt_folder: str,
+    name_list: Sequence[str],
+    num_cls: int = 21,
+    input_type: str = "png",
+    threshold: float = 1.0,
+    printlog: bool = False,
+    num_workers: int = 8,
+) -> Dict[str, float]:
+    """Single-threshold evaluation; drop-in for reference ``do_python_eval``."""
+    curves = do_python_eval_curve(
+        predict_folder, gt_folder, name_list, num_cls, input_type,
+        [threshold if threshold is not None else 1.0], num_workers,
+    )
+    loglist = curves[0]
+    if printlog:
+        cats = VOC_CATEGORIES if num_cls == 21 else [str(i) for i in range(num_cls)]
+        for i in range(num_cls):
+            end = "\t" if i % 2 != 1 else "\n"
+            print("%11s:%7.3f%%" % (cats[i], loglist[cats[i]]), end=end)
+        print("\n======================================================")
+        print("%11s:%7.3f%%" % ("mIoU", loglist["mIoU"]))
+    return loglist
+
+
+def do_python_eval_curve(
+    predict_folder: str,
+    gt_folder: str,
+    name_list: Sequence[str],
+    num_cls: int = 21,
+    input_type: str = "npy",
+    thresholds: Optional[Sequence[float]] = None,
+    num_workers: int = 8,
+) -> List[Dict[str, float]]:
+    """Evaluate all thresholds in ONE pass over the images."""
+    if thresholds is None:
+        thresholds = [i / 100.0 for i in range(100)]
+    name_list = list(name_list)
+    num_workers = max(1, min(num_workers, len(name_list)))
+    chunks = [
+        (predict_folder, gt_folder, name_list[i::num_workers], input_type,
+         list(thresholds), num_cls)
+        for i in range(num_workers)
+    ]
+    if num_workers == 1:
+        partials = [_eval_chunk(chunks[0])]
+    else:
+        with multiprocessing.Pool(num_workers) as pool:
+            partials = pool.map(_eval_chunk, chunks)
+    total = np.sum(partials, axis=0)  # [n_thresh, 3, num_cls]
+    return [_metrics_from_counts(total[ti], num_cls) for ti in range(len(thresholds))]
+
+
+def writedict(file, dictionary: Dict) -> None:
+    s = "".join("%s:%s  " % (k, v) for k, v in dictionary.items()) + "\n"
+    file.write(s)
+
+
+def writelog(filepath: str, metric: Dict, comment: str) -> None:
+    """Append a timestamped metric record (reference ``evaluation.py:95-103``)."""
+    with open(filepath, "a") as logfile:
+        logfile.write(time.strftime("%Y-%m-%d %H:%M:%S", time.localtime()))
+        logfile.write("\t%s\n" % comment)
+        writedict(logfile, metric)
+        logfile.write("=====================================\n")
+
+
+def read_name_list(path: str) -> List[str]:
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--list", default="voc12/train_id.txt", type=str)
+    parser.add_argument("--predict_dir", default="./out_rw", type=str)
+    parser.add_argument("--gt_dir", default="./VOC2012/SegmentationClass", type=str)
+    parser.add_argument("--logfile", default="./evallog.txt", type=str)
+    parser.add_argument("--comment", required=True, type=str)
+    parser.add_argument("--type", default="png", choices=["npy", "png"], type=str)
+    parser.add_argument("--t", default=None, type=float)
+    parser.add_argument("--curve", default=False, type=bool)
+    parser.add_argument("--num_workers", default=8, type=int)
+    args = parser.parse_args(argv)
+
+    if args.type == "npy":
+        assert args.t is not None or args.curve
+    name_list = read_name_list(args.list)
+
+    if not args.curve:
+        loglist = do_python_eval(
+            args.predict_dir, args.gt_dir, name_list, 21, args.type, args.t,
+            printlog=True, num_workers=args.num_workers,
+        )
+        writelog(args.logfile, loglist, args.comment)
+    else:
+        curves = do_python_eval_curve(
+            args.predict_dir, args.gt_dir, name_list, 21, args.type,
+            num_workers=args.num_workers,
+        )
+        mious = [c["mIoU"] for c in curves]
+        for i, miou in enumerate(mious):
+            print("%d/60 background score: %.3f\tmIoU: %.3f%%" % (i, i / 100.0, miou))
+        writelog(args.logfile, {"mIoU": mious}, args.comment)
+
+
+if __name__ == "__main__":
+    main()

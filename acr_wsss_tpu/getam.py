@@ -1,0 +1,141 @@
+"""GETAM: gradient-weighted attention CAMs, batched the JAX way.
+
+Reference algorithm (``DPT/ACR.py:177-215`` driven by
+``infer_cam.py:171-188``): for each present class, backprop the class logit
+through the network with ``retain_graph=True``, read each block's cached
+attention probs and their gradients, combine per one of four variants,
+sum blocks from ``start_layer``, take the CLS row, ReLU.
+
+Here the per-class sequential backwards collapse into **one** ``jax.vjp``
+whose cotangent is swept over class one-hots with ``lax.map`` — the forward
+runs once, every class's probability-gradient is a linear pull-back, and
+everything stays on device under one jit.
+
+Gradient tap: the trunk takes ``probs_offsets`` (zeros, added post-softmax)
+so ``d logit / d offsets == d logit / d probs`` — the exact tensor the torch
+hook ``save_attn_gradients`` captures (``models/vision_transformer.py:207-209``).
+
+Variant semantics (``DPT/ACR.py:189-204``), with g = per-head grad,
+a = per-head probs, relu applied per-head *before* the head mean:
+
+  grad:        mean_h(relu(g))
+  grad_s:      mean_h(relu(g)) * mean_h(relu(g))
+  cam_grad:    mean_h(relu(g * a))
+  cam_grad_s:  mean_h(relu(g * a)) * mean_h(relu(g))
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+GETAM_FUNCS = ("grad", "grad_s", "cam_grad", "cam_grad_s")
+
+
+def getam_reduce(grads: jnp.ndarray, probs: jnp.ndarray, func: str) -> jnp.ndarray:
+    """Per-layer head reduction.
+
+    Args:
+      grads, probs: (L, B, H, N, N) fp32.
+    Returns:
+      (L, B, N, N) per-layer CAM contributions.
+    """
+    if func == "grad":
+        return jnp.mean(jax.nn.relu(grads), axis=2)
+    if func == "grad_s":
+        g = jnp.mean(jax.nn.relu(grads), axis=2)
+        return g * g
+    if func == "cam_grad":
+        return jnp.mean(jax.nn.relu(grads * probs), axis=2)
+    if func == "cam_grad_s":
+        ga = jnp.mean(jax.nn.relu(grads * probs), axis=2)
+        g = jnp.mean(jax.nn.relu(grads), axis=2)
+        return ga * g
+    raise ValueError(f"unknown getam func {func!r}; choose from {GETAM_FUNCS}")
+
+
+def getam_cams(
+    forward: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
+    offsets_shape: Tuple[int, ...],
+    num_classes: int,
+    start_layer: int,
+    func: str = "grad",
+    start_index: int = 1,
+    use_aff: bool = False,
+    class_chunk: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Compute GETAM CAMs for ALL classes in one traced program.
+
+    Args:
+      forward: offsets (L,B,H,N,N) -> (logits (B,C), probs_full (L,B,H,N,N)).
+        Must be a closure over params/input (jit-friendly).
+      offsets_shape: (L, B, H, N, N).
+      num_classes: C.
+      start_layer: first block included in the CAM sum (reference uses 10).
+      func: one of GETAM_FUNCS.
+      start_index: 1, or 2 for deit-distilled (reference ``DPT/ACR.py:210-213``).
+      use_aff: refine each CAM with the summed patch affinity
+        (reference ``infer_cam.py:164-165,183-185``).
+
+    Returns:
+      cams: (C, B, N - start_index) per-class CLS-row CAMs (ReLU'd).
+      logits: (B, C).
+      patch_aff: (B, N - 1, N - 1) summed head-mean affinity.
+    """
+    L, B, H, N, _ = offsets_shape
+    zeros = jnp.zeros(offsets_shape, jnp.float32)
+
+    (logits, probs_full), vjp_fn = jax.vjp(forward, zeros)
+
+    # Σ_layers head-mean patch-to-patch block (reference infer_cam.py:164-165:
+    # attn is already head-mean, then summed over heads--dim 1 is the layer
+    # axis of the (B, L, N, N) stack).
+    probs_mean = jnp.mean(probs_full, axis=2)              # (L, B, N, N)
+    patch_aff = jnp.sum(probs_mean[:, :, 1:, 1:], axis=0)  # (B, N-1, N-1)
+
+    logits_zero = jnp.zeros_like(logits)
+    probs_zero = jnp.zeros_like(probs_full)
+
+    def cam_for_class(c: jnp.ndarray) -> jnp.ndarray:
+        one_hot = jax.nn.one_hot(c, num_classes, dtype=logits.dtype)
+        cot_logits = logits_zero + one_hot[None, :]
+        (grads,) = vjp_fn((cot_logits, probs_zero))
+        per_layer = getam_reduce(grads, probs_full, func)   # (L, B, N, N)
+        cams = jnp.sum(per_layer[start_layer:], axis=0)     # (B, N, N)
+        cls_cam = jax.nn.relu(cams[:, 0, start_index:])     # (B, N - start_index)
+        if use_aff:
+            # (B, N-1, N-1) @ (B, N-1, 1); for start_index == 2 the reference
+            # would mismatch -- affinity refinement is defined for 1-prefix
+            # backbones (the shipped config).
+            cls_cam = jnp.einsum("bnm,bm->bn", patch_aff, cls_cam)
+        return cls_cam
+
+    class_ids = jnp.arange(num_classes)
+    cams = jax.lax.map(cam_for_class, class_ids)            # (C, B, N - start)
+    return cams, logits, patch_aff
+
+
+def make_forward_for_getam(model, params, x, export: str = "full"):
+    """Build the closure ``offsets -> (logits, probs_full)`` over an ACR model.
+
+    ``probs_full`` is returned layer-major (L, B, H, N, N) to match
+    ``getam_cams``.
+    """
+
+    def forward(offsets):
+        out = model.apply(
+            params, x, probs_offsets=offsets, export=export,
+            method=model.forward_cls,
+        )
+        probs = out["probs"]            # (B, L, H, N, N)
+        probs = jnp.transpose(probs, (1, 0, 2, 3, 4))
+        return out["logits"], probs
+
+    return forward
+
+
+def offsets_shape_for(model_spec, batch: int, num_tokens: int) -> Tuple[int, ...]:
+    return (model_spec.depth, batch, model_spec.num_heads, num_tokens, num_tokens)

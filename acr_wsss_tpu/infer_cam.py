@@ -1,0 +1,219 @@
+"""CAM/GETAM inference: batched TTA, one jit program per image-independent part.
+
+Reference pipeline (``infer_cam.py:128-249``): per image, per TTA view, per
+present class — a full backward pass with ``retain_graph=True``, then
+host-side upsample/normalize/save. The TPU redesign:
+
+* both TTA views (identity + hflip) run as ONE batch of 2;
+* all 20 classes' probability-gradients come from one ``jax.vjp`` swept by
+  ``lax.map`` (see ``getam.py``) — no Python-loop backwards;
+* everything at the fixed 384-crop resolution is jit-compiled once; only
+  the per-image native-size resize + min-max normalization runs on host
+  (shape-varying, bandwidth-trivial);
+* the flipped view's CAM is un-flipped on the token grid (exact: bilinear
+  resize commutes with mirroring on a symmetric grid).
+
+Outputs are bit-compatible with the reference artifacts: per-image ``.npy``
+dicts ``{class_id: HxW float32}`` consumed by ``evaluate.py``, optional
+dense-CRF variants, optional JET heatmap JPEGs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from acr_wsss_tpu.configs import InferConfig, ModelConfig, VOC_CLASSES
+from acr_wsss_tpu.data import transforms, voc as voc_data
+from acr_wsss_tpu.getam import getam_cams, make_forward_for_getam
+from acr_wsss_tpu.models.acr import ACR
+from acr_wsss_tpu.ops import imops
+from acr_wsss_tpu.utils.checkpoint import load_params_npz
+
+
+def build_infer_fn(model: ACR, params, crop_size: int, start_layer: int,
+                   getam_func: str, use_aff: bool, num_classes: int):
+    """jit-compiled: (2, crop, crop, 3) -> dict of device arrays."""
+    spec = model.spec
+    grid = crop_size // 16
+    n_tokens = grid * grid + spec.num_prefix_tokens
+
+    @jax.jit
+    def infer(x):
+        offsets_shape = (spec.depth, x.shape[0], spec.num_heads,
+                         n_tokens, n_tokens)
+        forward = make_forward_for_getam(model, params, x)
+        cams, logits, _ = getam_cams(
+            forward, offsets_shape, num_classes=num_classes,
+            start_layer=start_layer, func=getam_func,
+            start_index=spec.num_prefix_tokens, use_aff=use_aff)
+        out = model.apply(params, x, method=model.forward_cam, export="none")
+        return {
+            "cams": cams,                    # (C, B, grid*grid)
+            "patch_cam": out["patch_cam"],   # (B, grid*grid, C)
+            "logits": logits,
+        }
+
+    return infer
+
+
+def process_image(
+    infer_fn,
+    img_path: str,
+    label: np.ndarray,
+    crop_size: int,
+    flip_tta: bool = True,
+) -> Tuple[Dict[int, np.ndarray], Dict[int, np.ndarray], np.ndarray]:
+    """Returns (getam cam_dict, patch cam_dict, original RGB image)."""
+    rgb = transforms.load_image_rgb(img_path)
+    H, W = rgb.shape[:2]
+    x = transforms.val_transform(rgb, crop_size)           # (crop, crop, 3)
+    views = [x]
+    if flip_tta:
+        views.append(x[:, ::-1])
+    batch = jnp.asarray(np.stack(views))
+
+    out = jax.device_get(infer_fn(batch))
+    grid = crop_size // 16
+    num_classes = out["cams"].shape[0]
+
+    # (C, B, g, g); un-flip view 2 on the token grid
+    cams = out["cams"].reshape(num_classes, -1, grid, grid)
+    patch = out["patch_cam"].transpose(0, 2, 1).reshape(-1, num_classes, grid, grid)
+    if flip_tta:
+        cams = cams.copy()
+        patch = patch.copy()
+        cams[:, 1] = cams[:, 1, :, ::-1]
+        patch[1] = patch[1, :, :, ::-1]
+
+    # TTA sum, native-size upsample, label mask, [0,1] normalize
+    cam_sum = cams.sum(axis=1)                             # (C, g, g)
+    cam_up = imops.resize_bilinear_np(cam_sum, (H, W), align_corners=True)
+    cam_up = cam_up * (label > 1e-5)[:, None, None]
+    norm_cam = imops.minmax_normalize(cam_up)
+
+    patch_sum = patch.sum(axis=0)                          # (C, g, g)
+    patch_up = imops.resize_bilinear_np(patch_sum, (H, W), align_corners=False)
+    patch_up = patch_up * (label > 1e-5)[:, None, None]
+    patch_norm = imops.minmax_normalize(patch_up, eps=1e-5)
+
+    present = [c for c in range(num_classes) if label[c] > 1e-5]
+    cam_dict = {c: norm_cam[c].astype(np.float32) for c in present}
+    patch_dict = {c: patch_norm[c].astype(np.float32) for c in present}
+    return cam_dict, patch_dict, rgb
+
+
+def crf_with_alpha(cam_dict: Dict[int, np.ndarray], alpha: float,
+                   orig_img: np.ndarray) -> Dict[int, np.ndarray]:
+    """Background-power CRF fusion (reference ``infer_cam.py:27-40``)."""
+    from acr_wsss_tpu.ops import crf as crf_ops
+
+    v = np.array(list(cam_dict.values()))
+    bg_score = np.power(1 - np.max(v, axis=0, keepdims=True), alpha)
+    bgcam_score = np.concatenate((bg_score, v), axis=0)
+    crf_score = crf_ops.crf_inference(
+        orig_img, bgcam_score, labels=bgcam_score.shape[0])
+    out = {0: crf_score[0]}
+    for i, key in enumerate(cam_dict.keys()):
+        out[key + 1] = crf_score[i + 1]
+    return out
+
+
+def save_heatmaps(heatmap_dir: str, name: str, rgb: np.ndarray,
+                  cam_dict: Dict[int, np.ndarray]) -> None:
+    os.makedirs(heatmap_dir, exist_ok=True)
+    for c, mask in cam_dict.items():
+        heat = imops.apply_colormap_jet(np.uint8(255 * mask))[..., ::-1]  # RGB
+        blend = (heat * 0.5 + rgb * 0.5).astype(np.uint8)
+        Image.fromarray(blend).save(
+            os.path.join(heatmap_dir, f"{name}_{VOC_CLASSES[c]}_getam.jpg"))
+
+
+def run(cfg: InferConfig) -> None:
+    model = ACR(
+        num_classes=cfg.model.num_classes,
+        backbone_name=cfg.model.backbone,
+        dtype=jnp.dtype(cfg.model.compute_dtype),
+        attn_impl=cfg.model.attn_impl,
+    )
+    params = {"params": load_params_npz(cfg.weights)["params"]} \
+        if cfg.weights.endswith(".npz") else load_params_npz(cfg.weights + ".npz")
+    if "params" not in params:
+        params = {"params": params}
+
+    infer_fn = build_infer_fn(
+        model, params, cfg.crop_size, cfg.start_layer, cfg.getam_func,
+        cfg.use_aff, cfg.model.num_classes)
+
+    names = (voc_data.read_file_2(cfg.infer_list)
+             if cfg.infer_list.endswith("train.txt") or "aug.txt" in cfg.infer_list
+             else voc_data.read_file(cfg.infer_list))
+    labels = voc_data.load_cls_labels(cfg.cls_labels_path)
+
+    if cfg.out_cam:
+        os.makedirs(cfg.out_cam, exist_ok=True)
+    print("generating cam...", flush=True)
+    for i, name in enumerate(names):
+        cam_dict, patch_dict, rgb = process_image(
+            infer_fn, os.path.join(cfg.image_dir, f"{name}.jpg"),
+            labels[name], cfg.crop_size, cfg.flip_tta)
+        if cfg.out_cam:
+            np.save(os.path.join(cfg.out_cam, f"{name}.npy"), cam_dict)  # type: ignore[arg-type]
+        if cfg.out_crf:
+            for t in (cfg.low_alpha, cfg.high_alpha):
+                crf = crf_with_alpha(cam_dict, t, rgb)
+                folder = f"{cfg.out_crf}_{t}"
+                os.makedirs(folder, exist_ok=True)
+                np.save(os.path.join(folder, f"{name}.npy"), crf)  # type: ignore[arg-type]
+        if cfg.heatmap:
+            save_heatmaps(cfg.heatmap, name, rgb, cam_dict)
+        if i % 50 == 0:
+            print(i, flush=True)
+
+
+def parse_args(argv=None) -> InferConfig:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--weights", required=True)
+    parser.add_argument("--backbone", default="vitb_hybrid")
+    parser.add_argument("--LISTpath", default="voc12/train_id.txt")
+    parser.add_argument("--IMpath", default="voc/image/path")
+    parser.add_argument("--cls_labels", default="voc12/cls_labels.npy")
+    parser.add_argument("--out_cam", default=None)
+    parser.add_argument("--out_crf", default=None)
+    parser.add_argument("--heatmap", default=None)
+    parser.add_argument("--start_layer", default=10, type=int)
+    parser.add_argument("--getam_func", default="grad",
+                        choices=["grad", "grad_s", "cam_grad", "cam_grad_s"])
+    parser.add_argument("--aff", default=True, type=bool)
+    parser.add_argument("--crop_size", default=384, type=int)
+    parser.add_argument("--low_alpha", default=1, type=int)
+    parser.add_argument("--high_alpha", default=12, type=int)
+    parser.add_argument("--attn_impl", default="xla", choices=["xla", "pallas"])
+    args = parser.parse_args(argv)
+    return InferConfig(
+        model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl),
+        weights=args.weights,
+        crop_size=args.crop_size,
+        start_layer=args.start_layer,
+        getam_func=args.getam_func,
+        use_aff=args.aff,
+        out_cam=args.out_cam,
+        out_crf=args.out_crf,
+        heatmap=args.heatmap,
+        low_alpha=args.low_alpha,
+        high_alpha=args.high_alpha,
+        image_dir=args.IMpath,
+        infer_list=args.LISTpath,
+        cls_labels_path=args.cls_labels,
+    )
+
+
+if __name__ == "__main__":
+    run(parse_args())

@@ -1,0 +1,111 @@
+"""Training losses for ACR: multilabel classification + all-pairs attention consistency.
+
+Reference semantics (``train_acr.py:137-168``):
+
+* ``multilabel_soft_margin_loss`` on both siamese views' CLS logits.
+* L1 between view-1 and *un-flipped* view-2 CLS-to-patch attention rows.
+* L1 between view-1 and un-flipped view-2 patch-to-patch affinity blocks.
+
+The reference un-flips view 2 with three Python loops of per-row ``flip``
+slices over the attention tensor (``train_acr.py:151-158``) — O(p) kernel
+launches per step. Here the horizontal flip of the token grid is a single
+static permutation, applied with ``jnp.take`` (one fused gather per axis),
+which XLA folds into the surrounding elementwise graph.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hflip_token_permutation(grid_h: int, grid_w: int) -> np.ndarray:
+    """Permutation p with ``tokens_flipped[i] = tokens[p[i]]`` for a
+    horizontally flipped image's patch grid, row-major order.
+
+    Patch (r, c) of the flipped image shows the content of patch
+    (r, w-1-c) of the original, so un-flipping view-2 attention indexed by
+    flipped-grid tokens is a gather with this (self-inverse) permutation.
+    """
+    idx = np.arange(grid_h * grid_w).reshape(grid_h, grid_w)
+    return idx[:, ::-1].reshape(-1).copy()
+
+
+def unflip_attention(attn: jnp.ndarray, perm: jnp.ndarray,
+                     axes: tuple = (-2, -1)) -> jnp.ndarray:
+    """Apply the flip permutation along the given token axes."""
+    for ax in axes:
+        attn = jnp.take(attn, perm, axis=ax)
+    return attn
+
+
+def multilabel_soft_margin_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """torch ``F.multilabel_soft_margin_loss`` semantics:
+
+    ``mean_b( mean_c( -[y log sigmoid(x) + (1-y) log sigmoid(-x)] ) )``
+
+    computed with the numerically stable log-sigmoid.
+    """
+    logits = logits.astype(jnp.float32)
+    labels = labels.astype(jnp.float32)
+    loss = -(labels * jax.nn.log_sigmoid(logits)
+             + (1.0 - labels) * jax.nn.log_sigmoid(-logits))
+    return jnp.mean(loss)
+
+
+def l1_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+
+
+def acr_consistency_losses(
+    attn1: jnp.ndarray,
+    attn2: jnp.ndarray,
+    perm: jnp.ndarray,
+) -> tuple:
+    """CLS-alignment and affinity-alignment L1 losses.
+
+    Args:
+      attn1: (B, L, N, N) head-mean attention stack of the original view.
+      attn2: (B, L, N, N) stack of the horizontally flipped view.
+      perm:  (N-1,) hflip token permutation from ``hflip_token_permutation``.
+
+    Returns:
+      (cls_align_loss, aff_align_loss) — reference ``train_acr.py:143-161``:
+      cls rows are ``attn[:, :, 0, 1:]``, affinity is ``attn[:, :, 1:, 1:]``;
+      view 2 is un-flipped before comparison (one axis for the cls row,
+      both axes for the affinity block).
+    """
+    attn1_cls = attn1[:, :, 0, 1:]
+    attn2_cls = jnp.take(attn2[:, :, 0, 1:], perm, axis=-1)
+
+    attn1_aff = attn1[:, :, 1:, 1:]
+    attn2_aff = unflip_attention(attn2[:, :, 1:, 1:], perm, axes=(-2, -1))
+
+    return l1_loss(attn1_cls, attn2_cls), l1_loss(attn1_aff, attn2_aff)
+
+
+def acr_total_loss(
+    logits1: jnp.ndarray,
+    logits2: jnp.ndarray,
+    attn1: jnp.ndarray,
+    attn2: jnp.ndarray,
+    labels: jnp.ndarray,
+    perm: jnp.ndarray,
+    alpha: float,
+) -> tuple:
+    """Full ACR objective (reference ``train_acr.py:160-168``).
+
+    Returns (total, dict of components).
+    """
+    cls_loss_1 = multilabel_soft_margin_loss(logits1, labels)
+    cls_loss_2 = multilabel_soft_margin_loss(logits2, labels)
+    cls_align, aff_align = acr_consistency_losses(attn1, attn2, perm)
+    total = cls_loss_1 + cls_loss_2 + alpha * cls_align + alpha * aff_align
+    return total, {
+        "cls_loss_1": cls_loss_1,
+        "cls_loss_2": cls_loss_2,
+        "cls_align_loss": cls_align,
+        "aff_align_loss": aff_align,
+        "loss": total,
+    }

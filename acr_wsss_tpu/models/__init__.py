@@ -1,0 +1,10 @@
+from acr_wsss_tpu.models import acr as _acr  # noqa: F401  (registers ACR builders)
+from acr_wsss_tpu.models.acr import ACR, BACKBONES, resolve_backbone  # noqa: F401
+from acr_wsss_tpu.models.registry import (  # noqa: F401
+    create_model,
+    is_model,
+    list_models,
+    register_model,
+)
+from acr_wsss_tpu.models.vit import VisionTransformer  # noqa: F401
+from acr_wsss_tpu.models.hybrid import ResNetV2Stem  # noqa: F401

@@ -1,0 +1,180 @@
+"""PyTorch (reference) checkpoint -> JAX parameter-tree converter.
+
+Maps a reference ACR ``state_dict`` (``DPT/ACR.py`` over the timm backbone,
+names like ``pretrained.model.blocks.3.attn.qkv.weight``) onto the flax
+param tree of :class:`acr_wsss_tpu.models.acr.ACR`. Needed for numeric
+parity testing against reference weights and for migrating
+reference-trained checkpoints (reference load paths:
+``DPT/ACR.py:25-37``, ``models/helpers.py:24-49``).
+
+Layout rules:
+  torch Linear  (out, in)        -> flax Dense kernel (in, out)
+  torch Conv2d  (O, I, kh, kw)   -> flax NHWC kernel (kh, kw, I, O)
+  torch *Norm   weight/bias      -> scale/bias
+  cls_token / pos_embed / dist_token -> copied as-is
+
+Ignored reference entries: ``scratch.*`` (DPT reassemble convs, unused on
+the ACR forward path), ``bkg_token`` (experimental, off the main path —
+``models/vision_transformer.py:307``), ``pre_logits``, ``head``(ImageNet).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _linear(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.T)
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = value
+
+
+IGNORED = re.compile(
+    r"^(scratch\.|pretrained\.model\.(bkg_token|head\.|head_dist\.|pre_logits\.))"
+)
+
+
+def torch_state_dict_to_flax(
+    state_dict: Mapping[str, "np.ndarray"],
+    num_prefix_tokens: int = 1,
+) -> Dict:
+    """Convert a reference ACR/timm-ViT state dict (values as numpy arrays or
+    torch tensors) to ``{'params': ...}``."""
+    params: Dict = {}
+
+    def np_of(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    for name, value in state_dict.items():
+        if IGNORED.match(name):
+            continue
+        v = np_of(value).astype(np.float32)
+        path = _map_name(name, v)
+        if path is None:
+            continue
+        leaf_path, transform = path
+        _set(params, ("params",) + leaf_path, transform(v))
+    return params
+
+
+def _map_name(name: str, v: np.ndarray):
+    """Return ((flax path tuple), transform) or None to skip."""
+    # classification head
+    if name == "cls_head.weight":
+        return ("cls_head", "kernel"), _linear
+    if name == "cls_head.bias":
+        return ("cls_head", "bias"), lambda x: x
+
+    prefix = "pretrained.model."
+    if not name.startswith(prefix):
+        return None
+    name = name[len(prefix):]
+
+    ident = lambda x: x
+    if name == "cls_token":
+        return ("trunk", "cls_token"), ident
+    if name == "dist_token":
+        return ("trunk", "dist_token"), ident
+    if name == "pos_embed":
+        return ("trunk", "pos_embed"), ident
+    if name == "norm.weight":
+        return ("trunk", "norm", "scale"), ident
+    if name == "norm.bias":
+        return ("trunk", "norm", "bias"), ident
+
+    # patch projection (pure ViT: 16x16 conv; hybrid: 1x1 conv)
+    m = re.match(r"patch_embed\.proj\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("trunk", "patch_embed", "proj", leaf), (
+            _conv if leaf == "kernel" else ident)
+
+    # hybrid CNN stem
+    m = re.match(r"patch_embed\.backbone\.stem\.conv\.weight$", name)
+    if m:
+        return ("trunk", "backbone", "stem_conv", "kernel"), _conv
+    m = re.match(r"patch_embed\.backbone\.stem\.norm\.(weight|bias)$", name)
+    if m:
+        leaf = "scale" if m.group(1) == "weight" else "bias"
+        return ("trunk", "backbone", "stem_norm", "GroupNorm_0", leaf), ident
+
+    m = re.match(
+        r"patch_embed\.backbone\.stages\.(\d+)\.blocks\.(\d+)\.(.+)$", name)
+    if m:
+        s, b, rest = m.group(1), m.group(2), m.group(3)
+        base = ("trunk", "backbone", f"stages_{s}_blocks_{b}")
+        mm = re.match(r"conv(\d)\.weight$", rest)
+        if mm:
+            return base + (f"conv{mm.group(1)}", "kernel"), _conv
+        mm = re.match(r"norm(\d)\.(weight|bias)$", rest)
+        if mm:
+            leaf = "scale" if mm.group(2) == "weight" else "bias"
+            return base + (f"norm{mm.group(1)}", "GroupNorm_0", leaf), ident
+        if rest == "downsample.conv.weight":
+            return base + ("downsample_conv", "kernel"), _conv
+        mm = re.match(r"downsample\.norm\.(weight|bias)$", rest)
+        if mm:
+            leaf = "scale" if mm.group(1) == "weight" else "bias"
+            return base + ("downsample_norm", "GroupNorm_0", leaf), ident
+        return None
+
+    # transformer blocks
+    m = re.match(r"blocks\.(\d+)\.(.+)$", name)
+    if m:
+        i, rest = m.group(1), m.group(2)
+        base = ("trunk", f"blocks_{i}")
+        mm = re.match(r"norm(\d)\.(weight|bias)$", rest)
+        if mm:
+            leaf = "scale" if mm.group(2) == "weight" else "bias"
+            return base + (f"norm{mm.group(1)}", leaf), ident
+        mm = re.match(r"attn\.(qkv|proj)\.(weight|bias)$", rest)
+        if mm:
+            leaf = "kernel" if mm.group(2) == "weight" else "bias"
+            return base + ("attn", mm.group(1), leaf), (
+                _linear if leaf == "kernel" else ident)
+        mm = re.match(r"mlp\.fc(\d)\.(weight|bias)$", rest)
+        if mm:
+            leaf = "kernel" if mm.group(2) == "weight" else "bias"
+            return base + ("mlp", f"fc{mm.group(1)}", leaf), (
+                _linear if leaf == "kernel" else ident)
+        return None
+
+    return None
+
+
+def assert_trees_match(expected: Dict, converted: Dict) -> None:
+    """Raise with a readable diff if the converted tree misses/extra leaves
+    or shapes mismatch vs a freshly initialized model tree."""
+    import jax
+
+    exp = {tuple(str(k.key) for k in p): v.shape
+           for p, v in jax.tree_util.tree_flatten_with_path(expected)[0]}
+    got = {tuple(str(k.key) for k in p): v.shape
+           for p, v in jax.tree_util.tree_flatten_with_path(converted)[0]}
+    missing = sorted(set(exp) - set(got))
+    extra = sorted(set(got) - set(exp))
+    bad = sorted(k for k in set(exp) & set(got) if exp[k] != tuple(got[k]))
+    problems = []
+    if missing:
+        problems.append(f"missing: {missing[:10]} (+{max(0, len(missing)-10)})")
+    if extra:
+        problems.append(f"extra: {extra[:10]} (+{max(0, len(extra)-10)})")
+    if bad:
+        problems.append(
+            "shape mismatch: "
+            + str([(k, exp[k], got[k]) for k in bad[:10]])
+        )
+    if problems:
+        raise ValueError("; ".join(problems))

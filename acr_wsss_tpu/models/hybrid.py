@@ -1,0 +1,87 @@
+"""ResNetV2 CNN stem for the R50+ViT-B/16 hybrid backbone.
+
+TPU-native (flax/NHWC) counterpart of the reference hybrid stem: a
+non-pre-activation ResNetV2 with weight-standardized 'SAME'-padded convs and
+GroupNorm(32)+ReLU, layers=(3, 4, 9), channels (256, 512, 1024), built by
+``_resnetv2`` (reference ``models/vision_transformer_hybrid.py:116-132``)
+from ``ResNetV2`` / ``create_resnetv2_stem``
+(reference ``models/resnetv2.py:277-360``) with ``Bottleneck`` blocks
+(reference ``models/resnetv2.py:170-216``).
+
+Spatial plan for a 384 input: stem 7x7/2 + maxpool 3x3/2 -> 96;
+stage0 (stride 1) -> 96; stage1 (stride 2) -> 48; stage2 (stride 2) -> 24.
+The 24x24x1024 output feeds the ViT's 1x1 patch projection (stride-16
+total), and stages 0/1 are exported as DPT taps (reference
+``DPT/vit.py:423-428``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from acr_wsss_tpu.models.layers import GroupNormAct, WSConv, max_pool_same
+
+Dtype = Any
+
+
+class Bottleneck(nn.Module):
+    """Non-pre-act bottleneck (v1.5-style, used under ViT hybrids)."""
+
+    out_chs: int
+    stride: int = 1
+    bottle_ratio: float = 0.25
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        mid_chs = max(8, int(self.out_chs * self.bottle_ratio + 4) // 8 * 8)
+        in_chs = x.shape[-1]
+
+        shortcut = x
+        if in_chs != self.out_chs or self.stride != 1:
+            shortcut = WSConv(self.out_chs, 1, strides=self.stride,
+                              dtype=self.dtype, name="downsample_conv")(x)
+            shortcut = GroupNormAct(apply_act=False, name="downsample_norm")(shortcut)
+
+        y = WSConv(mid_chs, 1, dtype=self.dtype, name="conv1")(x)
+        y = GroupNormAct(name="norm1")(y)
+        y = WSConv(mid_chs, 3, strides=self.stride, dtype=self.dtype, name="conv2")(y)
+        y = GroupNormAct(name="norm2")(y)
+        y = WSConv(self.out_chs, 1, dtype=self.dtype, name="conv3")(y)
+        y = GroupNormAct(apply_act=False, name="norm3")(y)
+        return nn.relu(y + shortcut)
+
+
+class ResNetV2Stem(nn.Module):
+    """Stem + truncated stages; returns (final feature map, stage taps).
+
+    layers=(3,4,9) gives the R50 hybrid configuration of the reference.
+    """
+
+    layers: Sequence[int] = (3, 4, 9)
+    channels: Sequence[int] = (256, 512, 1024)
+    stem_chs: int = 64
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        x = WSConv(self.stem_chs, 7, strides=2, dtype=self.dtype,
+                   name="stem_conv")(x)
+        x = GroupNormAct(name="stem_norm")(x)
+        x = max_pool_same(x, 3, 2)
+
+        taps: Dict[str, jnp.ndarray] = {}
+        for stage_idx, (depth, chs) in enumerate(zip(self.layers, self.channels)):
+            stride = 1 if stage_idx == 0 else 2
+            for block_idx in range(depth):
+                x = Bottleneck(
+                    chs,
+                    stride=stride if block_idx == 0 else 1,
+                    dtype=self.dtype,
+                    name=f"stages_{stage_idx}_blocks_{block_idx}",
+                )(x)
+            taps[f"stage{stage_idx}"] = x
+        return x, taps

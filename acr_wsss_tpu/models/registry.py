@@ -1,0 +1,47 @@
+"""Model registry/factory.
+
+Same developer surface as the reference's timm-style registry
+(``models/registry.py:21-46`` + ``models/factory.py:25-86``): builders
+register under a name, ``create_model(name, **kwargs)`` resolves and
+constructs. Checkpoint loading is explicit (see
+``acr_wsss_tpu/models/convert.py`` and ``utils/checkpoint.py``) rather than
+hidden behind URL downloads.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from typing import Callable, Dict, List
+
+_model_entrypoints: Dict[str, Callable] = {}
+
+
+def register_model(fn: Callable) -> Callable:
+    name = fn.__name__
+    if name in _model_entrypoints:
+        raise ValueError(f"model {name!r} already registered")
+    _model_entrypoints[name] = fn
+    return fn
+
+
+def is_model(name: str) -> bool:
+    return name in _model_entrypoints
+
+def model_entrypoint(name: str) -> Callable:
+    try:
+        return _model_entrypoints[name]
+    except KeyError:
+        raise ValueError(
+            f"Unknown model {name!r}. Known: {sorted(_model_entrypoints)}"
+        ) from None
+
+
+def list_models(filter: str = "") -> List[str]:
+    names = sorted(_model_entrypoints)
+    if filter:
+        names = fnmatch.filter(names, filter)
+    return names
+
+
+def create_model(name: str, **kwargs):
+    return model_entrypoint(name)(**kwargs)

@@ -1,0 +1,225 @@
+"""Vision Transformer backbone with first-class attention-probability export.
+
+TPU-native re-design of the reference's hooked timm ViT
+(``models/vision_transformer.py:260-521`` + the module-global hook dict in
+``DPT/vit.py:9-42``): instead of forward hooks mutating shared state, the
+flax module *returns* everything downstream consumers need —
+
+* ``taps``: token activations at the configured block indices
+  (reference hook indices ``DPT/ACR.py:59-65``), taken at the block output
+  **before** the final LayerNorm — matching ``activations['4']`` which the
+  reference cls-head consumes un-normalized (``DPT/ACR.py:96-105`` wired via
+  ``DPT/vit.py:430-431``).
+* ``probs``: per-layer attention probabilities stacked to
+  (B, L, N, N) head-mean fp32 (or (B, L, H, N, N) with ``export='full'``).
+* ``tokens``: final LayerNorm'd tokens (the value ``forward_flex`` returns,
+  ``models/vision_transformer.py:449-486``).
+
+Gradients w.r.t. the probabilities (GETAM) flow through the optional
+``probs_offsets`` input — see ``acr_wsss_tpu/ops/attention.py``.
+
+Arbitrary input resolution follows ``_resize_pos_embed``
+(``models/vision_transformer.py:490-504``): the grid part of the position
+embedding is bilinearly resized (half-pixel / align_corners=False) to the
+current patch grid.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from acr_wsss_tpu.models.layers import Mlp, resize_bilinear, trunc_normal_init
+from acr_wsss_tpu.ops.attention import attention_with_probs
+
+Dtype = Any
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with prob export (cf. reference
+    ``models/vision_transformer.py:167-214``)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x, probs_offset=None, export="mean"):
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5
+
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                       dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, H, N, D)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        out, probs = attention_with_probs(
+            q, k, v, scale, probs_offset=probs_offset, export=export,
+            impl=self.impl,
+        )
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return out, probs
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block (reference ``models/vision_transformer.py:216-233``)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x, probs_offset=None, export="mean"):
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        h, probs = Attention(
+            self.dim, self.num_heads, self.qkv_bias, self.dtype,
+            impl=self.attn_impl, name="attn",
+        )(h.astype(self.dtype), probs_offset=probs_offset, export=export)
+        x = x + h
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                dtype=self.dtype, name="mlp")(h.astype(self.dtype))
+        return x + h, probs
+
+
+class PatchEmbed(nn.Module):
+    """Conv patchifier (reference ``models/vision_transformer.py:235-257``).
+
+    For hybrid models the projection is a 1x1 conv applied to the CNN
+    feature map (reference ``vision_transformer_hybrid.py:99-106``)."""
+
+    embed_dim: int = 768
+    patch_size: int = 16
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C) -> (B, N, D)
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        B, gh, gw, D = x.shape
+        return x.reshape(B, gh * gw, D)
+
+
+def resize_pos_embed(pos_embed: jnp.ndarray, start_index: int,
+                     gs_new: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear grid resize of the positional embedding
+    (reference ``_resize_pos_embed``, ``models/vision_transformer.py:490-504``)."""
+    tok = pos_embed[:, :start_index]
+    grid = pos_embed[0, start_index:]
+    gs_old = int(round(float(grid.shape[0]) ** 0.5))
+    if (gs_old, gs_old) == tuple(gs_new):
+        return pos_embed
+    grid = grid.reshape(gs_old, gs_old, -1)
+    grid = resize_bilinear(grid, gs_new, align_corners=False)
+    grid = grid.reshape(1, gs_new[0] * gs_new[1], -1)
+    return jnp.concatenate([tok, grid], axis=1)
+
+
+class VisionTransformer(nn.Module):
+    """ViT trunk; optionally wraps a CNN stem (hybrid).
+
+    Attributes:
+      taps: block indices whose outputs are exported (pre-final-norm).
+      backbone: optional flax module mapping (B,H,W,3) -> (B,h,w,C) feature
+        map at stride 16 (the R50 hybrid stem); None = 16x16 patchify.
+      num_prefix_tokens: 1 (cls) or 2 (cls+dist for deit-distilled,
+        reference ``DPT/vit.py:630``).
+    """
+
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    patch_size: int = 16
+    pretrain_grid: int = 24          # 384/16; pos-embed checkpoint grid
+    num_prefix_tokens: int = 1
+    taps: Tuple[int, ...] = (2, 5, 8, 11)
+    backbone: Optional[Any] = None   # a bound-constructor (nn.Module class or partial)
+    dtype: Dtype = jnp.bfloat16
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,                 # (B, H, W, 3)
+        probs_offsets: Optional[jnp.ndarray] = None,  # (L, B, Hh, N, N)
+        export: str = "mean",
+    ) -> Dict[str, Any]:
+        B, H, W, _ = x.shape
+        gh, gw = H // self.patch_size, W // self.patch_size
+
+        stem_features = None
+        if self.backbone is not None:
+            x, stem_features = self.backbone(name="backbone")(x.astype(self.dtype))
+        x = PatchEmbed(self.embed_dim, 1 if self.backbone is not None
+                       else self.patch_size, dtype=self.dtype,
+                       name="patch_embed")(x.astype(self.dtype))
+
+        num_patches = self.pretrain_grid * self.pretrain_grid
+        pos_embed = self.param(
+            "pos_embed", trunc_normal_init(0.02),
+            (1, num_patches + self.num_prefix_tokens, self.embed_dim),
+            jnp.float32,
+        )
+        cls_token = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim), jnp.float32
+        )
+        prefix = [jnp.broadcast_to(cls_token, (B, 1, self.embed_dim))]
+        if self.num_prefix_tokens == 2:
+            dist_token = self.param(
+                "dist_token", trunc_normal_init(0.02),
+                (1, 1, self.embed_dim), jnp.float32,
+            )
+            prefix.append(jnp.broadcast_to(dist_token, (B, 1, self.embed_dim)))
+
+        x = jnp.concatenate(
+            [p.astype(x.dtype) for p in prefix] + [x], axis=1
+        )
+        pe = resize_pos_embed(pos_embed, self.num_prefix_tokens, (gh, gw))
+        x = x + pe.astype(x.dtype)
+
+        taps: Dict[int, jnp.ndarray] = {}
+        probs_list = []
+        for i in range(self.depth):
+            offset_i = None if probs_offsets is None else probs_offsets[i]
+            x, probs = Block(
+                self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
+                self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}",
+            )(x, probs_offset=offset_i, export=export)
+            if probs is not None:
+                probs_list.append(probs)
+            if i in self.taps:
+                taps[i] = x
+
+        tokens = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(
+            x.astype(jnp.float32)
+        )
+
+        out: Dict[str, Any] = {
+            "tokens": tokens,
+            "pre_norm_tokens": x,
+            "taps": taps,
+            "grid": (gh, gw),
+            "stem_features": stem_features,
+        }
+        if probs_list:
+            # (B, L, N, N) or (B, L, H, N, N)
+            out["probs"] = jnp.stack(probs_list, axis=1)
+        return out

@@ -1,0 +1,43 @@
+"""Device-mesh construction.
+
+The reference's only parallel strategy is DDP data parallelism over NCCL
+(``train_acr.py:83-99``; SURVEY.md §2.7). The TPU-native equivalent is a
+``jax.sharding.Mesh``: a 1-D ``('data',)`` mesh reproduces DDP (gradient
+all-reduce compiled into the jit program by XLA over ICI), and a 2-D
+``('data', 'model')`` mesh adds tensor parallelism over attention heads /
+MLP hidden — a capability the reference lacks.
+
+Multi-host: call ``jax.distributed.initialize`` before ``make_mesh``; the
+mesh spans all global devices and per-host data feeding uses
+``host_local_array_to_global_array`` (see ``train.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    shape: Tuple[int, ...] = (-1,),
+    axis_names: Tuple[str, ...] = ("data",),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a mesh; one ``-1`` entry absorbs the remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    shape = list(shape)
+    if shape.count(-1) > 1:
+        raise ValueError("at most one -1 in mesh shape")
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1])) or 1
+        if n % known:
+            raise ValueError(f"{n} devices not divisible by {known}")
+        shape[shape.index(-1)] = n // known
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)

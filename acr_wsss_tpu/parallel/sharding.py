@@ -1,0 +1,65 @@
+"""Sharding policies: parameter partition rules + batch specs.
+
+Rules are (path-regex -> PartitionSpec) applied to the flattened param tree
+— the GSPMD idiom: annotate a few load-bearing tensors, let XLA propagate
+and insert collectives (ICI all-reduce for data-parallel grads, all-gather/
+reduce-scatter around the tensor-parallel matmuls).
+
+Tensor-parallel ('model' axis) layout for the ViT trunk:
+  qkv kernel   (D, 3D)  -> shard output columns  (None, 'model')   [heads split]
+  attn proj    (D, D)   -> shard input rows      ('model', None)
+  mlp fc1      (D, 4D)  -> shard output columns  (None, 'model')
+  mlp fc2      (4D, D)  -> shard input rows      ('model', None)
+
+Everything else (norms, tokens, conv stem, heads) is replicated — the stem
+is a small fraction of FLOPs and VOC batches are small.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+TP_RULES: List[Tuple[str, P]] = [
+    (r".*/attn/qkv/kernel$", P(None, "model")),
+    (r".*/attn/qkv/bias$", P("model")),
+    (r".*/attn/proj/kernel$", P("model", None)),
+    (r".*/mlp/fc1/kernel$", P(None, "model")),
+    (r".*/mlp/fc1/bias$", P("model")),
+    (r".*/mlp/fc2/kernel$", P("model", None)),
+]
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", k)) for k in path)
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """NamedSharding tree for a param tree under the given mesh.
+
+    On a 1-D ('data',) mesh everything is replicated (pure DP, the
+    reference-equivalent configuration)."""
+    has_model = "model" in mesh.axis_names
+
+    def spec_for(path, leaf):
+        if has_model:
+            s = _path_str(path)
+            for pattern, spec in TP_RULES:
+                if re.match(pattern, s):
+                    if len(spec) <= leaf.ndim:
+                        return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis data sharding for input batches."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

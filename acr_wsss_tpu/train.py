@@ -1,0 +1,232 @@
+"""ACR training: one jit-compiled SPMD step over a device mesh.
+
+The reference's training loop (``train_acr.py:86-202``) spawns one process
+per GPU, wraps the model in DDP(NCCL), synchronizes with a per-step
+``dist.barrier()`` and hand-flips view 2 on device. Here the whole step —
+siamese forward (both views as one doubled batch), loss, backward, poly-SGD
+update — is a single jit program over a ``Mesh``; XLA compiles the gradient
+all-reduce onto ICI, and there is nothing to barrier.
+
+Differences that are deliberate capability upgrades (SURVEY.md §2.7, §5):
+* proper per-host sharded input pipeline (the reference feeds every rank
+  the same shuffled list);
+* orbax checkpoints carrying optimizer state + step;
+* optional tensor-parallel 'model' mesh axis;
+* bf16 matmuls with fp32 attention probabilities (the reference runs fp32
+  end-to-end with AMP force-disabled).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.training import train_state
+
+from acr_wsss_tpu import losses
+from acr_wsss_tpu.configs import ModelConfig, TrainConfig
+from acr_wsss_tpu.data import voc as voc_data
+from acr_wsss_tpu.models.acr import ACR
+from acr_wsss_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicated
+from acr_wsss_tpu.utils.checkpoint import CheckpointManager, save_params_npz
+from acr_wsss_tpu.utils.meters import AverageMeter, Timer
+from acr_wsss_tpu.utils.schedule import make_optimizer
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def build_model(cfg: ModelConfig) -> ACR:
+    return ACR(
+        num_classes=cfg.num_classes,
+        backbone_name=cfg.backbone,
+        dtype=jnp.dtype(cfg.compute_dtype),
+        attn_impl=cfg.attn_impl,
+    )
+
+
+def create_train_state(
+    cfg: TrainConfig, max_step: int, rng: jax.Array, crop: Optional[int] = None
+) -> Tuple[ACR, TrainState]:
+    model = build_model(cfg.model)
+    crop = crop or cfg.crop_size
+    dummy = jnp.zeros((1, crop, crop, 3), jnp.float32)
+    params = model.init(rng, dummy)
+    tx = make_optimizer(
+        cfg.lr, max_step, cfg.weight_decay, cfg.momentum, cfg.poly_power,
+        reference_quirk=cfg.reference_optimizer_quirk,
+    )
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    return model, state
+
+
+def make_train_step(model: ACR, cfg: TrainConfig, grid: Tuple[int, int]):
+    """Build the jittable (state, batch) -> (state, metrics) step."""
+    perm = jnp.asarray(losses.hflip_token_permutation(*grid))
+    alpha = cfg.alpha
+
+    def loss_fn(params, batch):
+        x1 = batch["image"]
+        x2 = x1[:, :, ::-1, :]  # horizontal flip of view 1 (train_acr.py:135)
+        b = x1.shape[0]
+        out = model.apply(params, jnp.concatenate([x1, x2], axis=0),
+                          method=model.forward_cls)
+        logits1, logits2 = out["logits"][:b], out["logits"][b:]
+        attn1, attn2 = out["probs"][:b], out["probs"][b:]
+        total, parts = losses.acr_total_loss(
+            logits1, logits2, attn1, attn2, batch["label"], perm, alpha)
+        return total, parts
+
+    def train_step(state: TrainState, batch):
+        (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        state = state.apply_gradients(grads=grads)
+        return state, parts
+
+    return train_step
+
+
+def make_eval_step(model: ACR):
+    def eval_step(params, batch):
+        out = model.apply(params, batch["image"], method=model.forward_cls,
+                          export="none")
+        loss = losses.multilabel_soft_margin_loss(out["logits"], batch["label"])
+        return loss
+
+    return eval_step
+
+
+def shard_batch(batch: Dict[str, Any], sharding) -> Dict[str, Any]:
+    out = dict(batch)
+    out["image"] = jax.device_put(jnp.asarray(batch["image"]), sharding)
+    out["label"] = jax.device_put(jnp.asarray(batch["label"]), sharding)
+    out.pop("name", None)
+    return out
+
+
+def train(cfg: TrainConfig) -> TrainState:
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    host_id, num_hosts = jax.process_index(), jax.process_count()
+
+    names = voc_data.read_file(cfg.train_list)
+    steps_per_epoch = len(names) // cfg.batch_size
+    max_step = steps_per_epoch * cfg.max_epochs
+
+    model, state = create_train_state(
+        cfg, max_step, jax.random.key(cfg.seed))
+    p_shardings = param_shardings(mesh, state.params)
+    state = state.replace(
+        params=jax.device_put(state.params, p_shardings),
+        opt_state=jax.device_put(state.opt_state, replicated(mesh)),
+    )
+
+    grid = (cfg.crop_size // 16, cfg.crop_size // 16)
+    train_step = jax.jit(make_train_step(model, cfg, grid), donate_argnums=0)
+    eval_step = jax.jit(make_eval_step(model))
+
+    labels = voc_data.load_cls_labels(cfg.cls_labels_path)
+    source = voc_data.VOCClassificationSource(cfg.image_dir, labels, cfg.crop_size)
+    train_iter = voc_data.TrainIterator(
+        source, names, cfg.batch_size // num_hosts, seed=cfg.seed,
+        host_id=host_id, num_hosts=num_hosts, num_workers=cfg.num_workers)
+
+    b_sharding = batch_sharding(mesh)
+    ckpt = CheckpointManager(os.path.join(cfg.checkpoint_dir, cfg.session_name))
+    meter = AverageMeter("loss")
+    timer = Timer("Session started: ")
+
+    for step in range(max_step + 1):
+        batch = shard_batch(next(train_iter), b_sharding)
+        state, parts = train_step(state, batch)
+        meter.add({"loss": float(parts["loss"])})
+
+        if step % cfg.log_every == 0 and host_id == 0:
+            timer.update_progress(max(step, 1) / max_step)
+            imps = (step + 1) * cfg.batch_size / max(timer.get_stage_elapsed(), 1e-9)
+            print(
+                f"Iter:{step:5d}/{max_step:5d}",
+                "Loss:%.4f" % meter.pop("loss"),
+                "imps:%.1f" % imps,
+                "Fin:%s" % timer.str_est_finish(),
+                flush=True,
+            )
+
+        if step and step % cfg.val_every == 0:
+            val_loss = validate(cfg, model, state.params, eval_step)
+            if host_id == 0:
+                print("val loss: %.4f" % val_loss, flush=True)
+
+        if step and step % cfg.checkpoint_every == 0:
+            ckpt.save(step, jax.device_get(
+                {"params": state.params, "opt_state": state.opt_state,
+                 "step": step}))
+
+    if host_id == 0:
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        save_params_npz(
+            os.path.join(cfg.checkpoint_dir, f"{cfg.session_name}_last.npz"),
+            jax.device_get(state.params),
+        )
+        print("model saved!", flush=True)
+    ckpt.close()
+    return state
+
+
+def validate(cfg: TrainConfig, model: ACR, params, eval_step) -> float:
+    labels = voc_data.load_cls_labels(cfg.cls_labels_path)
+    source = voc_data.VOCClassificationSource(cfg.image_dir, labels, cfg.crop_size)
+    names = voc_data.read_file(cfg.val_list)
+    it = voc_data.EvalIterator(source, names, batch_size=max(cfg.batch_size, 1))
+    meter = AverageMeter("loss")
+    for batch in it:
+        loss = eval_step(params, {
+            "image": jnp.asarray(batch["image"]),
+            "label": jnp.asarray(batch["label"]),
+        })
+        meter.add({"loss": float(loss)})
+    return meter.pop("loss")
+
+
+def parse_args(argv=None) -> TrainConfig:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch_size", default=4, type=int)
+    parser.add_argument("--max_epoches", default=10, type=int)
+    parser.add_argument("--lr", default=0.05, type=float)
+    parser.add_argument("--wt_dec", default=5e-4, type=float)
+    parser.add_argument("--train_list", default="voc12/train_aug_id.txt")
+    parser.add_argument("--val_list", default="voc12/val_id.txt")
+    parser.add_argument("--backbone", default="vitb_hybrid")
+    parser.add_argument("--alpha", default=125, type=float)
+    parser.add_argument("--session_name", default="acr_tpu")
+    parser.add_argument("--crop_size", default=384, type=int)
+    parser.add_argument("--IMpath", default="voc/image/path")
+    parser.add_argument("--cls_labels", default="voc12/cls_labels.npy")
+    parser.add_argument("--attn_impl", default="pallas", choices=["xla", "pallas"])
+    parser.add_argument("--seed", default=0, type=int)
+    args = parser.parse_args(argv)
+    return TrainConfig(
+        model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl),
+        batch_size=args.batch_size,
+        max_epochs=args.max_epoches,
+        lr=args.lr,
+        weight_decay=args.wt_dec,
+        alpha=args.alpha,
+        session_name=args.session_name,
+        crop_size=args.crop_size,
+        image_dir=args.IMpath,
+        train_list=args.train_list,
+        val_list=args.val_list,
+        cls_labels_path=args.cls_labels,
+        seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    train(parse_args())

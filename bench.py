@@ -1,0 +1,74 @@
+"""Benchmark: ACR training-step throughput (images/sec) on one TPU chip.
+
+Runs the flagship configuration — ViT-B/16+R50 hybrid, 384^2 crop, siamese
+dual-view forward + full backward + poly-SGD update, exactly the per-step
+work of the reference's ``train_acr.py`` hot loop — on synthetic data, and
+prints ONE JSON line.
+
+``vs_baseline`` compares per-chip throughput against the reference's
+PyTorch DDP configuration (batch 1/GPU x 4, ``train_acr.sh:8-19``). The
+reference repo publishes no numbers (BASELINE.md), so the GPU baseline is
+the measured-class estimate recorded in BASELINE.md: ~20 images/sec/GPU for
+ViT-B-hybrid 384 siamese training. The driver's north star is >=5x this.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMGS_PER_SEC_PER_CHIP = 20.0
+
+
+def main() -> None:
+    from acr_wsss_tpu.configs import ModelConfig, TrainConfig
+    from acr_wsss_tpu.train import create_train_state, make_train_step
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    crop = int(os.environ.get("BENCH_CROP", "384"))
+    attn_impl = os.environ.get("BENCH_ATTN", "pallas")
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    cfg = TrainConfig(
+        model=ModelConfig(backbone="vitb_hybrid", attn_impl=attn_impl),
+        crop_size=crop,
+        batch_size=batch,
+    )
+    rng = jax.random.key(0)
+    model, state = create_train_state(cfg, max_step=10_000, rng=rng, crop=crop)
+
+    grid = (crop // 16, crop // 16)
+    train_step = jax.jit(make_train_step(model, cfg, grid), donate_argnums=0)
+
+    key = jax.random.key(1)
+    images = jax.random.normal(key, (batch, crop, crop, 3), jnp.float32)
+    labels = (jax.random.uniform(key, (batch, cfg.model.num_classes)) > 0.8
+              ).astype(jnp.float32)
+    batch_data = {"image": images, "label": labels}
+
+    # warmup/compile
+    state, parts = train_step(state, batch_data)
+    jax.block_until_ready(parts["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, parts = train_step(state, batch_data)
+    jax.block_until_ready(parts["loss"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * steps / dt
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

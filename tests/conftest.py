@@ -1,0 +1,41 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The TPU-native answer to "test distributed without a cluster"
+(SURVEY.md §4): the same jit/sharding programs run on
+``xla_force_host_platform_device_count=8`` CPU devices.
+
+Note: this environment may route JAX at a remote TPU through a PJRT plugin
+that force-selects itself via ``jax.config`` (overriding JAX_PLATFORMS), so
+we must both set the XLA flag before the first backend init *and* update
+the config after import.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pathlib  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+requires_reference = pytest.mark.skipif(
+    not REFERENCE_ROOT.exists(),
+    reason="reference implementation not mounted",
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
