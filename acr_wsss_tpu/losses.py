@@ -109,3 +109,41 @@ def acr_total_loss(
         "aff_align_loss": aff_align,
         "loss": total,
     }
+
+
+def softmax_cross_entropy_ignore(
+    logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = 255
+) -> jnp.ndarray:
+    """Mean softmax cross-entropy over (B, C, H, W) logits with an ignore
+    label (reference ``tool/loss.py:14-26``, CrossEntropyLoss semantics:
+    mean over non-ignored pixels)."""
+    num_classes = logits.shape[1]
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
+    picked = jnp.take_along_axis(
+        log_probs, safe_labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    loss = -jnp.where(valid, picked, 0.0)
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def focal_loss_ignore(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    gamma: float = 2.0,
+    alpha: float = 0.5,
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """Focal loss (reference ``tool/loss.py:28-51``): per-pixel CE modulated
+    by alpha * (1 - p_t)^gamma; the reference computes -((1-pt)^gamma) * logpt
+    with pt = exp(-ce) then multiplies by alpha, mean-reduced."""
+    num_classes = logits.shape[1]
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
+    logpt = jnp.take_along_axis(
+        log_probs, safe_labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    pt = jnp.exp(logpt)
+    loss = -alpha * (1.0 - pt) ** gamma * logpt
+    loss = jnp.where(valid, loss, 0.0)
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1)

@@ -1,0 +1,266 @@
+"""Fused TPU attention kernel with head-mean probability export.
+
+Why a kernel: the ACR method *consumes* the softmax attention matrix
+(consistency loss + GETAM), so flash-attention (never materializing probs)
+is off the table — but the reference's formulation materializes the
+**per-head** probs for every layer in HBM and keeps them alive for
+autograd (12 layers x 12 heads x N^2 fp32 per image; SURVEY.md §3.4).
+Only the **head-mean** N^2 block is ever read by the training loss
+(``DPT/ACR.py:107-112``). This kernel therefore:
+
+* computes QK^T -> softmax -> PV entirely in VMEM per (batch, head) grid
+  step (N=577 padded to 640; the whole 640x640 fp32 prob tile is ~1.6 MB,
+  far under the ~16 MB VMEM budget — no flash tiling needed at this N);
+* writes only the head-mean probs to HBM (12x less prob traffic), and
+* recomputes per-head probs in the backward kernel instead of storing
+  them (the custom VJP saves only q, k, v).
+
+Backward math (per head; p = softmax(s), e = exported head-mean):
+  dv = p^T g            (g = dout)
+  dp = g v^T + de / H   (de broadcast across heads)
+  ds = p * (dp - rowsum(dp * p))
+  dq = ds k * scale ;  dk = ds^T q * scale
+
+The head-mean export mode with no probability offset is the training
+configuration; GETAM inference (per-head export + probs offset) uses the
+XLA path (``ops/attention.py``), which XLA fuses adequately for batch-2
+inference work.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pad_axis(x: jnp.ndarray, axis: int, target: int) -> jnp.ndarray:
+    pad = target - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, e_ref, *, scale: float,
+                n_valid: int, num_heads: int):
+    h = pl.program_id(1)
+
+    q = q_ref[0, 0]     # (Np, D)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale            # (Np, Np)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, -jnp.inf)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+    o_ref[0, 0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+    contrib = p * (1.0 / num_heads)
+
+    @pl.when(h == 0)
+    def _():
+        e_ref[0] = contrib
+
+    @pl.when(h > 0)
+    def _():
+        e_ref[0] += contrib
+
+
+def _fwd(q, k, v, scale):
+    B, H, N, D = q.shape
+    Np = _round_up(N, LANE)
+    qp = _pad_axis(q, 2, Np)
+    kp = _pad_axis(k, 2, Np)
+    vp = _pad_axis(v, 2, Np)
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, n_valid=N, num_heads=H)
+
+    out, exported = pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, Np, D), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Np, D), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Np, D), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, Np, D), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, Np), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Np, D), v.dtype),
+            jax.ShapeDtypeStruct((B, Np, Np), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * Np * Np * D,
+            bytes_accessed=B * H * Np * D * 3 * 2 + B * Np * Np * 4,
+            transcendentals=B * H * Np * Np,
+        ),
+    )(qp, kp, vp)
+
+    return out[:, :, :N], exported[:, :N, :N]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, de_ref, dq_ref, dk_ref, dv_ref,
+                *, scale: float, n_valid: int, num_heads: int):
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    g = g_ref[0, 0].astype(jnp.float32)       # (Np, D)
+    de = de_ref[0] * (1.0 / num_heads)        # (Np, Np) fp32
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    s = jnp.where(col < n_valid, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+    # Zero the padded ROWS so they contribute nothing to dk/dv.
+    p = jnp.where(row < n_valid, p, 0.0)
+
+    dv_ref[0, 0] = jax.lax.dot_general(       # p^T g : (Np, D)
+        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+
+    dp = jax.lax.dot_general(                 # g v^T : (Np, Np)
+        g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + de
+
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (Np, Np)
+
+    dq_ref[0, 0] = (jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(dq_ref.dtype)
+
+    dk_ref[0, 0] = (jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(dk_ref.dtype)
+
+
+def _bwd(scale, residuals, cotangents):
+    q, k, v = residuals
+    g, de = cotangents
+    B, H, N, D = q.shape
+    Np = _round_up(N, LANE)
+    qp = _pad_axis(q, 2, Np)
+    kp = _pad_axis(k, 2, Np)
+    vp = _pad_axis(v, 2, Np)
+    gp = _pad_axis(g, 2, Np)
+    if de is None:
+        de = jnp.zeros((B, N, N), jnp.float32)
+    dep = _pad_axis(_pad_axis(de, 1, Np), 2, Np)
+
+    kernel = functools.partial(
+        _bwd_kernel, scale=scale, n_valid=N, num_heads=H)
+
+    spec_bh = pl.BlockSpec((1, 1, Np, D), lambda b, h: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_b = pl.BlockSpec((1, Np, Np), lambda b, h: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[spec_bh, spec_bh, spec_bh, spec_bh, spec_b],
+        out_specs=[spec_bh, spec_bh, spec_bh],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Np, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Np, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, Np, D), v.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * H * Np * Np * D,
+            bytes_accessed=B * H * Np * D * 8 * 2 + B * Np * Np * 4,
+            transcendentals=B * H * Np * Np,
+        ),
+    )(qp, kp, vp, gp, dep)
+
+    return dq[:, :, :N], dk[:, :, :N], dv[:, :, :N]
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper + public entry
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attention_mean_export(q, k, v, scale):
+    return _fwd(q, k, v, scale)
+
+
+def _attention_fwd_rule(q, k, v, scale):
+    out = _fwd(q, k, v, scale)
+    return out, (q, k, v)
+
+
+_attention_mean_export.defvjp(_attention_fwd_rule, _bwd)
+
+
+def fused_attention_with_probs(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    probs_offset: Optional[jnp.ndarray] = None,
+    export: str = "mean",
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Drop-in for ``ops.attention.attention_with_probs(impl='pallas')``.
+
+    Fused path: export='mean' (or 'none') with no probability offset — the
+    training configuration. Other modes (full per-head export, GETAM
+    offset taps) delegate to the XLA implementation.
+    """
+    if probs_offset is not None or export == "full":
+        from acr_wsss_tpu.ops.attention import _attention_xla
+
+        return _attention_xla(q, k, v, scale, probs_offset, export)
+
+    out, exported = _attention_mean_export(q, k, v, scale)
+    if export == "none":
+        # The mean export is still computed; XLA DCEs the unused output's
+        # consumer chain but not the kernel itself. Accept the minor cost —
+        # 'none' is only used in validation loops.
+        return out, None
+    return out, exported

@@ -111,11 +111,30 @@ def shard_batch(batch: Dict[str, Any], sharding) -> Dict[str, Any]:
     return out
 
 
+def _dataset_setup(cfg: TrainConfig):
+    """(train names, val names, label store) for voc12 or coco.
+
+    COCO (reference ``train_acr_coco.py:106`` + ``myTool.py:1497``): names
+    from the image directory listing, labels lazily parsed from bbox txts —
+    ``cfg.cls_labels_path`` then points at the bbox directory."""
+    if cfg.dataset == "coco":
+        from acr_wsss_tpu.data import coco as coco_data
+
+        names = coco_data.list_image_names(cfg.image_dir)
+        val_names = names[:1000]
+        labels = coco_data.CocoLabelStore(cfg.cls_labels_path, names)
+        return names, val_names, labels
+    names = voc_data.read_file(cfg.train_list)
+    val_names = voc_data.read_file(cfg.val_list)
+    labels = voc_data.load_cls_labels(cfg.cls_labels_path)
+    return names, val_names, labels
+
+
 def train(cfg: TrainConfig) -> TrainState:
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     host_id, num_hosts = jax.process_index(), jax.process_count()
 
-    names = voc_data.read_file(cfg.train_list)
+    names, val_names, labels = _dataset_setup(cfg)
     steps_per_epoch = len(names) // cfg.batch_size
     max_step = steps_per_epoch * cfg.max_epochs
 
@@ -131,7 +150,6 @@ def train(cfg: TrainConfig) -> TrainState:
     train_step = jax.jit(make_train_step(model, cfg, grid), donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model))
 
-    labels = voc_data.load_cls_labels(cfg.cls_labels_path)
     source = voc_data.VOCClassificationSource(cfg.image_dir, labels, cfg.crop_size)
     train_iter = voc_data.TrainIterator(
         source, names, cfg.batch_size // num_hosts, seed=cfg.seed,
@@ -159,7 +177,8 @@ def train(cfg: TrainConfig) -> TrainState:
             )
 
         if step and step % cfg.val_every == 0:
-            val_loss = validate(cfg, model, state.params, eval_step)
+            val_loss = validate(cfg, model, state.params, eval_step,
+                                val_names, labels)
             if host_id == 0:
                 print("val loss: %.4f" % val_loss, flush=True)
 
@@ -179,11 +198,13 @@ def train(cfg: TrainConfig) -> TrainState:
     return state
 
 
-def validate(cfg: TrainConfig, model: ACR, params, eval_step) -> float:
-    labels = voc_data.load_cls_labels(cfg.cls_labels_path)
+def validate(cfg: TrainConfig, model: ACR, params, eval_step,
+             val_names=None, labels=None) -> float:
+    if labels is None:
+        _, val_names, labels = _dataset_setup(cfg)
     source = voc_data.VOCClassificationSource(cfg.image_dir, labels, cfg.crop_size)
-    names = voc_data.read_file(cfg.val_list)
-    it = voc_data.EvalIterator(source, names, batch_size=max(cfg.batch_size, 1))
+    it = voc_data.EvalIterator(source, val_names,
+                               batch_size=max(cfg.batch_size, 1))
     meter = AverageMeter("loss")
     for batch in it:
         loss = eval_step(params, {

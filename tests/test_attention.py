@@ -1,0 +1,98 @@
+"""Attention op tests: XLA path semantics + Pallas kernel parity (fwd & grad).
+
+The Pallas kernel runs in interpreter mode on CPU (pltpu interpret), so the
+same parity tests cover the TPU kernel's math without hardware.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acr_wsss_tpu.ops.attention import attention_with_probs
+
+B, H, N, D = 2, 3, 37, 16  # deliberately unaligned N to exercise padding
+SCALE = D ** -0.5
+
+
+@pytest.fixture(scope="module")
+def qkv():
+    rng = np.random.default_rng(7)
+    return tuple(
+        jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32))
+        for _ in range(3)
+    )
+
+
+def test_xla_probs_rows_sum_to_one(qkv):
+    q, k, v = qkv
+    out, probs = attention_with_probs(q, k, v, SCALE, export="mean")
+    assert out.shape == (B, H, N, D)
+    assert probs.shape == (B, N, N)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_xla_offset_gradient_is_probs_gradient(qkv):
+    """d loss/d offset must equal d loss/d probs for a downstream loss."""
+    q, k, v = qkv
+    w = jnp.asarray(np.random.default_rng(3).normal(size=(B, H, N, D)),
+                    jnp.float32)
+
+    def loss_via_offset(offset):
+        out, _ = attention_with_probs(q, k, v, SCALE, probs_offset=offset,
+                                      export="none")
+        return jnp.sum(out * w)
+
+    g_offset = jax.grad(loss_via_offset)(jnp.zeros((B, H, N, N), jnp.float32))
+
+    # analytic: d sum(out*w) / d probs = w @ v^T
+    expected = jnp.einsum("bhnd,bhmd->bhnm", w, v)
+    np.testing.assert_allclose(np.asarray(g_offset), np.asarray(expected),
+                               rtol=1e-4, atol=1e-4)
+
+
+def _pallas_interpret(q, k, v, scale):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from acr_wsss_tpu.ops.attn_pallas import fused_attention_with_probs
+
+    with pltpu.force_tpu_interpret_mode():
+        return fused_attention_with_probs(q, k, v, scale, export="mean")
+
+
+def test_pallas_forward_matches_xla(qkv):
+    q, k, v = qkv
+    out_x, probs_x = attention_with_probs(q, k, v, SCALE, export="mean")
+    out_p, probs_p = _pallas_interpret(q, k, v, SCALE)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs_p), np.asarray(probs_x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_backward_matches_xla(qkv):
+    q, k, v = qkv
+    rng = np.random.default_rng(11)
+    wo = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    we = jnp.asarray(rng.normal(size=(B, N, N)), jnp.float32)
+
+    def loss_fn(impl):
+        def f(q, k, v):
+            if impl == "pallas":
+                out, probs = _pallas_interpret(q, k, v, SCALE)
+            else:
+                out, probs = attention_with_probs(q, k, v, SCALE, export="mean")
+            # loss touches BOTH outputs: value path and prob export path
+            return jnp.sum(out * wo) + jnp.sum(probs * we)
+        return f
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    gx = jax.grad(loss_fn("xla"), argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_fn("pallas"), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gx, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name} mismatch")

@@ -1,0 +1,82 @@
+"""End-to-end smoke: weights -> CAM inference -> evaluation, tiny and CPU.
+
+The integration test the reference never had (SURVEY.md §4): synthetic
+images + random-init weights through the full ``infer_cam`` pipeline
+(GETAM + flip TTA + affinity refinement), producing reference-format npy
+dicts, scored by the evaluation harness.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from acr_wsss_tpu import evaluate
+from acr_wsss_tpu.infer_cam import build_infer_fn, process_image
+from acr_wsss_tpu.models.acr import ACR
+
+CROP = 64  # grid 4x4
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    (root / "img").mkdir()
+    (root / "gt").mkdir()
+    rng = np.random.default_rng(5)
+    names = []
+    for i in range(2):
+        name = f"syn{i}"
+        names.append(name)
+        img = rng.integers(0, 255, size=(60, 72, 3), dtype=np.uint8)
+        img[15:45, 20:55] = [30, 200, 40]
+        Image.fromarray(img).save(root / "img" / f"{name}.jpg")
+        gt = np.zeros((60, 72), np.uint8)
+        gt[15:45, 20:55] = i + 1
+        Image.fromarray(gt).save(root / "gt" / f"{name}.png")
+    return root, names
+
+
+def test_infer_to_eval(fixture_dir):
+    root, names = fixture_dir
+    model = ACR(backbone_name="vitb", dtype=jnp.float32)
+    params = model.init(jax.random.key(0), jnp.zeros((1, CROP, CROP, 3)))
+
+    infer_fn = build_infer_fn(model, params, CROP, start_layer=10,
+                              getam_func="grad", use_aff=True, num_classes=20)
+
+    out_cam = root / "cams"
+    out_cam.mkdir()
+    for i, name in enumerate(names):
+        label = np.zeros(20, np.float32)
+        label[i] = 1.0
+        cam_dict, patch_dict, rgb = process_image(
+            infer_fn, str(root / "img" / f"{name}.jpg"), label, CROP)
+        # reference artifact contract: {class_id: native HxW float32 in [0,1]}
+        assert sorted(cam_dict) == [i]
+        cam = cam_dict[i]
+        assert cam.shape == (60, 72) and cam.dtype == np.float32
+        assert 0.0 <= cam.min() and cam.max() <= 1.0 + 1e-5
+        assert sorted(patch_dict) == [i]
+        np.save(out_cam / f"{name}.npy", cam_dict)  # type: ignore[arg-type]
+
+    loglist = evaluate.do_python_eval(
+        str(out_cam), str(root / "gt"), names, 21, "npy", 0.5, num_workers=1)
+    assert 0.0 <= loglist["mIoU"] <= 100.0
+
+
+def test_infer_fn_is_jit_cached(fixture_dir):
+    """The per-image loop must reuse one compiled program (fixed shapes)."""
+    root, names = fixture_dir
+    model = ACR(backbone_name="vitb", dtype=jnp.float32)
+    params = model.init(jax.random.key(1), jnp.zeros((1, CROP, CROP, 3)))
+    infer_fn = build_infer_fn(model, params, CROP, 10, "grad", False, 20)
+    x = jnp.zeros((2, CROP, CROP, 3))
+    infer_fn(x)
+    misses_before = infer_fn._cache_size()
+    infer_fn(x + 1.0)
+    assert infer_fn._cache_size() == misses_before
