@@ -23,7 +23,7 @@ from __future__ import annotations
 import argparse
 import functools
 import os
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -70,39 +70,50 @@ def process_image(
     label: np.ndarray,
     crop_size: int,
     flip_tta: bool = True,
+    scales: Sequence[float] = (1.0,),
+    infer_fns_by_scale: Optional[Dict[float, Any]] = None,
 ) -> Tuple[Dict[int, np.ndarray], Dict[int, np.ndarray], np.ndarray]:
-    """Returns (getam cam_dict, patch cam_dict, original RGB image)."""
+    """Returns (getam cam_dict, patch cam_dict, original RGB image).
+
+    Multi-scale TTA (reference ``infer_cam.py:145-146`` scale hook /
+    ``DPT/DPT.py:400-417``): each scale runs through its own fixed-shape
+    compiled program (``infer_fns_by_scale``); CAMs are upsampled to native
+    size and summed across scales and flips before normalization.
+    """
     rgb = transforms.load_image_rgb(img_path)
     H, W = rgb.shape[:2]
-    x = transforms.val_transform(rgb, crop_size)           # (crop, crop, 3)
-    views = [x]
-    if flip_tta:
-        views.append(x[:, ::-1])
-    batch = jnp.asarray(np.stack(views))
+    mask = (label > 1e-5)[:, None, None]
 
-    out = jax.device_get(infer_fn(batch))
-    grid = crop_size // 16
-    num_classes = out["cams"].shape[0]
+    cam_acc = None
+    patch_acc = None
+    for scale in scales:
+        size = int(crop_size * scale)
+        fn = (infer_fns_by_scale or {}).get(scale, infer_fn)
+        x = transforms.val_transform(rgb, size)            # (size, size, 3)
+        views = [x]
+        if flip_tta:
+            views.append(x[:, ::-1])
+        out = jax.device_get(fn(jnp.asarray(np.stack(views))))
+        grid = size // 16
+        num_classes = out["cams"].shape[0]
 
-    # (C, B, g, g); un-flip view 2 on the token grid
-    cams = out["cams"].reshape(num_classes, -1, grid, grid)
-    patch = out["patch_cam"].transpose(0, 2, 1).reshape(-1, num_classes, grid, grid)
-    if flip_tta:
-        cams = cams.copy()
-        patch = patch.copy()
-        cams[:, 1] = cams[:, 1, :, ::-1]
-        patch[1] = patch[1, :, :, ::-1]
+        cams = out["cams"].reshape(num_classes, -1, grid, grid).copy()
+        patch = out["patch_cam"].transpose(0, 2, 1).reshape(
+            -1, num_classes, grid, grid).copy()
+        if flip_tta:
+            cams[:, 1] = cams[:, 1, :, ::-1]
+            patch[1] = patch[1, :, :, ::-1]
 
-    # TTA sum, native-size upsample, label mask, [0,1] normalize
-    cam_sum = cams.sum(axis=1)                             # (C, g, g)
-    cam_up = imops.resize_bilinear_np(cam_sum, (H, W), align_corners=True)
-    cam_up = cam_up * (label > 1e-5)[:, None, None]
-    norm_cam = imops.minmax_normalize(cam_up)
+        cam_up = imops.resize_bilinear_np(cams.sum(axis=1), (H, W),
+                                          align_corners=True)
+        patch_up = imops.resize_bilinear_np(patch.sum(axis=0), (H, W),
+                                            align_corners=False)
+        cam_acc = cam_up if cam_acc is None else cam_acc + cam_up
+        patch_acc = patch_up if patch_acc is None else patch_acc + patch_up
 
-    patch_sum = patch.sum(axis=0)                          # (C, g, g)
-    patch_up = imops.resize_bilinear_np(patch_sum, (H, W), align_corners=False)
-    patch_up = patch_up * (label > 1e-5)[:, None, None]
-    patch_norm = imops.minmax_normalize(patch_up, eps=1e-5)
+    norm_cam = imops.minmax_normalize(cam_acc * mask)
+    patch_norm = imops.minmax_normalize(patch_acc * mask, eps=1e-5)
+    num_classes = norm_cam.shape[0]
 
     present = [c for c in range(num_classes) if label[c] > 1e-5]
     cam_dict = {c: norm_cam[c].astype(np.float32) for c in present}
@@ -148,9 +159,13 @@ def run(cfg: InferConfig) -> None:
     if "params" not in params:
         params = {"params": params}
 
-    infer_fn = build_infer_fn(
-        model, params, cfg.crop_size, cfg.start_layer, cfg.getam_func,
-        cfg.use_aff, cfg.model.num_classes)
+    infer_fns = {
+        scale: build_infer_fn(
+            model, params, int(cfg.crop_size * scale), cfg.start_layer,
+            cfg.getam_func, cfg.use_aff, cfg.model.num_classes)
+        for scale in cfg.scales
+    }
+    infer_fn = infer_fns[cfg.scales[0]]
 
     names = (voc_data.read_file_2(cfg.infer_list)
              if cfg.infer_list.endswith("train.txt") or "aug.txt" in cfg.infer_list
@@ -163,7 +178,8 @@ def run(cfg: InferConfig) -> None:
     for i, name in enumerate(names):
         cam_dict, patch_dict, rgb = process_image(
             infer_fn, os.path.join(cfg.image_dir, f"{name}.jpg"),
-            labels[name], cfg.crop_size, cfg.flip_tta)
+            labels[name], cfg.crop_size, cfg.flip_tta,
+            scales=cfg.scales, infer_fns_by_scale=infer_fns)
         if cfg.out_cam:
             np.save(os.path.join(cfg.out_cam, f"{name}.npy"), cam_dict)  # type: ignore[arg-type]
         if cfg.out_crf:

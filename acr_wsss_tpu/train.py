@@ -161,6 +161,13 @@ def train(cfg: TrainConfig) -> TrainState:
     timer = Timer("Session started: ")
 
     for step in range(max_step + 1):
+        # Profiler window (SURVEY.md §5.1 rebuild note): capture a trace of
+        # steady-state steps when requested.
+        if cfg.profile_dir and step == 10:
+            jax.profiler.start_trace(cfg.profile_dir)
+        if cfg.profile_dir and step == 20:
+            jax.profiler.stop_trace()
+
         batch = shard_batch(next(train_iter), b_sharding)
         state, parts = train_step(state, batch)
         meter.add({"loss": float(parts["loss"])})
