@@ -147,3 +147,45 @@ def focal_loss_ignore(
     loss = -alpha * (1.0 - pt) ** gamma * logpt
     loss = jnp.where(valid, loss, 0.0)
     return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def hflip_window_permutations(n_cols: int, ws: int):
+    """Permutations un-mirroring window-attention exports.
+
+    For a horizontally flipped image on a window grid with ``n_cols``
+    window columns and window size ``ws``: window (r, c) shows the content
+    of original window (r, n_cols-1-c), and tokens inside a window permute
+    by column reversal. Returns (window_perm (n_cols,), token_perm (ws*ws,))
+    to be applied per window row / within-window token axes.
+
+    Extends the ACR all-pairs consistency (train_acr.py:143-161) to Swin
+    backbones — only valid for non-shifted blocks on grids divisible by ws
+    (a mirrored shifted-window partition is not a window permutation).
+    """
+    window_perm = np.arange(n_cols)[::-1].copy()
+    token_perm = hflip_token_permutation(ws, ws)
+    return window_perm, token_perm
+
+
+def swin_window_consistency_loss(
+    probs1: jnp.ndarray,
+    probs2: jnp.ndarray,
+    n_rows: int,
+    n_cols: int,
+    ws: int,
+) -> jnp.ndarray:
+    """L1 all-pairs consistency between a view and its mirror for one Swin
+    block's window-attention export.
+
+    Args:
+      probs1, probs2: (B, nW, ws*ws, ws*ws) head-mean window probs of the
+        original and the horizontally flipped view; nW = n_rows * n_cols.
+    """
+    wperm, tperm = hflip_window_permutations(n_cols, ws)
+    full_wperm = (
+        np.arange(n_rows)[:, None] * n_cols + wperm[None, :]
+    ).reshape(-1)
+    p2 = jnp.take(probs2, jnp.asarray(full_wperm), axis=1)
+    p2 = jnp.take(p2, jnp.asarray(tperm), axis=2)
+    p2 = jnp.take(p2, jnp.asarray(tperm), axis=3)
+    return l1_loss(probs1, p2)

@@ -151,7 +151,10 @@ def _shift_mask(H: int, W: int, ws: int, shift: int) -> jnp.ndarray:
         for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
             img_mask[:, hs, wsl, :] = cnt
             cnt += 1
-    mask_windows = np.asarray(window_partition(jnp.asarray(img_mask), ws))
+    # pure-numpy window partition (this runs at trace time; jnp would
+    # create tracers that cannot round-trip through numpy under jit)
+    mask_windows = img_mask.reshape(1, H // ws, ws, W // ws, ws, 1)
+    mask_windows = mask_windows.transpose(0, 1, 3, 2, 4, 5)
     mask_windows = mask_windows.reshape(-1, ws * ws)
     attn_mask = mask_windows[:, None, :] - mask_windows[:, :, None]
     attn_mask = np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)

@@ -1,0 +1,84 @@
+"""Swin/PiT backbone + consistency tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acr_wsss_tpu.losses import hflip_window_permutations, \
+    swin_window_consistency_loss
+from acr_wsss_tpu.models.swin import swin_tiny, window_partition
+from acr_wsss_tpu.models.pit import pit_s
+
+
+def test_window_flip_permutation_exact():
+    """Permuted windows of the mirrored grid == windows of the original."""
+    H = W = 8
+    ws = 4
+    nC = nR = W // ws
+    ids = np.arange(H * W).reshape(1, H, W, 1).astype(np.float32)
+    w_orig = np.asarray(window_partition(jnp.asarray(ids), ws)
+                        ).reshape(nR * nC, ws * ws)
+    w_mir = np.asarray(window_partition(jnp.asarray(ids[:, :, ::-1]), ws)
+                       ).reshape(nR * nC, ws * ws)
+    wperm, tperm = hflip_window_permutations(nC, ws)
+    full = (np.arange(nR)[:, None] * nC + wperm[None, :]).reshape(-1)
+    np.testing.assert_array_equal(w_mir[full][:, tperm], w_orig)
+
+
+def test_swin_forward_and_probs(rng):
+    m = swin_tiny(num_classes=20, dtype=jnp.float32, window_size=4)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    p = m.init(jax.random.key(0), x)
+    out = m.apply(p, x)
+    assert out["logits"].shape == (2, 20)
+    assert len(out["window_probs"]) == sum(m.depths)
+    for probs in out["window_probs"]:
+        np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-4)
+
+
+def test_swin_consistency_loss_grad_flows(rng):
+    m = swin_tiny(num_classes=20, dtype=jnp.float32, window_size=4)
+    x1 = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    p = m.init(jax.random.key(0), x1)
+
+    def loss(params):
+        out = m.apply(params, jnp.concatenate([x1, x1[:, :, ::-1]], axis=0))
+        probs = out["window_probs"][0]
+        return swin_window_consistency_loss(probs[:1], probs[1:], 2, 2, 4)
+
+    g = jax.grad(lambda p: loss(p))(p)
+    norms = [float(jnp.abs(v).sum()) for v in jax.tree.leaves(g)]
+    assert any(n > 0 for n in norms)
+
+
+def test_pit_probs_rows_normalized(rng):
+    m = pit_s(num_classes=20, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    p = m.init(jax.random.key(0), x)
+    out = m.apply(p, x)
+    assert out["logits"].shape == (1, 20)
+    for probs in out["probs_per_block"]:
+        np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-4)
+
+
+def test_swin_train_step_builds(rng):
+    from acr_wsss_tpu.configs import ModelConfig, TrainConfig
+    from acr_wsss_tpu.train_swin import (
+        create_swin_train_state, make_swin_train_step, swin_block_layout)
+
+    cfg = TrainConfig(model=ModelConfig(backbone="swin"),
+                      crop_size=32, batch_size=2)
+    model, state = create_swin_train_state(cfg, 100, jax.random.key(0),
+                                           "swin_tiny")
+    layout = swin_block_layout(model, 32)
+    assert len(layout) == sum(model.depths)
+    step = jax.jit(make_swin_train_step(model, cfg, 32), donate_argnums=0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32)),
+        "label": jnp.zeros((2, 20), jnp.float32).at[:, 3].set(1.0),
+    }
+    state, parts = step(state, batch)
+    assert np.isfinite(float(parts["loss"]))
+    assert float(parts["window_consistency"]) >= 0
