@@ -115,3 +115,42 @@ def val_transform(img: np.ndarray, crop_size: int) -> np.ndarray:
     (reference ``get_data_from_chunk_val``, ``myTool.py:1364-1404``)."""
     img = resize_bilinear_np(img, (crop_size, crop_size))
     return normalize(img)
+
+
+def center_crop(img: np.ndarray, cropsize: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Center square crop with zero padding when smaller (reference
+    ``CenterCrop``, ``tool/imutils.py:249-287``). Returns (crop, valid mask)."""
+    h, w = img.shape[:2]
+    ch, cw = min(cropsize, h), min(cropsize, w)
+    sh, sw = (h - ch) // 2, (w - cw) // 2
+    ph, pw = (cropsize - ch) // 2, (cropsize - cw) // 2
+    container = np.zeros((cropsize, cropsize) + img.shape[2:], np.float32)
+    cropping = np.zeros((cropsize, cropsize), bool)
+    container[ph:ph + ch, pw:pw + cw] = img[sh:sh + ch, sw:sw + cw]
+    cropping[ph:ph + ch, pw:pw + cw] = True
+    return container, cropping
+
+
+def random_scale_crop(img: np.ndarray, mask: np.ndarray, crop_size: int,
+                      rng: np.random.Generator,
+                      scale_range: Tuple[float, float] = (0.5, 2.0),
+                      ignore_value: int = 255) -> Tuple[np.ndarray, np.ndarray]:
+    """Joint random scale + crop of an image and its label map (reference
+    ``RandomScaleCrop``, ``tool/imutils.py:306-338``): scale uniformly,
+    pad (image with 0, mask with the ignore value) and crop jointly."""
+    scale = rng.uniform(*scale_range)
+    h, w = img.shape[:2]
+    nh, nw = int(h * scale), int(w * scale)
+    img = resize_bilinear_np(img.astype(np.float32), (nh, nw))
+    mask = np.asarray(
+        Image.fromarray(mask.astype(np.uint8)).resize((nw, nh), Image.NEAREST))
+
+    pad_h, pad_w = max(crop_size - nh, 0), max(crop_size - nw, 0)
+    if pad_h or pad_w:
+        img = np.pad(img, ((0, pad_h), (0, pad_w)) + ((0, 0),) * (img.ndim - 2))
+        mask = np.pad(mask, ((0, pad_h), (0, pad_w)), constant_values=ignore_value)
+        nh, nw = img.shape[:2]
+    top = int(rng.integers(0, nh - crop_size + 1))
+    left = int(rng.integers(0, nw - crop_size + 1))
+    return (img[top:top + crop_size, left:left + crop_size],
+            mask[top:top + crop_size, left:left + crop_size])

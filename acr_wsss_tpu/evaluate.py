@@ -206,3 +206,47 @@ def main(argv=None) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def seg_validation(
+    predict_fn,
+    names: Sequence[str],
+    image_dir: str,
+    gt_dir: str,
+    crop_size: int = 384,
+    use_crf: bool = False,
+    num_classes: int = 21,
+) -> float:
+    """Full segmentation validation (reference ``myTool.py:1826-1895``):
+    per image, resize to crop^2, predict, bilinearly resize logits back to
+    native size, optional dense-CRF refinement, accumulate a confusion
+    matrix, return mIoU.
+
+    Args:
+      predict_fn: (1, crop, crop, 3) float32 -> (C, crop, crop) logits
+        (jit it outside; shapes are fixed).
+    """
+    from acr_wsss_tpu.data import transforms
+    from acr_wsss_tpu.ops.imops import resize_bilinear_np
+    from acr_wsss_tpu.utils.metrics import Evaluator
+
+    evaluator = Evaluator(num_classes)
+    for name in names:
+        rgb = transforms.load_image_rgb(os.path.join(image_dir, f"{name}.jpg"))
+        target = np.asarray(
+            Image.open(os.path.join(gt_dir, f"{name}.png")), dtype=np.int32)
+        h, w = rgb.shape[:2]
+        x = transforms.val_transform(rgb, crop_size)[None]
+        logits = np.asarray(predict_fn(x))                 # (C, crop, crop)
+        logits = resize_bilinear_np(logits, (h, w), align_corners=False)
+        if use_crf:
+            from acr_wsss_tpu.ops import crf as crf_ops
+
+            probs = np.exp(logits - logits.max(0, keepdims=True))
+            probs /= probs.sum(0, keepdims=True)
+            refined = crf_ops.crf_inference_inf(rgb, probs, labels=num_classes)
+            pred = np.argmax(refined, axis=0)
+        else:
+            pred = np.argmax(logits, axis=0)
+        evaluator.add_batch(target, pred.astype(np.int64))
+    return evaluator.Mean_Intersection_over_Union()

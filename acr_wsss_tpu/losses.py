@@ -58,17 +58,31 @@ def l1_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
 
 
+def _unflip_token_axis(x: jnp.ndarray, grid: tuple, axis: int) -> jnp.ndarray:
+    """Un-mirror a row-major token axis of length p*q by reversing the
+    column dimension — a reshape + ``rev`` instead of a gather (and its
+    scatter transpose in the backward), which is substantially cheaper on
+    TPU for the (B, L, N, N) affinity stacks."""
+    p, q = grid
+    axis = axis % x.ndim
+    shape = x.shape[:axis] + (p, q) + x.shape[axis + 1:]
+    return jnp.flip(x.reshape(shape), axis=axis + 1).reshape(x.shape)
+
+
 def acr_consistency_losses(
     attn1: jnp.ndarray,
     attn2: jnp.ndarray,
-    perm: jnp.ndarray,
+    perm: jnp.ndarray = None,
+    grid: tuple = None,
 ) -> tuple:
     """CLS-alignment and affinity-alignment L1 losses.
 
     Args:
       attn1: (B, L, N, N) head-mean attention stack of the original view.
       attn2: (B, L, N, N) stack of the horizontally flipped view.
-      perm:  (N-1,) hflip token permutation from ``hflip_token_permutation``.
+      perm:  (N-1,) hflip token permutation (gather path; used when no
+        grid is given).
+      grid:  (p, q) patch grid; enables the cheap reshape+rev un-flip.
 
     Returns:
       (cls_align_loss, aff_align_loss) — reference ``train_acr.py:143-161``:
@@ -77,10 +91,17 @@ def acr_consistency_losses(
       both axes for the affinity block).
     """
     attn1_cls = attn1[:, :, 0, 1:]
-    attn2_cls = jnp.take(attn2[:, :, 0, 1:], perm, axis=-1)
-
     attn1_aff = attn1[:, :, 1:, 1:]
-    attn2_aff = unflip_attention(attn2[:, :, 1:, 1:], perm, axes=(-2, -1))
+    attn2_cls = attn2[:, :, 0, 1:]
+    attn2_aff = attn2[:, :, 1:, 1:]
+
+    if grid is not None:
+        attn2_cls = _unflip_token_axis(attn2_cls, grid, -1)
+        attn2_aff = _unflip_token_axis(
+            _unflip_token_axis(attn2_aff, grid, -2), grid, -1)
+    else:
+        attn2_cls = jnp.take(attn2_cls, perm, axis=-1)
+        attn2_aff = unflip_attention(attn2_aff, perm, axes=(-2, -1))
 
     return l1_loss(attn1_cls, attn2_cls), l1_loss(attn1_aff, attn2_aff)
 
@@ -100,7 +121,10 @@ def acr_total_loss(
     """
     cls_loss_1 = multilabel_soft_margin_loss(logits1, labels)
     cls_loss_2 = multilabel_soft_margin_loss(logits2, labels)
-    cls_align, aff_align = acr_consistency_losses(attn1, attn2, perm)
+    n_patches = attn1.shape[-1] - 1
+    p = int(round(n_patches ** 0.5))
+    grid = (p, p) if p * p == n_patches else None
+    cls_align, aff_align = acr_consistency_losses(attn1, attn2, perm, grid)
     total = cls_loss_1 + cls_loss_2 + alpha * cls_align + alpha * aff_align
     return total, {
         "cls_loss_1": cls_loss_1,
@@ -189,3 +213,77 @@ def swin_window_consistency_loss(
     p2 = jnp.take(p2, jnp.asarray(tperm), axis=2)
     p2 = jnp.take(p2, jnp.asarray(tperm), axis=3)
     return l1_loss(probs1, p2)
+
+
+def _masked_cos(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Cosine similarity matrix between row sets a (N,D) and b (M,D)."""
+    na = jnp.linalg.norm(a, axis=1, keepdims=True)
+    nb = jnp.linalg.norm(b, axis=1, keepdims=True)
+    return (a @ b.T) / (na @ nb.T + eps)
+
+
+def prototype_contrast_loss(
+    seg_logits: jnp.ndarray,
+    features: jnp.ndarray,
+    num_classes: int = 21,
+) -> jnp.ndarray:
+    """Prototype contrast regularizer (reference ``compute_dis_no_batch``,
+    ``myTool.py:1624-1710``), jit-friendly masked formulation:
+
+    * pixel term: mean (1 - cos) distance of background pixels to their
+      per-sample background centroid, and of each present foreground
+      class's pixels to its (batch-global) class centroid;
+    * center term: 0.5 * mean (1 + cos) between distinct fg centroids
+      + 0.5 * mean (1 + cos) between fg centroids and bg centroids.
+
+    The reference's Python branching on empty classes becomes masked
+    averaging over present classes (class present iff it wins >= 1 pixel).
+
+    Args:
+      seg_logits: (B, C, N) per-pixel class scores.
+      features:   (B, D, N) per-pixel features.
+    """
+    B, C, N = seg_logits.shape
+    D = features.shape[1]
+    labels = jnp.argmax(seg_logits, axis=1)             # (B, N)
+    feats = jnp.transpose(features, (0, 2, 1))          # (B, N, D)
+
+    # ---- background: per-sample centroid + pixel distances
+    bg_mask = (labels == 0).astype(jnp.float32)          # (B, N)
+    bg_num = jnp.sum(bg_mask, axis=1) + 1e-7             # (B,)
+    bg_center = jnp.einsum("bn,bnd->bd", bg_mask, feats) / bg_num[:, None]
+    bg_cos = jnp.einsum("bnd,bd->bn", feats, bg_center) / (
+        jnp.linalg.norm(feats, axis=-1) * jnp.linalg.norm(bg_center, axis=-1)[:, None]
+        + 1e-7)
+    bg_pixel_dis = jnp.sum((1.0 - bg_cos) * bg_mask, axis=1) / bg_num
+    bg_present = (jnp.sum(bg_mask, axis=1) >= 1).astype(jnp.float32)
+    pixel_dis = jnp.sum(jnp.where(bg_present > 0, bg_pixel_dis, 2.0))
+
+    # ---- foreground: batch-global per-class centroids
+    flat_feats = feats.reshape(B * N, D)
+    flat_labels = labels.reshape(B * N)
+    cls_ids = jnp.arange(1, num_classes)
+    cls_mask = (flat_labels[None, :] == cls_ids[:, None]).astype(jnp.float32)
+    cls_num = jnp.sum(cls_mask, axis=1)                  # (C-1,)
+    present = (cls_num >= 1).astype(jnp.float32)
+    centers = (cls_mask @ flat_feats) / (cls_num[:, None] + 1e-7)
+
+    pix_cos = _masked_cos(flat_feats, centers)           # (BN, C-1)
+    fg_pix_dis = jnp.sum((1.0 - pix_cos).T * cls_mask, axis=1) / (cls_num + 1e-7)
+    pixel_dis = pixel_dis + jnp.sum(fg_pix_dis * present)
+    n_centers = jnp.sum(present) + B  # fg centers + one bg center per sample
+    pixel_dis = pixel_dis / jnp.maximum(n_centers, 1.0)
+
+    # ---- center separation terms
+    pm = present[:, None] * present[None, :]
+    fg_fg = (1.0 + _masked_cos(centers, centers)) * pm
+    off_diag = pm * (1.0 - jnp.eye(num_classes - 1))
+    n_pairs = jnp.sum(off_diag)
+    fg_fg_loss = jnp.where(
+        n_pairs > 0, jnp.sum(fg_fg * (1.0 - jnp.eye(num_classes - 1))) / jnp.maximum(n_pairs, 1.0), 0.0)
+
+    fg_bg = (1.0 + _masked_cos(centers, bg_center)) * present[:, None] * bg_present[None, :]
+    n_fb = jnp.sum(present) * jnp.sum(bg_present)
+    fg_bg_loss = jnp.where(n_fb > 0, jnp.sum(fg_bg) / jnp.maximum(n_fb, 1.0), 0.0)
+
+    return pixel_dis + 0.5 * fg_fg_loss + 0.5 * fg_bg_loss

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, Sequence, Tuple
 
+from acr_wsss_tpu.models.registry import register_model
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -85,3 +87,42 @@ class ResNetV2Stem(nn.Module):
                 )(x)
             taps[f"stage{stage_idx}"] = x
         return x, taps
+
+
+class ResNetV2(nn.Module):
+    """Full ResNetV2 classifier (reference ``models/resnetv2.py:311``):
+    the hybrid stem generalized to 4 stages + GroupNorm head pooling.
+    Registered so the backbone zoo's resnetv2 family is directly usable."""
+
+    num_classes: int = 1000
+    layers: Sequence[int] = (3, 4, 6, 3)
+    channels: Sequence[int] = (256, 512, 1024, 2048)
+    width_factor: int = 1
+    stem_chs: int = 64
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        wf = self.width_factor
+        trunk = ResNetV2Stem(
+            layers=self.layers,
+            channels=tuple(c * wf for c in self.channels),
+            stem_chs=self.stem_chs * wf,
+            dtype=self.dtype,
+            name="trunk",
+        )
+        x, taps = trunk(x)
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          name="head")(pooled)
+        return {"logits": logits, "features": x, "taps": taps}
+
+
+@register_model
+def resnetv2_50(**kwargs):
+    return ResNetV2(layers=(3, 4, 6, 3), **kwargs)
+
+
+@register_model
+def resnetv2_101(**kwargs):
+    return ResNetV2(layers=(3, 4, 23, 3), **kwargs)

@@ -189,3 +189,23 @@ def trunc_normal_init(std: float = 0.02) -> Callable:
     def init(key, shape, dtype=jnp.float32):
         return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
     return init
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with frozen statistics (reference ``BatchNorm2dFixed``,
+    ``tool/torchutils.py:34-53``): always normalizes with the stored
+    running mean/var, never updates them."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros(self.features)).value
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones(self.features)).value
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return x * inv + (bias - mean * inv)

@@ -45,3 +45,38 @@ def list_models(filter: str = "") -> List[str]:
 
 def create_model(name: str, **kwargs):
     return model_entrypoint(name)(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Named stubs for the breadth of the reference's vendored timm zoo
+# (SURVEY.md §2.3 / §7 step 10: "out of scope except as named registry
+# stubs"). Requesting one raises with a pointer to the implemented
+# families so the nominal surface is discoverable.
+# ---------------------------------------------------------------------------
+
+_STUB_FAMILIES = (
+    "byoanet", "byobnet", "coat", "cspnet", "densenet", "dla", "dpn",
+    "efficientnet", "ghostnet", "gluon_resnet", "gluon_xception",
+    "hardcorenas", "hrnet", "inception_resnet_v2", "inception_v3",
+    "inception_v4", "mobilenetv3", "nasnet", "nfnet", "pnasnet", "regnet",
+    "res2net", "resnest", "resnet", "rexnet", "selecsls", "senet", "sknet",
+    "tnt", "tresnet", "vgg", "vovnet", "xception", "xception_aligned",
+)
+
+
+def _make_stub(family: str):
+    def stub(**kwargs):
+        raise NotImplementedError(
+            f"backbone family {family!r} is registered for surface parity "
+            "with the reference zoo but not implemented; implemented "
+            "families: ViT (vitb/vitl/deit/deit_distilled), R50+ViT hybrid, "
+            "ResNetV2, Swin, PiT."
+        )
+
+    stub.__name__ = family
+    return stub
+
+
+for _family in _STUB_FAMILIES:
+    if _family not in _model_entrypoints:
+        _model_entrypoints[_family] = _make_stub(_family)

@@ -160,7 +160,25 @@ def train(cfg: TrainConfig) -> TrainState:
     meter = AverageMeter("loss")
     timer = Timer("Session started: ")
 
-    for step in range(max_step + 1):
+    # Restore-on-preemption (SURVEY.md §5.3 capability gap in the
+    # reference): resume params + optimizer state + step from the latest
+    # step-numbered checkpoint, so the LR schedule continues correctly.
+    start_step = 0
+    latest = ckpt.latest_step()
+    if latest is not None:
+        restored = ckpt.restore({"params": jax.device_get(state.params),
+                                 "opt_state": jax.device_get(state.opt_state),
+                                 "step": 0})
+        state = state.replace(
+            params=jax.device_put(restored["params"], p_shardings),
+            opt_state=jax.device_put(restored["opt_state"], replicated(mesh)),
+            step=restored["step"],
+        )
+        start_step = int(restored["step"]) + 1
+        if host_id == 0:
+            print(f"resumed from checkpoint step {latest}", flush=True)
+
+    for step in range(start_step, max_step + 1):
         # Profiler window (SURVEY.md §5.1 rebuild note): capture a trace of
         # steady-state steps when requested.
         if cfg.profile_dir and step == 10:

@@ -54,3 +54,16 @@ class Evaluator:
         self.confusion_matrix = np.zeros(
             (self.num_class, self.num_class), dtype=np.int64
         )
+
+
+def pred_acc(target_multi_hot, scores) -> float:
+    """Top-k multi-label prediction accuracy (reference ``myTool.py:35-41``):
+    take as many top-scoring classes as there are true labels, binarize,
+    and measure elementwise agreement."""
+    target = np.asarray(target_multi_hot)
+    scores = np.asarray(scores).reshape(-1)
+    k = int(target.sum())
+    pred = np.zeros_like(target)
+    if k > 0:
+        pred[np.argpartition(scores, -k)[-k:]] = 1
+    return float((pred == target).sum() / target.size)

@@ -59,14 +59,18 @@ def main() -> None:
               ).astype(jnp.float32)
     batch_data = {"image": images, "label": labels}
 
-    # warmup/compile
+    # warmup/compile; fetch the value (device_get) rather than
+    # block_until_ready — through a tunneled PJRT backend the latter can
+    # return before remote execution finishes, inflating throughput.
     state, parts = train_step(state, batch_data)
-    jax.block_until_ready(parts["loss"])
+    float(parts["loss"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, parts = train_step(state, batch_data)
-    jax.block_until_ready(parts["loss"])
+    # The final loss depends on the whole state chain: fetching it forces
+    # every step to have actually executed.
+    float(parts["loss"])
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * steps / dt
