@@ -287,3 +287,15 @@ def prototype_contrast_loss(
     fg_bg_loss = jnp.where(n_fb > 0, jnp.sum(fg_bg) / jnp.maximum(n_fb, 1.0), 0.0)
 
     return pixel_dis + 0.5 * fg_fg_loss + 0.5 * fg_bg_loss
+
+
+def compute_joint_ce(pred_logits: jnp.ndarray, seg_label: jnp.ndarray) -> jnp.ndarray:
+    """bg/fg-split cross-entropy over pseudo labels with ignore=255
+    (reference ``compute_joint_loss``, ``myTool.py:838-855``): the pseudo
+    label is split into a background-only view (fg -> ignore) and a
+    foreground-only view (bg -> ignore); both CE terms are summed."""
+    seg_label = jnp.asarray(seg_label)
+    bg_label = jnp.where(seg_label != 0, 255, seg_label)
+    fg_label = jnp.where(seg_label == 0, 255, seg_label)
+    return (softmax_cross_entropy_ignore(pred_logits, bg_label)
+            + softmax_cross_entropy_ignore(pred_logits, fg_label))

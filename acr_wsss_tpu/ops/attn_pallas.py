@@ -40,6 +40,16 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
+def _heads_per_block(num_heads: int) -> int:
+    """Largest divisor of ``num_heads`` that is <= 4: enough heads per grid
+    step for large DMA blocks without exceeding VMEM with the fp32 prob
+    temporaries (640x640 fp32 ~ 1.6 MB each, several live at once)."""
+    for hb in (4, 3, 2, 1):
+        if num_heads % hb == 0:
+            return hb
+    return 1
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -58,38 +68,43 @@ def _pad_axis(x: jnp.ndarray, axis: int, target: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, e_ref, *, scale: float,
-                n_valid: int, num_heads: int):
-    h = pl.program_id(1)
+                n_valid: int, num_heads: int, heads_per_block: int):
+    # Grid (B, H/hb): each step processes ``heads_per_block`` heads so the
+    # q/k/v DMAs move large blocks while the live temporaries (the fp32
+    # prob tiles) stay under the ~16 MB VMEM budget.
+    hc = pl.program_id(1)
+    for h in range(heads_per_block):
+        q = q_ref[0, h]     # (Np, D)
+        k = k_ref[0, h]
+        v = v_ref[0, h]
 
-    q = q_ref[0, 0]     # (Np, D)
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale            # (Np, Np)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale            # (Np, Np)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, -jnp.inf)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < n_valid, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
 
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, h] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
 
-    o_ref[0, 0] = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+        contrib = p * (1.0 / num_heads)
+        if h == 0:
+            @pl.when(hc == 0)
+            def _():
+                e_ref[0] = contrib
 
-    contrib = p * (1.0 / num_heads)
-
-    @pl.when(h == 0)
-    def _():
-        e_ref[0] = contrib
-
-    @pl.when(h > 0)
-    def _():
-        e_ref[0] += contrib
+            @pl.when(hc > 0)
+            def _():
+                e_ref[0] += contrib
+        else:
+            e_ref[0] += contrib
 
 
 def _fwd(q, k, v, scale):
@@ -99,23 +114,19 @@ def _fwd(q, k, v, scale):
     kp = _pad_axis(k, 2, Np)
     vp = _pad_axis(v, 2, Np)
 
+    hb = _heads_per_block(H)
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, n_valid=N, num_heads=H)
+        _fwd_kernel, scale=scale, n_valid=N, num_heads=H,
+        heads_per_block=hb)
 
+    spec_bh = pl.BlockSpec((1, hb, Np, D), lambda b, h: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
     out, exported = pl.pallas_call(
         kernel,
-        grid=(B, H),
-        in_specs=[
-            pl.BlockSpec((1, 1, Np, D), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Np, D), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Np, D), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid=(B, H // hb),
+        in_specs=[spec_bh, spec_bh, spec_bh],
         out_specs=[
-            pl.BlockSpec((1, 1, Np, D), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
+            spec_bh,
             pl.BlockSpec((1, Np, Np), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -138,46 +149,48 @@ def _fwd(q, k, v, scale):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, de_ref, dq_ref, dk_ref, dv_ref,
-                *, scale: float, n_valid: int, num_heads: int):
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    g = g_ref[0, 0].astype(jnp.float32)       # (Np, D)
-    de = de_ref[0] * (1.0 / num_heads)        # (Np, Np) fp32
+                *, scale: float, n_valid: int, num_heads: int,
+                heads_per_block: int):
+    de = de_ref[0] * (1.0 / num_heads)        # (Np, Np) fp32, shared by heads
+    for h in range(heads_per_block):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        g = g_ref[0, h].astype(jnp.float32)   # (Np, D)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    s = jnp.where(col < n_valid, s, -jnp.inf)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(col < n_valid, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
 
-    # Zero the padded ROWS so they contribute nothing to dk/dv.
-    p = jnp.where(row < n_valid, p, 0.0)
+        # Zero the padded ROWS so they contribute nothing to dk/dv.
+        p = jnp.where(row < n_valid, p, 0.0)
 
-    dv_ref[0, 0] = jax.lax.dot_general(       # p^T g : (Np, D)
-        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dv_ref.dtype)
+        dv_ref[0, h] = jax.lax.dot_general(   # p^T g : (Np, D)
+            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
 
-    dp = jax.lax.dot_general(                 # g v^T : (Np, Np)
-        g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + de
+        dp = jax.lax.dot_general(             # g v^T : (Np, Np)
+            g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + de
 
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (Np, Np)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (Np, Np)
 
-    dq_ref[0, 0] = (jax.lax.dot_general(
-        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale).astype(dq_ref.dtype)
+        dq_ref[0, h] = (jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dq_ref.dtype)
 
-    dk_ref[0, 0] = (jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale).astype(dk_ref.dtype)
+        dk_ref[0, h] = (jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dk_ref.dtype)
 
 
 def _bwd(scale, residuals, cotangents):
@@ -193,17 +206,19 @@ def _bwd(scale, residuals, cotangents):
         de = jnp.zeros((B, N, N), jnp.float32)
     dep = _pad_axis(_pad_axis(de, 1, Np), 2, Np)
 
+    hb = max(1, _heads_per_block(H) // 2)  # backward holds more temporaries
     kernel = functools.partial(
-        _bwd_kernel, scale=scale, n_valid=N, num_heads=H)
+        _bwd_kernel, scale=scale, n_valid=N, num_heads=H,
+        heads_per_block=hb)
 
-    spec_bh = pl.BlockSpec((1, 1, Np, D), lambda b, h: (b, h, 0, 0),
+    spec_bh = pl.BlockSpec((1, hb, Np, D), lambda b, h: (b, h, 0, 0),
                            memory_space=pltpu.VMEM)
     spec_b = pl.BlockSpec((1, Np, Np), lambda b, h: (b, 0, 0),
                           memory_space=pltpu.VMEM)
 
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(B, H),
+        grid=(B, H // hb),
         in_specs=[spec_bh, spec_bh, spec_bh, spec_bh, spec_b],
         out_specs=[spec_bh, spec_bh, spec_bh],
         out_shape=[

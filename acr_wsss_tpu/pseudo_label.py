@@ -191,21 +191,7 @@ def dense_energy_loss(images: np.ndarray, probs, croppings: np.ndarray,
 
 
 def compute_joint_loss(pred_logits, seg_label):
-    """bg/fg-split cross-entropy over pseudo labels with ignore=255
-    (reference ``compute_joint_loss``, ``myTool.py:838-855``), in JAX.
+    """bg/fg-split cross-entropy (see ``losses.compute_joint_ce``)."""
+    from acr_wsss_tpu.losses import compute_joint_ce
 
-    Args:
-      pred_logits: (B, C, H, W) segmentation logits.
-      seg_label: (B, H, W) pseudo labels (255 = ignore).
-    Returns:
-      scalar CE loss (bg term + fg term).
-    """
-    import jax.numpy as jnp
-
-    from acr_wsss_tpu.losses import softmax_cross_entropy_ignore
-
-    seg_label = jnp.asarray(seg_label)
-    bg_label = jnp.where(seg_label != 0, 255, seg_label)
-    fg_label = jnp.where(seg_label == 0, 255, seg_label)
-    return (softmax_cross_entropy_ignore(pred_logits, bg_label)
-            + softmax_cross_entropy_ignore(pred_logits, fg_label))
+    return compute_joint_ce(pred_logits, seg_label)

@@ -104,11 +104,12 @@ def make_eval_step(model: ACR):
 
 
 def shard_batch(batch: Dict[str, Any], sharding) -> Dict[str, Any]:
-    out = dict(batch)
-    out["image"] = jax.device_put(jnp.asarray(batch["image"]), sharding)
-    out["label"] = jax.device_put(jnp.asarray(batch["label"]), sharding)
-    out.pop("name", None)
-    return out
+    """device_put every array value with the batch sharding; drop metadata."""
+    return {
+        k: jax.device_put(jnp.asarray(v), sharding)
+        for k, v in batch.items()
+        if not isinstance(v, (list, str))
+    }
 
 
 def _dataset_setup(cfg: TrainConfig):
@@ -159,6 +160,11 @@ def train(cfg: TrainConfig) -> TrainState:
     ckpt = CheckpointManager(os.path.join(cfg.checkpoint_dir, cfg.session_name))
     meter = AverageMeter("loss")
     timer = Timer("Session started: ")
+    from acr_wsss_tpu.utils.logging import MetricWriter
+
+    metrics_writer = MetricWriter(
+        os.path.join(cfg.checkpoint_dir, f"{cfg.session_name}_metrics.jsonl")
+        if host_id == 0 else None)
 
     # Restore-on-preemption (SURVEY.md §5.3 capability gap in the
     # reference): resume params + optimizer state + step from the latest
@@ -193,13 +199,16 @@ def train(cfg: TrainConfig) -> TrainState:
         if step % cfg.log_every == 0 and host_id == 0:
             timer.update_progress(max(step, 1) / max_step)
             imps = (step + 1) * cfg.batch_size / max(timer.get_stage_elapsed(), 1e-9)
+            loss_avg = meter.pop("loss")
             print(
                 f"Iter:{step:5d}/{max_step:5d}",
-                "Loss:%.4f" % meter.pop("loss"),
+                "Loss:%.4f" % loss_avg,
                 "imps:%.1f" % imps,
                 "Fin:%s" % timer.str_est_finish(),
                 flush=True,
             )
+            metrics_writer.write(step, {"loss": loss_avg, "imps": imps,
+                                        **{k: float(v) for k, v in parts.items()}})
 
         if step and step % cfg.val_every == 0:
             val_loss = validate(cfg, model, state.params, eval_step,
