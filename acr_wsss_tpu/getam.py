@@ -88,7 +88,10 @@ def getam_cams(
     L, B, H, N, _ = offsets_shape
     zeros = jnp.zeros(offsets_shape, jnp.float32)
 
-    (logits, probs_full), vjp_fn = jax.vjp(forward, zeros)
+    outs, vjp_fn = jax.vjp(forward, zeros)
+    logits, probs_full = outs[0], outs[1]
+    extras = outs[2:]
+    extras_zero = tuple(jnp.zeros_like(e) for e in extras)
 
     # Σ_layers head-mean patch-to-patch block (reference infer_cam.py:164-165:
     # attn is already head-mean, then summed over heads--dim 1 is the layer
@@ -102,7 +105,7 @@ def getam_cams(
     def cam_for_class(c: jnp.ndarray) -> jnp.ndarray:
         one_hot = jax.nn.one_hot(c, num_classes, dtype=logits.dtype)
         cot_logits = logits_zero + one_hot[None, :]
-        (grads,) = vjp_fn((cot_logits, probs_zero))
+        (grads,) = vjp_fn((cot_logits, probs_zero) + extras_zero)
         per_layer = getam_reduce(grads, probs_full, func)   # (L, B, N, N)
         cams = jnp.sum(per_layer[start_layer:], axis=0)     # (B, N, N)
         cls_cam = jax.nn.relu(cams[:, 0, start_index:])     # (B, N - start_index)
@@ -115,23 +118,32 @@ def getam_cams(
 
     class_ids = jnp.arange(num_classes)
     cams = jax.lax.map(cam_for_class, class_ids)            # (C, B, N - start)
+    if extras:
+        return cams, logits, patch_aff, extras[0]
     return cams, logits, patch_aff
 
 
-def make_forward_for_getam(model, params, x, export: str = "full"):
-    """Build the closure ``offsets -> (logits, probs_full)`` over an ACR model.
+def make_forward_for_getam(model, params, x, export: str = "full",
+                           with_patch_cam: bool = False):
+    """Build the closure ``offsets -> (logits, probs_full[, patch_cam])``
+    over an ACR model.
 
     ``probs_full`` is returned layer-major (L, B, H, N, N) to match
-    ``getam_cams``.
+    ``getam_cams``. With ``with_patch_cam`` the closure uses
+    ``forward_cam`` so the per-patch CAM rides the same forward pass the
+    vjp retains — the CAM pipeline then needs no second trunk evaluation.
     """
+
+    method = model.forward_cam if with_patch_cam else model.forward_cls
 
     def forward(offsets):
         out = model.apply(
-            params, x, probs_offsets=offsets, export=export,
-            method=model.forward_cls,
+            params, x, probs_offsets=offsets, export=export, method=method,
         )
         probs = out["probs"]            # (B, L, H, N, N)
         probs = jnp.transpose(probs, (1, 0, 2, 3, 4))
+        if with_patch_cam:
+            return out["logits"], probs, out["patch_cam"]
         return out["logits"], probs
 
     return forward

@@ -49,15 +49,18 @@ def build_infer_fn(model: ACR, params, crop_size: int, start_layer: int,
     def infer(x):
         offsets_shape = (spec.depth, x.shape[0], spec.num_heads,
                          n_tokens, n_tokens)
-        forward = make_forward_for_getam(model, params, x)
-        cams, logits, _ = getam_cams(
+        # One trunk evaluation serves GETAM (via vjp) AND the per-patch
+        # CAM head (reference runs forward_cam separately,
+        # infer_cam.py:155, on top of the per-class backwards).
+        forward = make_forward_for_getam(model, params, x,
+                                         with_patch_cam=True)
+        cams, logits, _, patch_cam = getam_cams(
             forward, offsets_shape, num_classes=num_classes,
             start_layer=start_layer, func=getam_func,
             start_index=spec.num_prefix_tokens, use_aff=use_aff)
-        out = model.apply(params, x, method=model.forward_cam, export="none")
         return {
             "cams": cams,                    # (C, B, grid*grid)
-            "patch_cam": out["patch_cam"],   # (B, grid*grid, C)
+            "patch_cam": patch_cam,          # (B, grid*grid, C)
             "logits": logits,
         }
 
