@@ -154,3 +154,12 @@ def random_scale_crop(img: np.ndarray, mask: np.ndarray, crop_size: int,
     left = int(rng.integers(0, nw - crop_size + 1))
     return (img[top:top + crop_size, left:left + crop_size],
             mask[top:top + crop_size, left:left + crop_size])
+
+
+def hwc_to_chw(img: np.ndarray) -> np.ndarray:
+    """(reference ``tool/imutils.py:290-294``)"""
+    return np.transpose(img, (2, 0, 1))
+
+
+def chw_to_hwc(img: np.ndarray) -> np.ndarray:
+    return np.transpose(img, (1, 2, 0))
