@@ -43,6 +43,9 @@ class ModelConfig:
     # fused kernel (kernel exports head-mean probs without materializing
     # per-head probs in HBM).
     attn_impl: str = "xla"
+    # Scan the transformer depth (stacked per-layer params): ~12x smaller
+    # compiled program; checkpoint layout differs from the unrolled trunk.
+    scan_blocks: bool = False
     # Include the (unused-in-forward) DPT scratch convs so checkpoints can be
     # round-tripped with the reference state dict. Default off: JAX has no
     # "unused parameter" requirement (torch needed find_unused_parameters=True,

@@ -89,6 +89,7 @@ class ACR(nn.Module):
     backbone_name: str = "vitb_hybrid"
     dtype: Dtype = jnp.bfloat16
     attn_impl: str = "xla"
+    scan_blocks: bool = False
 
     @property
     def spec(self) -> BackboneSpec:
@@ -114,6 +115,7 @@ class ACR(nn.Module):
             pretrain_grid=spec.pretrain_grid,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            scan_blocks=self.scan_blocks,
             name="trunk",
         )
         self.cls_head = nn.Dense(self.num_classes, dtype=jnp.float32,

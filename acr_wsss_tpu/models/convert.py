@@ -178,3 +178,27 @@ def assert_trees_match(expected: Dict, converted: Dict) -> None:
         )
     if problems:
         raise ValueError("; ".join(problems))
+
+
+def unrolled_to_scanned(params: Dict) -> Dict:
+    """Convert an unrolled trunk param tree (trunk/blocks_i/...) to the
+    lax.scan layout (trunk/blocks_scan/block/... with leading layer dim)."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.tree.map(lambda x: x, params)  # shallow copy of structure
+    trunk = params["params"]["trunk"]
+    layer_keys = sorted(
+        (k for k in trunk if k.startswith("blocks_") and k != "blocks_scan"),
+        key=lambda k: int(k.split("_")[1]))
+    if not layer_keys:
+        return params
+    stacked = jax.tree.map(
+        lambda *leaves: jnp.stack(leaves, axis=0),
+        *[trunk[k] for k in layer_keys])
+    for k in layer_keys:
+        del trunk[k]
+    trunk["blocks_scan"] = {"block": stacked}
+    return params

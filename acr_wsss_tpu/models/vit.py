@@ -92,6 +92,26 @@ class Block(nn.Module):
         return x + h, probs
 
 
+class _BlockStep(nn.Module):
+    """Scan body: one transformer block; ys = (tokens, probs)."""
+
+    embed_dim: int
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool
+    dtype: Dtype
+    attn_impl: str
+    export: str
+
+    @nn.compact
+    def __call__(self, carry, offset):
+        y, probs = Block(
+            self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
+            self.dtype, attn_impl=self.attn_impl, name="block",
+        )(carry, probs_offset=offset, export=self.export)
+        return y, (y, probs)
+
+
 class PatchEmbed(nn.Module):
     """Conv patchifier (reference ``models/vision_transformer.py:235-257``).
 
@@ -154,6 +174,12 @@ class VisionTransformer(nn.Module):
     backbone: Optional[Any] = None   # a bound-constructor (nn.Module class or partial)
     dtype: Dtype = jnp.bfloat16
     attn_impl: str = "xla"
+    # Roll the depth dimension into ONE lax.scan over a single Block with
+    # stacked (L, ...) parameters: the traced/compiled program shrinks ~12x
+    # (compile time matters through remote AOT compilers; XLA runtime is
+    # the same math). Param layout changes (blocks_scan/* with leading L),
+    # so conversion/checkpoints are layout-specific.
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(
@@ -197,16 +223,21 @@ class VisionTransformer(nn.Module):
 
         taps: Dict[int, jnp.ndarray] = {}
         probs_list = []
-        for i in range(self.depth):
-            offset_i = None if probs_offsets is None else probs_offsets[i]
-            x, probs = Block(
-                self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
-                self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}",
-            )(x, probs_offset=offset_i, export=export)
-            if probs is not None:
-                probs_list.append(probs)
-            if i in self.taps:
-                taps[i] = x
+        if self.scan_blocks:
+            x, taps, probs = self._scan_trunk(x, probs_offsets, export)
+        else:
+            for i in range(self.depth):
+                offset_i = None if probs_offsets is None else probs_offsets[i]
+                x, probs_i = Block(
+                    self.embed_dim, self.num_heads, self.mlp_ratio,
+                    self.qkv_bias, self.dtype, attn_impl=self.attn_impl,
+                    name=f"blocks_{i}",
+                )(x, probs_offset=offset_i, export=export)
+                if probs_i is not None:
+                    probs_list.append(probs_i)
+                if i in self.taps:
+                    taps[i] = x
+            probs = jnp.stack(probs_list, axis=1) if probs_list else None
 
         tokens = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(
             x.astype(jnp.float32)
@@ -219,7 +250,32 @@ class VisionTransformer(nn.Module):
             "grid": (gh, gw),
             "stem_features": stem_features,
         }
-        if probs_list:
+        if probs is not None:
             # (B, L, N, N) or (B, L, H, N, N)
-            out["probs"] = jnp.stack(probs_list, axis=1)
+            out["probs"] = probs
         return out
+
+    def _scan_trunk(self, x, probs_offsets, export):
+        """lax.scan over one Block with stacked per-layer params."""
+        B, N, _ = x.shape
+        if export == "none":
+            export = "mean"  # scan ys need a fixed structure; cheap anyway
+
+        scanned = nn.scan(
+            _BlockStep,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=0,
+            out_axes=0,
+            length=self.depth,
+        )(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
+          self.dtype, self.attn_impl, export, name="blocks_scan")
+
+        if probs_offsets is None:
+            probs_offsets = jnp.zeros(
+                (self.depth, B, self.num_heads, N, N), jnp.float32)
+        x, (layer_tokens, probs) = scanned(x, probs_offsets)
+        taps = {i: layer_tokens[i] for i in self.taps}
+        # layer-major (L, B, ...) -> (B, L, ...)
+        probs = jnp.moveaxis(probs, 0, 1)
+        return x, taps, probs

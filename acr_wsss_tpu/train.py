@@ -49,6 +49,7 @@ def build_model(cfg: ModelConfig) -> ACR:
         backbone_name=cfg.backbone,
         dtype=jnp.dtype(cfg.compute_dtype),
         attn_impl=cfg.attn_impl,
+        scan_blocks=cfg.scan_blocks,
     )
 
 
