@@ -88,6 +88,8 @@ class TrainConfig:
     # momentum slot (tool/torchutils.py:12), so the reference effectively
     # trains with momentum=5e-4 and no weight decay. Set True to reproduce.
     reference_optimizer_quirk: bool = False
+    # Global-norm gradient clipping (0 = off, reference behavior).
+    clip_grad_norm: float = 0.0
     # Write a JAX profiler trace of steps 10-20 here (None = off).
     profile_dir: Optional[str] = None
 

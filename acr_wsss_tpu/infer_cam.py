@@ -170,8 +170,12 @@ def run(cfg: InferConfig) -> None:
     }
     infer_fn = infer_fns[cfg.scales[0]]
 
-    names = (voc_data.read_file_2(cfg.infer_list)
-             if cfg.infer_list.endswith("train.txt") or "aug.txt" in cfg.infer_list
+    # Two list formats exist (SURVEY.md §2.4): bare ids, and VOC path-pair
+    # lines whose id lives at chars 12:23. Sniff by content instead of the
+    # reference's per-call-site convention.
+    with open(cfg.infer_list) as f:
+        first_line = f.readline()
+    names = (voc_data.read_file_2(cfg.infer_list) if first_line.startswith("/")
              else voc_data.read_file(cfg.infer_list))
     labels = voc_data.load_cls_labels(cfg.cls_labels_path)
 

@@ -41,16 +41,22 @@ def make_optimizer(
     momentum: float = 0.9,
     power: float = 0.9,
     reference_quirk: bool = False,
+    clip_grad_norm: float = 0.0,
 ) -> optax.GradientTransformation:
     """SGD + poly decay, the reference training recipe.
 
     With ``reference_quirk`` the torch-SGD argument mixup is reproduced:
-    momentum := weight_decay, weight_decay := 0.
+    momentum := weight_decay, weight_decay := 0. ``clip_grad_norm`` adds
+    global-norm clipping (off by default — the reference has none; useful
+    for from-scratch runs where the alpha-weighted consistency gradients
+    explode without ImageNet initialization).
     """
     if reference_quirk:
         momentum, weight_decay = weight_decay, 0.0
 
     parts = []
+    if clip_grad_norm:
+        parts.append(optax.clip_by_global_norm(clip_grad_norm))
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
     parts.append(optax.sgd(learning_rate=poly_schedule(lr, max_step, power),
