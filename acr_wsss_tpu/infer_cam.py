@@ -46,14 +46,16 @@ def build_infer_fn(model: ACR, params, crop_size: int, start_layer: int,
     n_tokens = grid * grid + spec.num_prefix_tokens
 
     @jax.jit
-    def infer(x):
+    def infer_with_params(p, x):
+        # params are a jit ARGUMENT, not a closure: closed-over arrays get
+        # baked into the serialized program as giant constants (hundreds
+        # of MB of HLO), which breaks AOT/remote compilation paths.
         offsets_shape = (spec.depth, x.shape[0], spec.num_heads,
                          n_tokens, n_tokens)
         # One trunk evaluation serves GETAM (via vjp) AND the per-patch
         # CAM head (reference runs forward_cam separately,
         # infer_cam.py:155, on top of the per-class backwards).
-        forward = make_forward_for_getam(model, params, x,
-                                         with_patch_cam=True)
+        forward = make_forward_for_getam(model, p, x, with_patch_cam=True)
         cams, logits, _, patch_cam = getam_cams(
             forward, offsets_shape, num_classes=num_classes,
             start_layer=start_layer, func=getam_func,
@@ -64,6 +66,10 @@ def build_infer_fn(model: ACR, params, crop_size: int, start_layer: int,
             "logits": logits,
         }
 
+    def infer(x):
+        return infer_with_params(params, x)
+
+    infer._cache_size = infer_with_params._cache_size
     return infer
 
 

@@ -81,22 +81,25 @@ class WSConv(nn.Module):
 
 
 class GroupNormAct(nn.Module):
-    """GroupNorm (32 groups, eps 1e-5) + optional ReLU, computed in fp32."""
+    """GroupNorm (32 groups, eps 1e-5) + optional ReLU; fp32 statistics,
+    activations kept in their incoming dtype (dtype=None)."""
 
     num_groups: int = 32
     eps: float = 1e-5
     apply_act: bool = True
-    dtype: Dtype = jnp.float32
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        orig_dtype = x.dtype
+        # dtype=None keeps the input dtype for compute/output while flax
+        # still accumulates the group statistics in float32 — bf16
+        # activations then avoid a full fp32 round-trip through HBM.
         y = nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=self.eps, dtype=jnp.float32
-        )(x.astype(jnp.float32))
+            num_groups=self.num_groups, epsilon=self.eps, dtype=self.dtype
+        )(x)
         if self.apply_act:
             y = nn.relu(y)
-        return y.astype(orig_dtype)
+        return y
 
 
 class Mlp(nn.Module):

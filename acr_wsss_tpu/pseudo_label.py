@@ -195,3 +195,50 @@ def compute_joint_loss(pred_logits, seg_label):
     from acr_wsss_tpu.losses import compute_joint_ce
 
     return compute_joint_ce(pred_logits, seg_label)
+
+
+def compute_seg_label_coco(
+    ori_img: np.ndarray,
+    cam_label: np.ndarray,
+    norm_cam: np.ndarray,
+    saliency: np.ndarray,
+    cut_threshold: float = 0.9,
+    out_dir: Optional[str] = None,
+    name: str = "",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """80-class COCO pseudo-label recipe (reference
+    ``compute_seg_label_coco``, ``myTool.py:748-821``): same structure as
+    the VOC recipe with bg power 32."""
+    return compute_seg_label(ori_img, cam_label, norm_cam, saliency,
+                             cut_threshold=cut_threshold, bg_power=32.0,
+                             out_dir=out_dir, name=name)
+
+
+def compute_seg_label_rrm(
+    ori_img: np.ndarray,
+    cam_label: np.ndarray,
+    norm_cam: np.ndarray,
+    low_alpha: float = 2.0,
+    high_alpha: float = 14.0,
+    bg_power: float = 36.0,
+) -> np.ndarray:
+    """RRM-style pseudo labels via low/high-alpha CRF fusion (reference
+    ``compute_seg_label_rrm``, ``myTool.py:674-744``): low-alpha CRF argmax
+    as candidates, its background demoted to ignore, high-alpha CRF
+    background forced to background."""
+    cam_label = cam_label.astype(np.uint8)
+    cam_dict = {i: norm_cam[i] for i in range(norm_cam.shape[0])
+                if cam_label[i] > 1e-5}
+    cam_np = np.where(cam_label[:, None, None] > 0, norm_cam, 0.0)
+
+    bg_score = np.power(1 - np.max(cam_np, 0), bg_power)[None]
+    del bg_score  # retained for parity with the recipe; fusion is CRF-driven
+
+    crf_la = crf_with_alpha(ori_img, cam_dict, low_alpha)
+    crf_ha = crf_with_alpha(ori_img, cam_dict, high_alpha)
+    la_label = np.argmax(crf_la, 0)
+    ha_label = np.argmax(crf_ha, 0)
+    crf_label = la_label.copy()
+    crf_label[la_label == 0] = 255
+    crf_label[ha_label == 0] = 0
+    return crf_label.astype(np.uint8)
