@@ -55,15 +55,26 @@ class Attention(nn.Module):
 
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
                        dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, H, N, D)
-        q, k, v = qkv[0], qkv[1], qkv[2]
 
-        out, probs = attention_with_probs(
-            q, k, v, scale, probs_offset=probs_offset, export=export,
-            impl=self.impl,
-        )
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+        if (self.impl == "pallas" and probs_offset is None
+                and export in ("mean", "none")):
+            # Transpose-free path: the fused kernel consumes/produces the
+            # (B, N, H*D) layout the projections use, so no (B,H,N,D)
+            # relayouts get materialized around the custom call.
+            from acr_wsss_tpu.ops.attn_pallas import fused_attention_nhd
+
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            out, probs = fused_attention_nhd(
+                q, k, v, scale, self.num_heads, export=export)
+        else:
+            qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+            qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, H, N, D)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            out, probs = attention_with_probs(
+                q, k, v, scale, probs_offset=probs_offset, export=export,
+                impl="xla",
+            )
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         return out, probs
 

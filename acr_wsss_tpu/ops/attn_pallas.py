@@ -279,3 +279,191 @@ def fused_attention_with_probs(
         # 'none' is only used in validation loops.
         return out, None
     return out, exported
+
+
+# ---------------------------------------------------------------------------
+# Transpose-free (B, N, H*D) layout
+# ---------------------------------------------------------------------------
+# The (B, H, N, D) entry forces the caller to materialize large transposes
+# of the qkv projections just to feed the kernel (XLA cannot fuse a
+# transpose into a custom call). These kernels take q/k/v in the layout the
+# Dense projection produces — (B, N, H*D) — and return the output in the
+# same layout, so the whole attention block runs with zero layout changes.
+
+def _fwd_kernel_nhd(q_ref, k_ref, v_ref, o_ref, e_ref, *, scale: float,
+                    n_valid: int, num_heads: int, heads_per_block: int,
+                    head_dim: int):
+    hc = pl.program_id(1)
+    D = head_dim
+    for h in range(heads_per_block):
+        q = q_ref[0, :, h * D:(h + 1) * D]     # (Np, D)
+        k = k_ref[0, :, h * D:(h + 1) * D]
+        v = v_ref[0, :, h * D:(h + 1) * D]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+        o_ref[0, :, h * D:(h + 1) * D] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+        contrib = p * (1.0 / num_heads)
+        if h == 0:
+            @pl.when(hc == 0)
+            def _():
+                e_ref[0] = contrib
+
+            @pl.when(hc > 0)
+            def _():
+                e_ref[0] += contrib
+        else:
+            e_ref[0] += contrib
+
+
+def _bwd_kernel_nhd(q_ref, k_ref, v_ref, g_ref, de_ref, dq_ref, dk_ref,
+                    dv_ref, *, scale: float, n_valid: int, num_heads: int,
+                    heads_per_block: int, head_dim: int):
+    de = de_ref[0] * (1.0 / num_heads)
+    D = head_dim
+    for h in range(heads_per_block):
+        q = q_ref[0, :, h * D:(h + 1) * D]
+        k = k_ref[0, :, h * D:(h + 1) * D]
+        v = v_ref[0, :, h * D:(h + 1) * D]
+        g = g_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(col < n_valid, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p = jnp.where(row < n_valid, p, 0.0)
+
+        dv_ref[0, :, h * D:(h + 1) * D] = jax.lax.dot_general(
+            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+
+        dp = jax.lax.dot_general(
+            g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + de
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+        dq_ref[0, :, h * D:(h + 1) * D] = (jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dq_ref.dtype)
+        dk_ref[0, :, h * D:(h + 1) * D] = (jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dk_ref.dtype)
+
+
+def _fwd_nhd(q, k, v, scale, num_heads):
+    B, N, HD = q.shape
+    D = HD // num_heads
+    Np = _round_up(N, LANE)
+    qp = _pad_axis(q, 1, Np)
+    kp = _pad_axis(k, 1, Np)
+    vp = _pad_axis(v, 1, Np)
+    hb = _heads_per_block(num_heads)
+
+    kernel = functools.partial(
+        _fwd_kernel_nhd, scale=scale, n_valid=N, num_heads=num_heads,
+        heads_per_block=hb, head_dim=D)
+    spec_b = pl.BlockSpec((1, Np, hb * D), lambda b, h: (b, 0, h),
+                          memory_space=pltpu.VMEM)
+    out, exported = pl.pallas_call(
+        kernel,
+        grid=(B, num_heads // hb),
+        in_specs=[spec_b, spec_b, spec_b],
+        out_specs=[
+            spec_b,
+            pl.BlockSpec((1, Np, Np), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Np, HD), v.dtype),
+            jax.ShapeDtypeStruct((B, Np, Np), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * num_heads * Np * Np * D,
+            bytes_accessed=B * Np * HD * 3 * 2 + B * Np * Np * 4,
+            transcendentals=B * num_heads * Np * Np,
+        ),
+    )(qp, kp, vp)
+    return out[:, :N], exported[:, :N, :N]
+
+
+def _bwd_nhd(num_heads, scale, residuals, cotangents):
+    q, k, v = residuals
+    g, de = cotangents
+    B, N, HD = q.shape
+    D = HD // num_heads
+    Np = _round_up(N, LANE)
+    qp = _pad_axis(q, 1, Np)
+    kp = _pad_axis(k, 1, Np)
+    vp = _pad_axis(v, 1, Np)
+    gp = _pad_axis(g, 1, Np)
+    if de is None:
+        de = jnp.zeros((B, N, N), jnp.float32)
+    dep = _pad_axis(_pad_axis(de, 1, Np), 2, Np)
+    hb = max(1, _heads_per_block(num_heads) // 2)
+
+    kernel = functools.partial(
+        _bwd_kernel_nhd, scale=scale, n_valid=N, num_heads=num_heads,
+        heads_per_block=hb, head_dim=D)
+    spec_b = pl.BlockSpec((1, Np, hb * D), lambda b, h: (b, 0, h),
+                          memory_space=pltpu.VMEM)
+    spec_e = pl.BlockSpec((1, Np, Np), lambda b, h: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(B, num_heads // hb),
+        in_specs=[spec_b, spec_b, spec_b, spec_b, spec_e],
+        out_specs=[spec_b, spec_b, spec_b],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Np, HD), q.dtype),
+            jax.ShapeDtypeStruct((B, Np, HD), k.dtype),
+            jax.ShapeDtypeStruct((B, Np, HD), v.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * num_heads * Np * Np * D,
+            bytes_accessed=B * Np * HD * 8 * 2 + B * Np * Np * 4,
+            transcendentals=B * num_heads * Np * Np,
+        ),
+    )(qp, kp, vp, gp, dep)
+    return dq[:, :N], dk[:, :N], dv[:, :N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _attention_mean_export_nhd(q, k, v, scale, num_heads):
+    return _fwd_nhd(q, k, v, scale, num_heads)
+
+
+def _attention_fwd_rule_nhd(q, k, v, scale, num_heads):
+    return _fwd_nhd(q, k, v, scale, num_heads), (q, k, v)
+
+
+def _bwd_rule_nhd(scale, num_heads, residuals, cotangents):
+    return _bwd_nhd(num_heads, scale, residuals, cotangents)
+
+
+_attention_mean_export_nhd.defvjp(_attention_fwd_rule_nhd, _bwd_rule_nhd)
+
+
+def fused_attention_nhd(q, k, v, scale, num_heads, export: str = "mean"):
+    """Attention over (B, N, H*D) inputs/outputs — no layout changes around
+    the kernel. Returns (out (B, N, H*D), head-mean probs (B, N, N))."""
+    out, exported = _attention_mean_export_nhd(q, k, v, scale, num_heads)
+    return out, (exported if export == "mean" else None)

@@ -96,3 +96,22 @@ def test_pallas_backward_matches_xla(qkv):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
             err_msg=f"d{name} mismatch")
+
+
+def test_model_level_pallas_matches_xla(rng):
+    """Full ACR forward with the transpose-free NHD kernel path vs XLA."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from acr_wsss_tpu.models.acr import ACR
+
+    m_x = ACR(backbone_name="vitb", dtype=jnp.float32, attn_impl="xla")
+    m_p = ACR(backbone_name="vitb", dtype=jnp.float32, attn_impl="pallas")
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    params = m_x.init(jax.random.key(0), x)
+    o1 = m_x.apply(params, x)
+    with pltpu.force_tpu_interpret_mode():
+        o2 = m_p.apply(params, x)
+    np.testing.assert_allclose(np.asarray(o1["logits"]),
+                               np.asarray(o2["logits"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o1["probs"]),
+                               np.asarray(o2["probs"]), atol=1e-6)
