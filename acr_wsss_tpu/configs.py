@@ -46,11 +46,10 @@ class ModelConfig:
     # Scan the transformer depth (stacked per-layer params): ~12x smaller
     # compiled program; checkpoint layout differs from the unrolled trunk.
     scan_blocks: bool = False
-    # Include the (unused-in-forward) DPT scratch convs so checkpoints can be
-    # round-tripped with the reference state dict. Default off: JAX has no
-    # "unused parameter" requirement (torch needed find_unused_parameters=True,
-    # ``train_acr.py:99``).
-    with_scratch: bool = False
+    # Note: the reference ACR also instantiates DPT scratch convs that its
+    # forward never uses (torch needed find_unused_parameters=True,
+    # ``train_acr.py:99``); the converter drops them on import and the DPT
+    # decoder lives in models/dpt.py for the paths that do use it.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,6 +113,10 @@ class InferConfig:
     image_dir: str = "voc/image/path"
     infer_list: str = "voc12/train_id.txt"
     cls_labels_path: str = "voc12/cls_labels.npy"
+    # Per-pass class backprop slots (0 = sweep every class). The per-class
+    # vjp is the dominant inference cost; present classes per image are
+    # few, so padded slots cut wall-clock without changing any output.
+    class_slots: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -65,9 +65,9 @@ def getam_cams(
     func: str = "grad",
     start_index: int = 1,
     use_aff: bool = False,
-    class_chunk: Optional[int] = None,
+    class_ids: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Compute GETAM CAMs for ALL classes in one traced program.
+    """Compute GETAM CAMs in one traced program.
 
     Args:
       forward: offsets (L,B,H,N,N) -> (logits (B,C), probs_full (L,B,H,N,N)).
@@ -79,9 +79,15 @@ def getam_cams(
       start_index: 1, or 2 for deit-distilled (reference ``DPT/ACR.py:210-213``).
       use_aff: refine each CAM with the summed patch affinity
         (reference ``infer_cam.py:164-165,183-185``).
+      class_ids: optional (K,) int array of class slots to backprop; default
+        is all C classes. Typical images carry 1-3 labels, so sweeping a
+        small padded slot set instead of all 20 classes (the reference
+        loops present classes only, ``infer_cam.py:171-172``) cuts the
+        dominant per-class backward cost proportionally; pad unused slots
+        with any valid id and discard on host.
 
     Returns:
-      cams: (C, B, N - start_index) per-class CLS-row CAMs (ReLU'd).
+      cams: (K, B, N - start_index) per-slot CLS-row CAMs (ReLU'd).
       logits: (B, C).
       patch_aff: (B, N - 1, N - 1) summed head-mean affinity.
     """
@@ -116,8 +122,9 @@ def getam_cams(
             cls_cam = jnp.einsum("bnm,bm->bn", patch_aff, cls_cam)
         return cls_cam
 
-    class_ids = jnp.arange(num_classes)
-    cams = jax.lax.map(cam_for_class, class_ids)            # (C, B, N - start)
+    if class_ids is None:
+        class_ids = jnp.arange(num_classes)
+    cams = jax.lax.map(cam_for_class, class_ids)            # (K, B, N - start)
     if extras:
         return cams, logits, patch_aff, extras[0]
     return cams, logits, patch_aff

@@ -39,14 +39,21 @@ from acr_wsss_tpu.utils.checkpoint import load_params_npz
 
 
 def build_infer_fn(model: ACR, params, crop_size: int, start_layer: int,
-                   getam_func: str, use_aff: bool, num_classes: int):
-    """jit-compiled: (2, crop, crop, 3) -> dict of device arrays."""
+                   getam_func: str, use_aff: bool, num_classes: int,
+                   class_slots: int = 0):
+    """jit-compiled: (2, crop, crop, 3)[, slot ids] -> dict of device arrays.
+
+    ``class_slots`` > 0 backprops only that many class slots per call (the
+    reference loops present classes only, ``infer_cam.py:171-172``; typical
+    VOC images carry 1-3 labels, so 4-8 slots cut the dominant per-class
+    backward cost vs sweeping all 20).
+    """
     spec = model.spec
     grid = crop_size // 16
     n_tokens = grid * grid + spec.num_prefix_tokens
 
     @jax.jit
-    def infer_with_params(p, x):
+    def infer_with_params(p, x, class_ids):
         # params are a jit ARGUMENT, not a closure: closed-over arrays get
         # baked into the serialized program as giant constants (hundreds
         # of MB of HLO), which breaks AOT/remote compilation paths.
@@ -59,16 +66,20 @@ def build_infer_fn(model: ACR, params, crop_size: int, start_layer: int,
         cams, logits, _, patch_cam = getam_cams(
             forward, offsets_shape, num_classes=num_classes,
             start_layer=start_layer, func=getam_func,
-            start_index=spec.num_prefix_tokens, use_aff=use_aff)
+            start_index=spec.num_prefix_tokens, use_aff=use_aff,
+            class_ids=class_ids)
         return {
-            "cams": cams,                    # (C, B, grid*grid)
+            "cams": cams,                    # (K, B, grid*grid)
             "patch_cam": patch_cam,          # (B, grid*grid, C)
             "logits": logits,
         }
 
-    def infer(x):
-        return infer_with_params(params, x)
+    def infer(x, class_ids=None):
+        if class_ids is None:
+            class_ids = jnp.arange(class_slots or num_classes)
+        return infer_with_params(params, x, jnp.asarray(class_ids))
 
+    infer.class_slots = class_slots
     infer._cache_size = infer_with_params._cache_size
     return infer
 
@@ -92,6 +103,10 @@ def process_image(
     rgb = transforms.load_image_rgb(img_path)
     H, W = rgb.shape[:2]
     mask = (label > 1e-5)[:, None, None]
+    num_classes = label.shape[0]
+    present = [c for c in range(num_classes) if label[c] > 1e-5]
+    if not present:
+        return {}, {}, rgb
 
     cam_acc = None
     patch_acc = None
@@ -102,9 +117,26 @@ def process_image(
         views = [x]
         if flip_tta:
             views.append(x[:, ::-1])
-        out = jax.device_get(fn(jnp.asarray(np.stack(views))))
+        batch = jnp.asarray(np.stack(views))
         grid = size // 16
-        num_classes = out["cams"].shape[0]
+
+        slots = getattr(fn, "class_slots", 0)
+        if slots and present:
+            # Backprop only the present classes, padded to the slot count
+            # (multiple passes for the rare many-label image).
+            cam_rows = np.zeros((num_classes, len(views), grid * grid),
+                                np.float32)
+            out = None
+            for pos in range(0, len(present), slots):
+                chunk = present[pos:pos + slots]
+                ids = chunk + [chunk[-1]] * (slots - len(chunk))
+                out = jax.device_get(fn(batch, np.asarray(ids, np.int32)))
+                for row, cls in enumerate(chunk):
+                    cam_rows[cls] = out["cams"][row]
+            out = dict(out)
+            out["cams"] = cam_rows
+        else:
+            out = jax.device_get(fn(batch))
 
         cams = out["cams"].reshape(num_classes, -1, grid, grid).copy()
         patch = out["patch_cam"].transpose(0, 2, 1).reshape(
@@ -171,7 +203,8 @@ def run(cfg: InferConfig) -> None:
     infer_fns = {
         scale: build_infer_fn(
             model, params, int(cfg.crop_size * scale), cfg.start_layer,
-            cfg.getam_func, cfg.use_aff, cfg.model.num_classes)
+            cfg.getam_func, cfg.use_aff, cfg.model.num_classes,
+            class_slots=cfg.class_slots)
         for scale in cfg.scales
     }
     infer_fn = infer_fns[cfg.scales[0]]
@@ -225,6 +258,8 @@ def parse_args(argv=None) -> InferConfig:
     parser.add_argument("--low_alpha", default=1, type=int)
     parser.add_argument("--high_alpha", default=12, type=int)
     parser.add_argument("--attn_impl", default="xla", choices=["xla", "pallas"])
+    parser.add_argument("--class_slots", default=8, type=int,
+                        help="present-class backprop slots per pass (0 = all classes)")
     args = parser.parse_args(argv)
     return InferConfig(
         model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl),
@@ -241,6 +276,7 @@ def parse_args(argv=None) -> InferConfig:
         image_dir=args.IMpath,
         infer_list=args.LISTpath,
         cls_labels_path=args.cls_labels,
+        class_slots=args.class_slots,
     )
 
 

@@ -80,3 +80,24 @@ def test_infer_fn_is_jit_cached(fixture_dir):
     misses_before = infer_fn._cache_size()
     infer_fn(x + 1.0)
     assert infer_fn._cache_size() == misses_before
+
+
+def test_class_slots_match_full_sweep(fixture_dir):
+    """Present-class slot sweeping must produce the identical cam_dict."""
+    root, names = fixture_dir
+    model = ACR(backbone_name="vitb", dtype=jnp.float32)
+    params = model.init(jax.random.key(2), jnp.zeros((1, CROP, CROP, 3)))
+
+    full = build_infer_fn(model, params, CROP, 10, "grad", True, 20,
+                          class_slots=0)
+    slotted = build_infer_fn(model, params, CROP, 10, "grad", True, 20,
+                             class_slots=3)
+    label = np.zeros(20, np.float32)
+    label[[1, 4, 9, 13]] = 1.0  # 4 present classes > 3 slots -> two passes
+    img = str(root / "img" / f"{names[0]}.jpg")
+    cams_full, _, _ = process_image(full, img, label, CROP)
+    cams_slot, _, _ = process_image(slotted, img, label, CROP)
+    assert sorted(cams_full) == sorted(cams_slot) == [1, 4, 9, 13]
+    for c in cams_full:
+        np.testing.assert_allclose(cams_slot[c], cams_full[c],
+                                   atol=1e-5, rtol=1e-4)
