@@ -16,7 +16,7 @@ transposes to NCHW for torch).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from PIL import Image

@@ -20,7 +20,6 @@ called out in SURVEY.md §3.1), and arrays come out NHWC ready for
 from __future__ import annotations
 
 import os
-import threading
 import xml.etree.ElementTree as ET
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence

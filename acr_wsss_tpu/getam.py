@@ -26,7 +26,6 @@ a = per-head probs, relu applied per-head *before* the head mean:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import jax

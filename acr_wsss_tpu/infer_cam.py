@@ -21,7 +21,6 @@ dense-CRF variants, optional JET heatmap JPEGs.
 from __future__ import annotations
 
 import argparse
-import functools
 import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 

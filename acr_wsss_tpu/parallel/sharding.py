@@ -18,7 +18,7 @@ is a small fraction of FLOPs and VOC batches are small.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Tuple
+from typing import Any, List, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

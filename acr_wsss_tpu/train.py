@@ -19,8 +19,6 @@ Differences that are deliberate capability upgrades (SURVEY.md §2.7, §5):
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import functools
 import os
 from typing import Any, Dict, Optional, Tuple
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from acr_wsss_tpu import losses
-from acr_wsss_tpu.configs import TrainConfig, ModelConfig
+from acr_wsss_tpu.configs import TrainConfig, ModelConfig  # noqa: F401 (CLI builds both)
 from acr_wsss_tpu.data import transforms, voc as voc_data
 from acr_wsss_tpu.models.dpt import DPTSegmentationModel
 from acr_wsss_tpu.parallel import batch_sharding, make_mesh, param_shardings

@@ -12,8 +12,6 @@ permutation of the original windows.
 from __future__ import annotations
 
 import argparse
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import sys
 import time
-from typing import Dict, Iterable, Union
+from typing import Dict, Union
 
 
 class AverageMeter:

@@ -37,7 +37,7 @@ def main() -> None:
     from acr_wsss_tpu.configs import ModelConfig, TrainConfig
     from acr_wsss_tpu.train import create_train_state, make_train_step
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     crop = int(os.environ.get("BENCH_CROP", "384"))
     attn_impl = os.environ.get("BENCH_ATTN", "pallas")
     steps = int(os.environ.get("BENCH_STEPS", "20"))
