@@ -202,3 +202,56 @@ def unrolled_to_scanned(params: Dict) -> Dict:
         del trunk[k]
     trunk["blocks_scan"] = {"block": stacked}
     return params
+
+
+def main(argv=None) -> None:
+    """CLI: convert a reference torch checkpoint (.pth state dict) to the
+    flax .npz interchange format.
+
+        python -m acr_wsss_tpu.models.convert ref.pth out.npz \
+            --backbone vitb_hybrid [--scan]
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("torch_ckpt")
+    parser.add_argument("out_npz")
+    parser.add_argument("--backbone", default="vitb_hybrid")
+    parser.add_argument("--scan", action="store_true",
+                        help="emit the lax.scan stacked-block layout")
+    args = parser.parse_args(argv)
+
+    import torch
+
+    state = torch.load(args.torch_ckpt, map_location="cpu")
+    if isinstance(state, dict) and "model" in state:
+        state = state["model"]  # reference BaseModel.load format (ACR.py:25-37)
+    # strip DDP prefix (reference models/helpers.py:24-49 semantics)
+    state = {k[7:] if k.startswith("module.") else k: v
+             for k, v in state.items()}
+
+    from acr_wsss_tpu.models.acr import resolve_backbone
+
+    spec = resolve_backbone(args.backbone)
+    params = torch_state_dict_to_flax(
+        state, num_prefix_tokens=spec.num_prefix_tokens)
+    if args.scan:
+        params = unrolled_to_scanned(params)
+
+    from acr_wsss_tpu.utils.checkpoint import save_params_npz
+
+    save_params_npz(args.out_npz, params)
+    n = sum(v.size for v in _iter_leaves(params))
+    print(f"wrote {args.out_npz}: {n / 1e6:.1f}M params")
+
+
+def _iter_leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _iter_leaves(v)
+    else:
+        yield tree
+
+
+if __name__ == "__main__":
+    main()
