@@ -131,8 +131,23 @@ def _dataset_setup(cfg: TrainConfig):
     return names, val_names, labels
 
 
+def _fit_data_mesh(cfg: TrainConfig):
+    """Mesh whose 'data' extent divides the global batch.
+
+    A batch smaller than the device count cannot be sharded; use the
+    largest divisor of batch_size that fits the available devices (the
+    remaining devices idle — matching how the reference would simply run
+    fewer DDP ranks)."""
+    if cfg.mesh_shape != (-1,) or cfg.mesh_axes != ("data",):
+        return make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    n = len(jax.devices())
+    data = max(d for d in range(1, min(n, cfg.batch_size) + 1)
+               if cfg.batch_size % d == 0)
+    return make_mesh((data,), ("data",), devices=jax.devices()[:data])
+
+
 def train(cfg: TrainConfig) -> TrainState:
-    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    mesh = _fit_data_mesh(cfg)
     host_id, num_hosts = jax.process_index(), jax.process_count()
 
     names, val_names, labels = _dataset_setup(cfg)
