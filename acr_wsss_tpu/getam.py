@@ -157,3 +157,26 @@ def make_forward_for_getam(model, params, x, export: str = "full",
 
 def offsets_shape_for(model_spec, batch: int, num_tokens: int) -> Tuple[int, ...]:
     return (model_spec.depth, batch, model_spec.num_heads, num_tokens, num_tokens)
+
+
+def grad_cam(features: jnp.ndarray,
+             head_fn: Callable[[jnp.ndarray], jnp.ndarray],
+             class_index: int) -> jnp.ndarray:
+    """Classic Grad-CAM over a feature map (legacy variant, reference
+    ``DPT/DPT.py:536-564``): weights = GAP of d logit_c / d features,
+    cam = ReLU(sum_c w_c * A_c).
+
+    Args:
+      features: (B, H, W, K) activations of the tapped layer.
+      head_fn: features -> (B, C) logits (the rest of the network).
+      class_index: class whose logit is backpropagated.
+
+    Returns:
+      (B, H, W) CAM.
+    """
+    logits, vjp_fn = jax.vjp(head_fn, features)
+    one_hot = jax.nn.one_hot(class_index, logits.shape[-1],
+                             dtype=logits.dtype)
+    (grads,) = vjp_fn(jnp.zeros_like(logits) + one_hot[None])
+    weights = jnp.mean(grads, axis=(1, 2), keepdims=True)   # GAP over H, W
+    return jax.nn.relu(jnp.sum(weights * features, axis=-1))

@@ -42,3 +42,17 @@ def test_scan_getam_offsets_flow(rng):
     assert cams.shape == (20, 1, n - 1)
     assert np.isfinite(np.asarray(cams)).all()
     assert float(jnp.abs(cams).sum()) > 0
+
+
+def test_grad_cam_analytic(rng):
+    """Grad-CAM against the closed form for a linear head."""
+    from acr_wsss_tpu.getam import grad_cam
+
+    feats = jnp.asarray(rng.normal(size=(1, 4, 4, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(8, 5)).astype(np.float32))
+    head = lambda f: jnp.mean(f, axis=(1, 2)) @ w
+    cam = grad_cam(feats, head, 2)
+    expected = jax.nn.relu(
+        jnp.sum((w[:, 2] / 16)[None, None, None] * feats, -1))
+    np.testing.assert_allclose(np.asarray(cam), np.asarray(expected),
+                               atol=1e-6)
