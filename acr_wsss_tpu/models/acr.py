@@ -90,6 +90,7 @@ class ACR(nn.Module):
     dtype: Dtype = jnp.bfloat16
     attn_impl: str = "xla"
     scan_blocks: bool = False
+    probs_dtype: Dtype = jnp.float32
 
     @property
     def spec(self) -> BackboneSpec:
@@ -116,6 +117,7 @@ class ACR(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             scan_blocks=self.scan_blocks,
+            probs_dtype=self.probs_dtype,
             name="trunk",
         )
         self.cls_head = nn.Dense(self.num_classes, dtype=jnp.float32,

@@ -46,6 +46,7 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     dtype: Dtype = jnp.bfloat16
     impl: str = "xla"
+    probs_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, probs_offset=None, export="mean"):
@@ -65,7 +66,8 @@ class Attention(nn.Module):
 
             q, k, v = jnp.split(qkv, 3, axis=-1)
             out, probs = fused_attention_nhd(
-                q, k, v, scale, self.num_heads, export=export)
+                q, k, v, scale, self.num_heads, export=export,
+                probs_dtype=self.probs_dtype)
         else:
             qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
             qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, H, N, D)
@@ -88,13 +90,14 @@ class Block(nn.Module):
     qkv_bias: bool = True
     dtype: Dtype = jnp.bfloat16
     attn_impl: str = "xla"
+    probs_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, probs_offset=None, export="mean"):
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h, probs = Attention(
             self.dim, self.num_heads, self.qkv_bias, self.dtype,
-            impl=self.attn_impl, name="attn",
+            impl=self.attn_impl, probs_dtype=self.probs_dtype, name="attn",
         )(h.astype(self.dtype), probs_offset=probs_offset, export=export)
         x = x + h
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
@@ -113,12 +116,14 @@ class _BlockStep(nn.Module):
     dtype: Dtype
     attn_impl: str
     export: str
+    probs_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, carry, offset):
         y, probs = Block(
             self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
-            self.dtype, attn_impl=self.attn_impl, name="block",
+            self.dtype, attn_impl=self.attn_impl,
+            probs_dtype=self.probs_dtype, name="block",
         )(carry, probs_offset=offset, export=self.export)
         return y, (y, probs)
 
@@ -185,6 +190,7 @@ class VisionTransformer(nn.Module):
     backbone: Optional[Any] = None   # a bound-constructor (nn.Module class or partial)
     dtype: Dtype = jnp.bfloat16
     attn_impl: str = "xla"
+    probs_dtype: Dtype = jnp.float32
     # Roll the depth dimension into ONE lax.scan over a single Block with
     # stacked (L, ...) parameters: the traced/compiled program shrinks ~12x
     # (compile time matters through remote AOT compilers; XLA runtime is
@@ -242,7 +248,7 @@ class VisionTransformer(nn.Module):
                 x, probs_i = Block(
                     self.embed_dim, self.num_heads, self.mlp_ratio,
                     self.qkv_bias, self.dtype, attn_impl=self.attn_impl,
-                    name=f"blocks_{i}",
+                    probs_dtype=self.probs_dtype, name=f"blocks_{i}",
                 )(x, probs_offset=offset_i, export=export)
                 if probs_i is not None:
                     probs_list.append(probs_i)
@@ -280,7 +286,8 @@ class VisionTransformer(nn.Module):
             out_axes=0,
             length=self.depth,
         )(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
-          self.dtype, self.attn_impl, export, name="blocks_scan")
+          self.dtype, self.attn_impl, export, self.probs_dtype,
+          name="blocks_scan")
 
         if probs_offsets is None:
             probs_offsets = jnp.zeros(

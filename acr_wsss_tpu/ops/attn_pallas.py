@@ -295,6 +295,9 @@ def _fwd_kernel_nhd(q_ref, k_ref, v_ref, o_ref, e_ref, *, scale: float,
                     head_dim: int):
     hc = pl.program_id(1)
     D = head_dim
+    # accumulate this grid step's head contributions in fp32, then fold
+    # into the (possibly lower-precision) export block once
+    chunk_sum = None
     for h in range(heads_per_block):
         q = q_ref[0, :, h * D:(h + 1) * D]     # (Np, D)
         k = k_ref[0, :, h * D:(h + 1) * D]
@@ -315,22 +318,23 @@ def _fwd_kernel_nhd(q_ref, k_ref, v_ref, o_ref, e_ref, *, scale: float,
         ).astype(o_ref.dtype)
 
         contrib = p * (1.0 / num_heads)
-        if h == 0:
-            @pl.when(hc == 0)
-            def _():
-                e_ref[0] = contrib
+        chunk_sum = contrib if chunk_sum is None else chunk_sum + contrib
 
-            @pl.when(hc > 0)
-            def _():
-                e_ref[0] += contrib
-        else:
-            e_ref[0] += contrib
+    chunk_sum = chunk_sum.astype(e_ref.dtype)
+
+    @pl.when(hc == 0)
+    def _():
+        e_ref[0] = chunk_sum
+
+    @pl.when(hc > 0)
+    def _():
+        e_ref[0] += chunk_sum
 
 
 def _bwd_kernel_nhd(q_ref, k_ref, v_ref, g_ref, de_ref, dq_ref, dk_ref,
                     dv_ref, *, scale: float, n_valid: int, num_heads: int,
                     heads_per_block: int, head_dim: int):
-    de = de_ref[0] * (1.0 / num_heads)
+    de = de_ref[0].astype(jnp.float32) * (1.0 / num_heads)
     D = head_dim
     for h in range(heads_per_block):
         q = q_ref[0, :, h * D:(h + 1) * D]
@@ -369,7 +373,7 @@ def _bwd_kernel_nhd(q_ref, k_ref, v_ref, g_ref, de_ref, dq_ref, dk_ref,
         ) * scale).astype(dk_ref.dtype)
 
 
-def _fwd_nhd(q, k, v, scale, num_heads):
+def _fwd_nhd(q, k, v, scale, num_heads, probs_dtype):
     B, N, HD = q.shape
     D = HD // num_heads
     Np = _round_up(N, LANE)
@@ -394,7 +398,7 @@ def _fwd_nhd(q, k, v, scale, num_heads):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Np, HD), v.dtype),
-            jax.ShapeDtypeStruct((B, Np, Np), jnp.float32),
+            jax.ShapeDtypeStruct((B, Np, Np), probs_dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * num_heads * Np * Np * D,
@@ -446,24 +450,31 @@ def _bwd_nhd(num_heads, scale, residuals, cotangents):
     return dq[:, :N], dk[:, :N], dv[:, :N]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _attention_mean_export_nhd(q, k, v, scale, num_heads):
-    return _fwd_nhd(q, k, v, scale, num_heads)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attention_mean_export_nhd(q, k, v, scale, num_heads, probs_dtype):
+    return _fwd_nhd(q, k, v, scale, num_heads, probs_dtype)
 
 
-def _attention_fwd_rule_nhd(q, k, v, scale, num_heads):
-    return _fwd_nhd(q, k, v, scale, num_heads), (q, k, v)
+def _attention_fwd_rule_nhd(q, k, v, scale, num_heads, probs_dtype):
+    return _fwd_nhd(q, k, v, scale, num_heads, probs_dtype), (q, k, v)
 
 
-def _bwd_rule_nhd(scale, num_heads, residuals, cotangents):
+def _bwd_rule_nhd(scale, num_heads, probs_dtype, residuals, cotangents):
     return _bwd_nhd(num_heads, scale, residuals, cotangents)
 
 
 _attention_mean_export_nhd.defvjp(_attention_fwd_rule_nhd, _bwd_rule_nhd)
 
 
-def fused_attention_nhd(q, k, v, scale, num_heads, export: str = "mean"):
+def fused_attention_nhd(q, k, v, scale, num_heads, export: str = "mean",
+                        probs_dtype=jnp.float32):
     """Attention over (B, N, H*D) inputs/outputs — no layout changes around
-    the kernel. Returns (out (B, N, H*D), head-mean probs (B, N, N))."""
-    out, exported = _attention_mean_export_nhd(q, k, v, scale, num_heads)
+    the kernel. Returns (out (B, N, H*D), head-mean probs (B, N, N)).
+
+    ``probs_dtype=bfloat16`` halves the export traffic (the largest HBM
+    stream in training: L layers x (2B, N, N) per step) at ~0.4% relative
+    probability error — acceptable for the L1 consistency regularizer,
+    opt-in since it departs from the reference's fp32 probabilities."""
+    out, exported = _attention_mean_export_nhd(q, k, v, scale, num_heads,
+                                               probs_dtype)
     return out, (exported if export == "mean" else None)

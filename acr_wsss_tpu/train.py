@@ -48,6 +48,7 @@ def build_model(cfg: ModelConfig) -> ACR:
         dtype=jnp.dtype(cfg.compute_dtype),
         attn_impl=cfg.attn_impl,
         scan_blocks=cfg.scan_blocks,
+        probs_dtype=jnp.dtype(cfg.probs_dtype),
     )
 
 

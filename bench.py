@@ -41,9 +41,11 @@ def main() -> None:
     crop = int(os.environ.get("BENCH_CROP", "384"))
     attn_impl = os.environ.get("BENCH_ATTN", "pallas")
     steps = int(os.environ.get("BENCH_STEPS", "20"))
+    probs_dtype = os.environ.get("BENCH_PROBS_DTYPE", "bfloat16")
 
     cfg = TrainConfig(
-        model=ModelConfig(backbone="vitb_hybrid", attn_impl=attn_impl),
+        model=ModelConfig(backbone="vitb_hybrid", attn_impl=attn_impl,
+                          probs_dtype=probs_dtype),
         crop_size=crop,
         batch_size=batch,
     )

@@ -115,3 +115,20 @@ def test_model_level_pallas_matches_xla(rng):
                                np.asarray(o2["logits"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(o1["probs"]),
                                np.asarray(o2["probs"]), atol=1e-6)
+
+
+def test_bf16_prob_export_close_to_fp32(qkv):
+    """bfloat16 export halves the biggest training HBM stream; values must
+    stay within bf16 rounding of the fp32 export."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from acr_wsss_tpu.ops.attn_pallas import fused_attention_nhd
+
+    q, k, v = (t.transpose(0, 2, 1, 3).reshape(B, N, H * D) for t in qkv)
+    with pltpu.force_tpu_interpret_mode():
+        _, e32 = fused_attention_nhd(q, k, v, SCALE, H)
+        _, e16 = fused_attention_nhd(q, k, v, SCALE, H,
+                                     probs_dtype=jnp.bfloat16)
+    assert e16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(e16, np.float32), np.asarray(e32),
+                               atol=2e-3, rtol=1e-2)
