@@ -193,11 +193,21 @@ def run(cfg: InferConfig) -> None:
         backbone_name=cfg.model.backbone,
         dtype=jnp.dtype(cfg.model.compute_dtype),
         attn_impl=cfg.model.attn_impl,
+        scan_blocks=cfg.model.scan_blocks,
     )
     params = {"params": load_params_npz(cfg.weights)["params"]} \
         if cfg.weights.endswith(".npz") else load_params_npz(cfg.weights + ".npz")
     if "params" not in params:
         params = {"params": params}
+    # Adapt checkpoint layout: training saves the unrolled trunk; the
+    # scanned trunk (default here: ~12x smaller compiled program) stacks
+    # the per-layer blocks.
+    trunk_keys = params["params"].get("trunk", {})
+    if cfg.model.scan_blocks and any(k.startswith("blocks_") and k != "blocks_scan"
+                                     for k in trunk_keys):
+        from acr_wsss_tpu.models.convert import unrolled_to_scanned
+
+        params = unrolled_to_scanned(params)
 
     infer_fns = {
         scale: build_infer_fn(
@@ -259,9 +269,12 @@ def parse_args(argv=None) -> InferConfig:
     parser.add_argument("--attn_impl", default="xla", choices=["xla", "pallas"])
     parser.add_argument("--class_slots", default=8, type=int,
                         help="present-class backprop slots per pass (0 = all classes)")
+    parser.add_argument("--no_scan", action="store_true",
+                        help="use the unrolled trunk (larger compile)")
     args = parser.parse_args(argv)
     return InferConfig(
-        model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl),
+        model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl,
+                          scan_blocks=not args.no_scan),
         weights=args.weights,
         crop_size=args.crop_size,
         start_layer=args.start_layer,
