@@ -56,3 +56,28 @@ def test_grad_cam_analytic(rng):
         jnp.sum((w[:, 2] / 16)[None, None, None] * feats, -1))
     np.testing.assert_allclose(np.asarray(cam), np.asarray(expected),
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("backbone,depth", [("deit_distilled", 12),
+                                            ("vitl", 24)])
+def test_other_backbone_variants(backbone, depth, rng):
+    """deit-distilled (2 prefix tokens, GETAM start_index=2,
+    DPT/ACR.py:210-213) and ViT-L (24 blocks, dim 1024) forward + GETAM."""
+    from acr_wsss_tpu.getam import getam_cams, make_forward_for_getam
+
+    m = ACR(backbone_name=backbone, dtype=jnp.float32)
+    spec = m.spec
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    params = m.init(jax.random.key(0), x)
+    out = m.apply(params, x)
+    n = (32 // 16) ** 2 + spec.num_prefix_tokens
+    assert out["logits"].shape == (1, 20)
+    assert out["probs"].shape == (1, depth, n, n)
+
+    shape = (spec.depth, 1, spec.num_heads, n, n)
+    cams, logits, _ = getam_cams(
+        make_forward_for_getam(m, params, x), shape, num_classes=20,
+        start_layer=depth - 2, func="cam_grad_s",
+        start_index=spec.num_prefix_tokens, use_aff=False)
+    assert cams.shape == (20, 1, n - spec.num_prefix_tokens)
+    assert np.isfinite(np.asarray(cams)).all()
