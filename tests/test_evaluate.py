@@ -93,3 +93,28 @@ def test_evaluator_confusion_matrix(rng):
     assert iou[1] == 0.0
     assert abs(iou[2] - 0.5) < 1e-9
     assert ev.Pixel_Accuracy() == 0.75
+
+
+def test_png_mode_eval(tmp_path, rng):
+    """PNG prediction mode (reference evaluation.py input_type='png')."""
+    pred_dir = tmp_path / "pred_png"
+    gt_dir = tmp_path / "gt_png"
+    pred_dir.mkdir()
+    gt_dir.mkdir()
+    names = []
+    for i in range(3):
+        name = f"p{i}"
+        names.append(name)
+        gt = rng.integers(0, 21, size=(20, 20)).astype(np.uint8)
+        pred = gt.copy()
+        pred[:5] = (pred[:5] + 1) % 21  # 25% disagreement band
+        Image.fromarray(gt).save(gt_dir / f"{name}.png")
+        Image.fromarray(pred).save(pred_dir / f"{name}.png")
+
+    loglist = evaluate.do_python_eval(
+        str(pred_dir), str(gt_dir), names, 21, "png", None, num_workers=1)
+    assert 0 < loglist["mIoU"] < 100
+    # exactly 75% of pixels agree -> pixel-level sanity via per-class IoUs
+    perfect = evaluate.do_python_eval(
+        str(gt_dir), str(gt_dir), names, 21, "png", None, num_workers=1)
+    assert perfect["mIoU"] > 99.0
