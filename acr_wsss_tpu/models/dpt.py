@@ -130,10 +130,18 @@ class Reassemble(nn.Module):
     (ConvTranspose 4/4), 1 = 2x up, 2 = identity, 3 = 2x down (3x3 stride-2
     conv) — reference ``DPT/vit.py:262-341``. ``level_offset`` selects which
     levels the given taps occupy (hybrid backbones supply only levels 2-3,
-    their first two pyramid levels being CNN stage maps)."""
+    their first two pyramid levels being CNN stage maps).
+
+    ``readout`` handles the prefix (readout) tokens before spatialization
+    (reference ``DPT/vit.py:57-90``): 'ignore' drops them (``Slice``),
+    'add' adds the first prefix token to every patch token (``AddReadout``),
+    'project' concatenates it and projects back with a linear+GELU
+    (``ProjectReadout``). The ACR configuration uses 'ignore'
+    (``DPT/ACR.py`` readout default)."""
 
     out_channels: Sequence[int] = (96, 192, 384, 768)
     level_offset: int = 0
+    readout: str = "ignore"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -143,7 +151,18 @@ class Reassemble(nn.Module):
         outs = []
         for i, tokens in enumerate(taps):
             level = i + self.level_offset
-            x = tokens[:, start_index:, :]
+            if self.readout == "add":
+                x = tokens[:, start_index:, :] + tokens[:, :1, :]
+            elif self.readout == "project":
+                B_, N_, C_ = tokens.shape
+                patches = tokens[:, start_index:, :]
+                ro = jnp.broadcast_to(tokens[:, :1, :], patches.shape)
+                x = jnp.concatenate([patches, ro], axis=-1)
+                x = nn.Dense(C_, dtype=self.dtype,
+                             name=f"readout_proj_{level}")(x)
+                x = nn.gelu(x, approximate=False)
+            else:  # 'ignore'
+                x = tokens[:, start_index:, :]
             B, N, C = x.shape
             x = x.reshape(B, gh, gw, C).astype(self.dtype)
             ch = self.out_channels[i]
