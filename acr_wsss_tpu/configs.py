@@ -81,6 +81,10 @@ class TrainConfig:
     image_dir: str = "voc/image/path"
     train_list: str = "voc12/train_aug_id.txt"
     val_list: str = "voc12/val_id.txt"
+    # COCO: separate validation image directory (reference --valpath,
+    # ``train_acr_coco.py:27,67``); None = validate from image_dir (VOC,
+    # where train/val ids share one JPEGImages dir).
+    val_image_dir: Optional[str] = None
     cls_labels_path: str = "voc12/cls_labels.npy"
     num_workers: int = 8
     # Mesh axes: data parallel is the reference's only strategy

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import xml.etree.ElementTree as ET
+import zlib
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence
 
@@ -151,10 +152,14 @@ class TrainIterator:
 
     def _submit_batch(self):
         names = [next(self._name_iter) for _ in range(self.batch_size)]
-        seeds = [(self.seed, self._epoch, self.host_id, n) for n in names]
+        # Stable per-example seed: crc32 of the name, NOT Python hash() —
+        # str hashing is randomized per process (PYTHONHASHSEED), which
+        # would make augmentations irreproducible across runs/hosts.
+        seeds = [(self.seed, self._epoch, self.host_id,
+                  zlib.crc32(n.encode())) for n in names]
 
-        def load(name, seed_tuple):
-            rng = np.random.default_rng(abs(hash(seed_tuple)) % (2 ** 63))
+        def load(name, seed_seq):
+            rng = np.random.default_rng(seed_seq)
             return self.source.load_train(name, rng)
 
         futures = [self.pool.submit(load, n, s) for n, s in zip(names, seeds)]

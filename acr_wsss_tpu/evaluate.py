@@ -87,13 +87,27 @@ def _eval_chunk(args) -> np.ndarray:
     return out
 
 
-def _metrics_from_counts(counts: np.ndarray, num_cls: int) -> Dict[str, float]:
-    """Reference metric formulas (``evaluation.py:60-76``)."""
+def _metrics_from_counts(counts: np.ndarray, num_cls: int,
+                         extended: bool = False) -> Dict[str, float]:
+    """Reference metric formulas (``evaluation.py:60-76``).
+
+    ``extended=True`` additionally returns the per-class ratio families the
+    reference computes at ``evaluation.py:62-70`` (T_TP, P_TP, FP_ALL,
+    FN_ALL — over/under-activation diagnostics). They are kept out of the
+    default dict because the reference's ``writelog`` records only
+    per-class IoU + mIoU, and the evallog text must stay diff-identical.
+    """
     TP, P, T = counts[0].astype(np.float64), counts[1].astype(np.float64), counts[2].astype(np.float64)
-    iou = TP / (T + P - TP + 1e-10)
+    union = T + P - TP + 1e-10
+    iou = TP / union
     loglist = {VOC_CATEGORIES[i] if num_cls == 21 else str(i): iou[i] * 100
                for i in range(num_cls)}
     loglist["mIoU"] = float(np.mean(iou) * 100)
+    if extended:
+        loglist["T_TP"] = list(T / (TP + 1e-10))
+        loglist["P_TP"] = list(P / (TP + 1e-10))
+        loglist["FP_ALL"] = list((P - TP) / union)
+        loglist["FN_ALL"] = list((T - TP) / union)
     return loglist
 
 
@@ -106,11 +120,13 @@ def do_python_eval(
     threshold: float = 1.0,
     printlog: bool = False,
     num_workers: int = 8,
+    extended: bool = False,
 ) -> Dict[str, float]:
     """Single-threshold evaluation; drop-in for reference ``do_python_eval``."""
     curves = do_python_eval_curve(
         predict_folder, gt_folder, name_list, num_cls, input_type,
         [threshold if threshold is not None else 1.0], num_workers,
+        extended=extended,
     )
     loglist = curves[0]
     if printlog:
@@ -131,6 +147,7 @@ def do_python_eval_curve(
     input_type: str = "npy",
     thresholds: Optional[Sequence[float]] = None,
     num_workers: int = 8,
+    extended: bool = False,
 ) -> List[Dict[str, float]]:
     """Evaluate all thresholds in ONE pass over the images."""
     if thresholds is None:
@@ -148,7 +165,8 @@ def do_python_eval_curve(
         with multiprocessing.Pool(num_workers) as pool:
             partials = pool.map(_eval_chunk, chunks)
     total = np.sum(partials, axis=0)  # [n_thresh, 3, num_cls]
-    return [_metrics_from_counts(total[ti], num_cls) for ti in range(len(thresholds))]
+    return [_metrics_from_counts(total[ti], num_cls, extended=extended)
+            for ti in range(len(thresholds))]
 
 
 def writedict(file, dictionary: Dict) -> None:

@@ -289,9 +289,10 @@ class VisionTransformer(nn.Module):
           self.dtype, self.attn_impl, export, self.probs_dtype,
           name="blocks_scan")
 
-        if probs_offsets is None:
-            probs_offsets = jnp.zeros(
-                (self.depth, B, self.num_heads, N, N), jnp.float32)
+        # probs_offsets=None scans with no xs (lax.scan length-only mode):
+        # the body sees offset=None each step, which both avoids
+        # materializing an (L, B, H, N, N) zeros tensor (~383 MB at 384^2)
+        # and lets the Attention module take its fused-Pallas path.
         x, (layer_tokens, probs) = scanned(x, probs_offsets)
         taps = {i: layer_tokens[i] for i in self.taps}
         # layer-major (L, B, ...) -> (B, L, ...)

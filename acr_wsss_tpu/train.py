@@ -123,7 +123,13 @@ def _dataset_setup(cfg: TrainConfig):
         from acr_wsss_tpu.data import coco as coco_data
 
         names = coco_data.list_image_names(cfg.image_dir)
-        val_names = names[:1000]
+        # Validation comes from a SEPARATE val image directory (reference
+        # --valpath, ``train_acr_coco.py:26-49``) — never from a prefix of
+        # the training listing, which would leak training data into val.
+        if cfg.val_image_dir:
+            val_names = coco_data.list_image_names(cfg.val_image_dir)
+        else:
+            val_names = []
         labels = coco_data.CocoLabelStore(cfg.cls_labels_path, names)
         return names, val_names, labels
     names = voc_data.read_file(cfg.train_list)
@@ -226,7 +232,7 @@ def train(cfg: TrainConfig) -> TrainState:
             metrics_writer.write(step, {"loss": loss_avg, "imps": imps,
                                         **{k: float(v) for k, v in parts.items()}})
 
-        if step and step % cfg.val_every == 0:
+        if step and step % cfg.val_every == 0 and val_names:
             val_loss = validate(cfg, model, state.params, eval_step,
                                 val_names, labels)
             if host_id == 0:
@@ -252,7 +258,8 @@ def validate(cfg: TrainConfig, model: ACR, params, eval_step,
              val_names=None, labels=None) -> float:
     if labels is None:
         _, val_names, labels = _dataset_setup(cfg)
-    source = voc_data.VOCClassificationSource(cfg.image_dir, labels, cfg.crop_size)
+    source = voc_data.VOCClassificationSource(
+        cfg.val_image_dir or cfg.image_dir, labels, cfg.crop_size)
     it = voc_data.EvalIterator(source, val_names,
                                batch_size=max(cfg.batch_size, 1))
     meter = AverageMeter("loss")

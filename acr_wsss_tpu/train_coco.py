@@ -27,6 +27,10 @@ def parse_args(argv=None) -> TrainConfig:
                         help="COCO train2014 image directory")
     parser.add_argument("--bbox_dir", required=True,
                         help="per-image bbox txt directory (labels)")
+    parser.add_argument("--valpath", default=None,
+                        help="COCO val2014 image directory (reference "
+                             "train_acr_coco.py --valpath); no validation "
+                             "if omitted")
     parser.add_argument("--attn_impl", default="pallas", choices=["xla", "pallas"])
     parser.add_argument("--seed", default=0, type=int)
     args = parser.parse_args(argv)
@@ -42,6 +46,7 @@ def parse_args(argv=None) -> TrainConfig:
         session_name=args.session_name,
         crop_size=args.crop_size,
         image_dir=args.IMpath,
+        val_image_dir=args.valpath,
         cls_labels_path=args.bbox_dir,
         val_every=30000,
         seed=args.seed,

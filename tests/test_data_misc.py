@@ -84,3 +84,42 @@ def test_val_transform_deterministic(rng):
     a = transforms.val_transform(img, 64)
     b = transforms.val_transform(img, 64)
     np.testing.assert_array_equal(a, b)
+
+
+def test_train_iterator_cross_process_determinism(tmp_path, rng):
+    """Same seed -> identical augmented batches across processes with
+    different PYTHONHASHSEED (round-1 regression: per-example RNG was
+    seeded with Python's randomized str hash)."""
+    import hashlib
+    import subprocess
+    import sys
+
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 255, size=(40, 50, 3), dtype=np.uint8)
+        ).save(img_dir / f"im{i}.jpg")
+
+    script = f"""
+import hashlib
+import numpy as np
+from acr_wsss_tpu.data import voc
+names = [f"im{{i}}" for i in range(4)]
+labels = {{n: np.zeros(20, np.float32) for n in names}}
+source = voc.VOCClassificationSource({str(img_dir)!r}, labels, crop_size=32)
+it = voc.TrainIterator(source, names, batch_size=4, seed=7, num_workers=1)
+batch = next(it)
+print(hashlib.sha256(batch["image"].tobytes()).hexdigest())
+"""
+    digests = set()
+    for hashseed in ("1", "2"):
+        env = dict(os.environ, PYTHONHASHSEED=hashseed,
+                   JAX_PLATFORMS="cpu")
+        env.pop("PYTHONPATH", None)
+        out = subprocess.run(
+            [sys.executable, "-c", script], env=env, capture_output=True,
+            text=True, cwd=os.path.dirname(os.path.dirname(__file__)),
+            check=True)
+        digests.add(out.stdout.strip())
+    assert len(digests) == 1, f"augmentation stream differs: {digests}"

@@ -81,3 +81,37 @@ def test_other_backbone_variants(backbone, depth, rng):
         start_index=spec.num_prefix_tokens, use_aff=False)
     assert cams.shape == (20, 1, n - spec.num_prefix_tokens)
     assert np.isfinite(np.asarray(cams)).all()
+
+
+def test_scan_takes_pallas_path(rng, monkeypatch):
+    """Under scan_blocks=True with no GETAM offsets, the fused Pallas kernel
+    must be used (round-1 regression: a zeros offsets tensor was always fed
+    to the scan, silently forcing the XLA path and materializing
+    (L, B, H, N, N) zeros)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from acr_wsss_tpu.ops import attn_pallas
+
+    calls = {"n": 0}
+    real = attn_pallas.fused_attention_nhd
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(attn_pallas, "fused_attention_nhd", counting)
+
+    m_p = ACR(backbone_name="vitb", dtype=jnp.float32, attn_impl="pallas",
+              scan_blocks=True)
+    m_x = ACR(backbone_name="vitb", dtype=jnp.float32, attn_impl="xla",
+              scan_blocks=True)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        params = m_p.init(jax.random.key(0), x)
+        out_p = m_p.apply(params, x)
+    assert calls["n"] > 0, "fused kernel was never invoked under scan"
+    out_x = m_x.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_p["logits"]),
+                               np.asarray(out_x["logits"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_p["probs"]),
+                               np.asarray(out_x["probs"]), atol=1e-5)
