@@ -91,6 +91,11 @@ class TrainConfig:
     # (SURVEY.md §2.7); model axis enables tensor parallelism over heads/MLP.
     mesh_shape: Tuple[int, ...] = (-1,)          # -1: all devices on 'data'
     mesh_axes: Tuple[str, ...] = ("data",)
+    # Initialize jax.distributed before building the mesh (multi-host
+    # pods/slices; reference equivalent: the -n/-nr NCCL rendezvous flags,
+    # ``train_acr.py:70-89``). Coordinator details are auto-detected on TPU
+    # pods or taken from the JAX_COORDINATOR_* environment.
+    multihost: bool = False
     # Reference quirk: PolyOptimizer passes weight_decay into torch SGD's
     # momentum slot (tool/torchutils.py:12), so the reference effectively
     # trains with momentum=5e-4 and no weight decay. Set True to reproduce.

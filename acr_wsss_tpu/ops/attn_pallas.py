@@ -289,35 +289,86 @@ def fused_attention_with_probs(
 # transpose into a custom call). These kernels take q/k/v in the layout the
 # Dense projection produces — (B, N, H*D) — and return the output in the
 # same layout, so the whole attention block runs with zero layout changes.
+#
+# VPU economy (the fwd kernel is softmax-bound, not MXU-bound, at D=64):
+# the kernels never touch the (Np, Np) tile with masking or per-element
+# normalization passes. Instead:
+#   * no column mask — padded k columns give s = 0, so after exp they each
+#     contribute exactly exp(-m) to the row sum, which is subtracted
+#     analytically: Z = rowsum(exp(s - m)) - n_pad * exp(-m). The garbage
+#     they leave in the padded region of out/e is sliced away by the host
+#     wrapper. Padded q rows are zero, cancel identically in dq/dk/dv
+#     (zero-padded g and de rows null every contribution), and are sliced.
+#   * softmax scale folded into q on load ((Np, D) pass, not (Np, Np));
+#   * PV runs on the UNNORMALIZED exp tile; the row normalizer multiplies
+#     the (Np, D) output instead of the (Np, Np) prob tile.
+# Each head's (Np, Np) work is then: 1 matmul, 1 max-reduce, 1 exp,
+# 1 sum-reduce, 1 fused scale-and-accumulate into the export — nothing else.
+
+_FWD_HEADS_PER_BLOCK = 6   # H=12 -> 2 grid steps/batch: one e revisit
+_BWD_HEADS_PER_BLOCK = 3   # backward holds ~3 (Np, Np) fp32 temporaries
+
+
+def _block_heads(num_heads: int, target: int) -> int:
+    """Largest divisor of num_heads that is <= target."""
+    for hb in range(min(target, num_heads), 0, -1):
+        if num_heads % hb == 0:
+            return hb
+    return 1
+
+
+def _scale_is_exact(scale: float) -> bool:
+    """True when folding ``scale`` into a bf16/fp32 operand is lossless
+    (power of two — the case for every head_dim that is a power of two)."""
+    import math
+
+    return scale > 0 and math.frexp(scale)[0] == 0.5
+
+
+def _softmax_parts(q, k, scale, n_pad):
+    """Returns (p_unnorm, recip_z): exp(scale*q.k - m) over ALL columns and
+    the reciprocal of the pad-corrected row sum.
+
+    When the scale is a power of two it is folded into q ((Np, D) pass);
+    otherwise the (Np, Np) logit tile is scaled in fp32 (lossless either
+    way vs the XLA oracle)."""
+    if _scale_is_exact(scale):
+        q = q * jnp.asarray(scale, q.dtype)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if not _scale_is_exact(scale):
+        s = s * scale
+    m = jnp.max(s, axis=-1, keepdims=True)  # >= 0 (padded cols give s=0)
+    p = jnp.exp(s - m)
+    z = jnp.sum(p, axis=-1, keepdims=True)
+    if n_pad:
+        z = z - n_pad * jnp.exp(-m)
+    return p, 1.0 / z
+
 
 def _fwd_kernel_nhd(q_ref, k_ref, v_ref, o_ref, e_ref, *, scale: float,
                     n_valid: int, num_heads: int, heads_per_block: int,
                     head_dim: int):
     hc = pl.program_id(1)
     D = head_dim
+    n_pad = q_ref.shape[1] - n_valid
     # accumulate this grid step's head contributions in fp32, then fold
     # into the (possibly lower-precision) export block once
     chunk_sum = None
     for h in range(heads_per_block):
-        q = q_ref[0, :, h * D:(h + 1) * D]     # (Np, D)
+        q = q_ref[0, :, h * D:(h + 1) * D]
         k = k_ref[0, :, h * D:(h + 1) * D]
         v = v_ref[0, :, h * D:(h + 1) * D]
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_valid, s, -jnp.inf)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p, recip_z = _softmax_parts(q, k, scale, n_pad)
 
-        o_ref[0, :, h * D:(h + 1) * D] = jax.lax.dot_general(
+        o_unnorm = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+        )
+        o_ref[0, :, h * D:(h + 1) * D] = (o_unnorm * recip_z).astype(o_ref.dtype)
 
-        contrib = p * (1.0 / num_heads)
+        contrib = p * (recip_z * (1.0 / num_heads))
         chunk_sum = contrib if chunk_sum is None else chunk_sum + contrib
 
     chunk_sum = chunk_sum.astype(e_ref.dtype)
@@ -336,32 +387,29 @@ def _bwd_kernel_nhd(q_ref, k_ref, v_ref, g_ref, de_ref, dq_ref, dk_ref,
                     heads_per_block: int, head_dim: int):
     de = de_ref[0].astype(jnp.float32) * (1.0 / num_heads)
     D = head_dim
+    n_pad = q_ref.shape[1] - n_valid
     for h in range(heads_per_block):
         q = q_ref[0, :, h * D:(h + 1) * D]
         k = k_ref[0, :, h * D:(h + 1) * D]
         v = v_ref[0, :, h * D:(h + 1) * D]
         g = g_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32)
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        s = jnp.where(col < n_valid, s, -jnp.inf)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        p = jnp.where(row < n_valid, p, 0.0)
+        p, recip_z = _softmax_parts(q, k, scale, n_pad)
 
+        # dv = softmax(p)^T g: fold the row normalizer into g ((Np, D)).
+        gz = g * recip_z
         dv_ref[0, :, h * D:(h + 1) * D] = jax.lax.dot_general(
-            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, gz, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(dv_ref.dtype)
 
         dp = jax.lax.dot_general(
             g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + de
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        # ds = softmax(p) * (dp - rowsum(dp * softmax(p))); written with the
+        # unnormalized tile as p * ((dp - c) * recip_z).
+        c = jnp.sum(dp * p, axis=-1, keepdims=True) * recip_z
+        ds = p * ((dp - c) * recip_z)
 
         dq_ref[0, :, h * D:(h + 1) * D] = (jax.lax.dot_general(
             ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
@@ -380,7 +428,7 @@ def _fwd_nhd(q, k, v, scale, num_heads, probs_dtype):
     qp = _pad_axis(q, 1, Np)
     kp = _pad_axis(k, 1, Np)
     vp = _pad_axis(v, 1, Np)
-    hb = _heads_per_block(num_heads)
+    hb = _block_heads(num_heads, _FWD_HEADS_PER_BLOCK)
 
     kernel = functools.partial(
         _fwd_kernel_nhd, scale=scale, n_valid=N, num_heads=num_heads,
@@ -422,7 +470,7 @@ def _bwd_nhd(num_heads, scale, residuals, cotangents):
     if de is None:
         de = jnp.zeros((B, N, N), jnp.float32)
     dep = _pad_axis(_pad_axis(de, 1, Np), 2, Np)
-    hb = max(1, _heads_per_block(num_heads) // 2)
+    hb = _block_heads(num_heads, _BWD_HEADS_PER_BLOCK)
 
     kernel = functools.partial(
         _bwd_kernel_nhd, scale=scale, n_valid=N, num_heads=num_heads,

@@ -7,9 +7,12 @@ all-reduce compiled into the jit program by XLA over ICI), and a 2-D
 ``('data', 'model')`` mesh adds tensor parallelism over attention heads /
 MLP hidden — a capability the reference lacks.
 
-Multi-host: call ``jax.distributed.initialize`` before ``make_mesh``; the
-mesh spans all global devices and per-host data feeding uses
-``host_local_array_to_global_array`` (see ``train.py``).
+Multi-host: call ``jax.distributed.initialize`` (via
+``parallel.distributed.initialize``, wired to ``train.py --multihost``)
+before ``make_mesh``; the mesh then spans all global devices and per-host
+data feeding assembles global arrays with
+``jax.make_array_from_process_local_data`` (``train.shard_batch``),
+exercised by ``tests/test_multihost.py`` on a 2-process CPU cluster.
 """
 
 from __future__ import annotations

@@ -105,12 +105,25 @@ def make_eval_step(model: ACR):
 
 
 def shard_batch(batch: Dict[str, Any], sharding) -> Dict[str, Any]:
-    """device_put every array value with the batch sharding; drop metadata."""
-    return {
-        k: jax.device_put(jnp.asarray(v), sharding)
-        for k, v in batch.items()
-        if not isinstance(v, (list, str))
-    }
+    """Make every array value a (possibly global) device array; drop metadata.
+
+    Single-process: plain ``device_put`` with the batch sharding.
+    Multi-host: each process holds only its shard of the global batch, so
+    the global array is assembled with
+    ``jax.make_array_from_process_local_data`` (the single-controller
+    answer to the reference's per-rank DDP feeding, ``train_acr.py:112-135``).
+    """
+    out: Dict[str, Any] = {}
+    multihost = jax.process_count() > 1
+    for k, v in batch.items():
+        if isinstance(v, (list, str)):
+            continue
+        if multihost:
+            out[k] = jax.make_array_from_process_local_data(
+                sharding, np.asarray(v))
+        else:
+            out[k] = jax.device_put(jnp.asarray(v), sharding)
+    return out
 
 
 def _dataset_setup(cfg: TrainConfig):
@@ -154,6 +167,10 @@ def _fit_data_mesh(cfg: TrainConfig):
 
 
 def train(cfg: TrainConfig) -> TrainState:
+    if cfg.multihost:
+        from acr_wsss_tpu.parallel import distributed
+
+        distributed.initialize()
     mesh = _fit_data_mesh(cfg)
     host_id, num_hosts = jax.process_index(), jax.process_count()
 
@@ -288,6 +305,8 @@ def parse_args(argv=None) -> TrainConfig:
     parser.add_argument("--cls_labels", default="voc12/cls_labels.npy")
     parser.add_argument("--attn_impl", default="pallas", choices=["xla", "pallas"])
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed (multi-host pod)")
     args = parser.parse_args(argv)
     return TrainConfig(
         model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl),
@@ -303,6 +322,7 @@ def parse_args(argv=None) -> TrainConfig:
         val_list=args.val_list,
         cls_labels_path=args.cls_labels,
         seed=args.seed,
+        multihost=args.multihost,
     )
 
 

@@ -127,8 +127,12 @@ def main():
 
     @jax.jit
     def step_loss(state, batch):
+        # Depend on the UPDATED params so XLA cannot dead-code-eliminate
+        # the backward pass + optimizer update.
         new_state, parts = raw_step(state, batch)
-        return parts["loss"] + 0.0 * new_state.step.astype(jnp.float32)
+        leaves = jax.tree.leaves(new_state.params)
+        probe = sum(l.astype(jnp.float32).ravel()[0] for l in leaves)
+        return parts["loss"] + 0.0 * probe
 
     timeit("model fwd (2 views)", model_fwd, state.params, x)
     timeit("loss fwd", loss_fwd, state.params, batch)

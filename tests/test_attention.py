@@ -111,8 +111,10 @@ def test_model_level_pallas_matches_xla(rng):
     o1 = m_x.apply(params, x)
     with pltpu.force_tpu_interpret_mode():
         o2 = m_p.apply(params, x)
+    # 5e-5: the kernel normalizes the PV output per-row instead of the
+    # (N, N) prob tile, shifting fp32 rounding by ~1e-5 on the logits.
     np.testing.assert_allclose(np.asarray(o1["logits"]),
-                               np.asarray(o2["logits"]), atol=1e-5)
+                               np.asarray(o2["logits"]), atol=5e-5)
     np.testing.assert_allclose(np.asarray(o1["probs"]),
                                np.asarray(o2["probs"]), atol=1e-6)
 
