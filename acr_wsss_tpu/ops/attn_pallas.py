@@ -306,15 +306,19 @@ def fused_attention_with_probs(
 # 1 sum-reduce, 1 fused scale-and-accumulate into the export — nothing else.
 
 _FWD_HEADS_PER_BLOCK = 6   # H=12 -> 2 grid steps/batch: one e revisit
-_BWD_HEADS_PER_BLOCK = 3   # backward holds ~3 (Np, Np) fp32 temporaries
+_BWD_HEADS_PER_BLOCK = 4   # backward holds ~3 (Np, Np) fp32 temporaries
 
 
-def _block_heads(num_heads: int, target: int) -> int:
-    """Largest divisor of num_heads that is <= target."""
+def _block_heads(num_heads: int, head_dim: int, target: int) -> int:
+    """Largest divisor hb of num_heads with hb <= target whose block width
+    hb*head_dim satisfies the Mosaic lane constraint (multiple of 128, or
+    the full array width)."""
     for hb in range(min(target, num_heads), 0, -1):
-        if num_heads % hb == 0:
+        if num_heads % hb:
+            continue
+        if (hb * head_dim) % LANE == 0 or hb == num_heads:
             return hb
-    return 1
+    return num_heads
 
 
 def _scale_is_exact(scale: float) -> bool:
@@ -428,7 +432,7 @@ def _fwd_nhd(q, k, v, scale, num_heads, probs_dtype):
     qp = _pad_axis(q, 1, Np)
     kp = _pad_axis(k, 1, Np)
     vp = _pad_axis(v, 1, Np)
-    hb = _block_heads(num_heads, _FWD_HEADS_PER_BLOCK)
+    hb = _block_heads(num_heads, D, _FWD_HEADS_PER_BLOCK)
 
     kernel = functools.partial(
         _fwd_kernel_nhd, scale=scale, n_valid=N, num_heads=num_heads,
@@ -470,7 +474,7 @@ def _bwd_nhd(num_heads, scale, residuals, cotangents):
     if de is None:
         de = jnp.zeros((B, N, N), jnp.float32)
     dep = _pad_axis(_pad_axis(de, 1, Np), 2, Np)
-    hb = _block_heads(num_heads, _BWD_HEADS_PER_BLOCK)
+    hb = _block_heads(num_heads, D, _BWD_HEADS_PER_BLOCK)
 
     kernel = functools.partial(
         _bwd_kernel_nhd, scale=scale, n_valid=N, num_heads=num_heads,

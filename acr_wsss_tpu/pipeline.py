@@ -1,0 +1,150 @@
+"""One-command VOC pipeline: train -> CAM inference -> threshold-curve eval.
+
+The reference's config-of-record is an executable shell script chaining the
+three stages (``train_acr.sh:1-49``: train with vitb_hybrid / lr 0.05 /
+alpha 125 / crop 384 / 10 epochs / global batch 4, then ``infer_cam.py``
+with start_layer 10 / getam_func grad / affinity refinement, then
+``evaluation.py --curve``). This module is that script as a single CLI:
+
+    python -m acr_wsss_tpu.pipeline \
+        --IMpath <VOC JPEGImages> --gt_dir <SegmentationClassAug> \
+        --session_name acr_001
+
+``run_voc.sh`` at the repo root wraps it with the same defaults.
+Stages can be skipped (``--stages infer,eval``) to resume a pipeline after
+a completed training run, mirroring how the reference script was edited in
+practice.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from acr_wsss_tpu.configs import EvalConfig, InferConfig, ModelConfig, TrainConfig
+
+
+def run_pipeline(train_cfg: TrainConfig, infer_cfg: InferConfig,
+                 eval_cfg: EvalConfig, stages=("train", "infer", "eval")) -> None:
+    if "train" in stages:
+        from acr_wsss_tpu.train import train
+
+        train(train_cfg)
+    if "infer" in stages:
+        from acr_wsss_tpu.infer_cam import run as infer_run
+
+        infer_run(infer_cfg)
+    if "eval" in stages:
+        from acr_wsss_tpu import evaluate
+
+        names = evaluate.read_name_list(eval_cfg.name_list)
+        if eval_cfg.curve:
+            curves = evaluate.do_python_eval_curve(
+                eval_cfg.predict_dir, eval_cfg.gt_dir, names,
+                eval_cfg.num_classes, eval_cfg.input_type,
+                num_workers=eval_cfg.num_workers)
+            mious = [c["mIoU"] for c in curves]
+            for i, miou in enumerate(mious):
+                print("%d/60 background score: %.3f\tmIoU: %.3f%%"
+                      % (i, i / 100.0, miou))
+            evaluate.writelog(eval_cfg.logfile, {"mIoU": mious},
+                              eval_cfg.comment)
+            best = max(range(len(mious)), key=lambda i: mious[i])
+            print("best threshold %.2f -> mIoU %.3f%%"
+                  % (best / 100.0, mious[best]))
+        else:
+            loglist = evaluate.do_python_eval(
+                eval_cfg.predict_dir, eval_cfg.gt_dir, names,
+                eval_cfg.num_classes, eval_cfg.input_type,
+                eval_cfg.threshold, printlog=True,
+                num_workers=eval_cfg.num_workers)
+            evaluate.writelog(eval_cfg.logfile, loglist, eval_cfg.comment)
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="ACR WSSS pipeline (train_acr.sh config of record)")
+    # shared
+    parser.add_argument("--session_name", default="acr_001")
+    parser.add_argument("--backbone", default="vitb_hybrid")
+    parser.add_argument("--IMpath", required=True,
+                        help="VOC JPEGImages directory")
+    parser.add_argument("--gt_dir", required=True,
+                        help="SegmentationClassAug ground-truth directory")
+    parser.add_argument("--cls_labels", default="voc12/cls_labels.npy")
+    parser.add_argument("--crop_size", default=384, type=int)
+    parser.add_argument("--attn_impl", default="pallas",
+                        choices=["xla", "pallas"])
+    parser.add_argument("--stages", default="train,infer,eval",
+                        help="comma-separated subset of train,infer,eval")
+    # train (train_acr.sh:8-19)
+    parser.add_argument("--train_list", default="voc12/train_aug_id.txt")
+    parser.add_argument("--val_list", default="voc12/val_id.txt")
+    parser.add_argument("--lr", default=0.05, type=float)
+    parser.add_argument("--batch_size", default=4, type=int,
+                        help="global batch (reference: 1/GPU x 4 GPUs)")
+    parser.add_argument("--alpha", default=125.0, type=float)
+    parser.add_argument("--max_epoches", default=10, type=int)
+    parser.add_argument("--weight_dir", default="weight")
+    # infer (train_acr.sh:26-37)
+    parser.add_argument("--infer_list", default="voc12/train_id.txt")
+    parser.add_argument("--start_layer", default=10, type=int)
+    parser.add_argument("--getam_func", default="grad",
+                        choices=["grad", "grad_s", "cam_grad", "cam_grad_s"])
+    parser.add_argument("--out_cam", default="output/cam_npy")
+    parser.add_argument("--heatmap", default=None)
+    # eval (train_acr.sh:40-47)
+    parser.add_argument("--logfile", default="evallog.txt")
+    parser.add_argument("--comment", default=None)
+    parser.add_argument("--eval_threshold", default=None, type=float,
+                        help="single threshold instead of the 100-pt curve")
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    stages = tuple(s.strip() for s in args.stages.split(",") if s.strip())
+    model_cfg = ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl)
+    train_cfg = TrainConfig(
+        model=model_cfg,
+        crop_size=args.crop_size,
+        batch_size=args.batch_size,
+        max_epochs=args.max_epoches,
+        lr=args.lr,
+        alpha=args.alpha,
+        session_name=args.session_name,
+        checkpoint_dir=args.weight_dir,
+        image_dir=args.IMpath,
+        train_list=args.train_list,
+        val_list=args.val_list,
+        cls_labels_path=args.cls_labels,
+    )
+    infer_cfg = InferConfig(
+        model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl,
+                          scan_blocks=True),
+        weights=os.path.join(args.weight_dir, f"{args.session_name}_last.npz"),
+        crop_size=args.crop_size,
+        start_layer=args.start_layer,
+        getam_func=args.getam_func,
+        use_aff=True,
+        out_cam=args.out_cam,
+        heatmap=args.heatmap,
+        image_dir=args.IMpath,
+        infer_list=args.infer_list,
+        cls_labels_path=args.cls_labels,
+    )
+    eval_cfg = EvalConfig(
+        predict_dir=args.out_cam,
+        gt_dir=args.gt_dir,
+        name_list=args.infer_list,
+        logfile=args.logfile,
+        comment=args.comment if args.comment is not None else args.session_name,
+        input_type="npy",
+        threshold=args.eval_threshold,
+        curve=args.eval_threshold is None,
+    )
+    run_pipeline(train_cfg, infer_cfg, eval_cfg, stages)
+
+
+if __name__ == "__main__":
+    main()
