@@ -31,14 +31,23 @@ def load_image_rgb(path: str) -> np.ndarray:
 
 
 def resize_bilinear_np(img: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:
-    """PIL bilinear resize to (h, w); float path goes through PIL mode 'F'."""
+    """Bilinear resize to (h, w) in float32 — cv2 semantics, matching the
+    reference pipeline exactly (it casts to float and cv2.resize's,
+    ``myTool.py:1381-1386``; pure 2x2 bilinear, no antialiasing, no uint8
+    re-quantization). PIL 'F'-mode fallback when cv2 is unavailable."""
     h, w = size_hw
-    if img.dtype == np.uint8:
+    img = img.astype(np.float32, copy=False)
+    try:
+        import cv2
+
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        pass
+    if img.ndim == 2:
         return np.asarray(
-            Image.fromarray(img).resize((w, h), Image.BILINEAR)
-        )
+            Image.fromarray(img, mode="F").resize((w, h), Image.BILINEAR))
     chans = [
-        np.asarray(Image.fromarray(img[..., c].astype(np.float32), mode="F")
+        np.asarray(Image.fromarray(img[..., c], mode="F")
                    .resize((w, h), Image.BILINEAR))
         for c in range(img.shape[-1])
     ]

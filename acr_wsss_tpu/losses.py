@@ -173,20 +173,37 @@ def focal_loss_ignore(
     return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1)
 
 
-def hflip_window_permutations(n_cols: int, ws: int):
+def hflip_window_permutations(n_cols: int, ws: int, shift: int = 0):
     """Permutations un-mirroring window-attention exports.
 
-    For a horizontally flipped image on a window grid with ``n_cols``
-    window columns and window size ``ws``: window (r, c) shows the content
-    of original window (r, n_cols-1-c), and tokens inside a window permute
-    by column reversal. Returns (window_perm (n_cols,), token_perm (ws*ws,))
-    to be applied per window row / within-window token axes.
+    Non-shifted blocks (``shift=0``): on a horizontally flipped image,
+    window (r, c) shows the content of original window (r, n_cols-1-c),
+    tokens inside a window permute by column reversal.
+
+    Shifted blocks (roll-aware un-indexing): with roll -s, flipped-view
+    rolled column j equals original rolled column (W-1-2s-j) mod W. When
+    ``2*shift`` is a multiple of ``ws`` (true for even window sizes with
+    the standard shift = ws//2) this modular reversal maps ws-aligned
+    column blocks onto ws-aligned column blocks: window c -> window
+    (n_cols - 1 - 2*shift//ws - c) mod n_cols, with the same within-window
+    column reversal. The wrap-around window maps to itself and its two
+    attention-mask zones (each of width shift = ws/2) swap exactly, so the
+    masked structure corresponds entry-for-entry. Rows are untouched by a
+    horizontal flip, so the row roll is common to both views.
+
+    Raises for odd window sizes with a nonzero shift, where the mirrored
+    shifted partition genuinely straddles window boundaries.
 
     Extends the ACR all-pairs consistency (train_acr.py:143-161) to Swin
-    backbones — only valid for non-shifted blocks on grids divisible by ws
-    (a mirrored shifted-window partition is not a window permutation).
+    backbones; requires the padded grid to be divisible by ws with no
+    actual padding (the config-of-record swin_base_384 grids all are).
     """
-    window_perm = np.arange(n_cols)[::-1].copy()
+    if shift and (2 * shift) % ws != 0:
+        raise ValueError(
+            f"shifted-window flip un-indexing needs 2*shift % ws == 0 "
+            f"(got shift={shift}, ws={ws}); skip consistency on this block")
+    offset = (2 * shift) // ws
+    window_perm = (n_cols - 1 - offset - np.arange(n_cols)) % n_cols
     token_perm = hflip_token_permutation(ws, ws)
     return window_perm, token_perm
 
@@ -197,15 +214,17 @@ def swin_window_consistency_loss(
     n_rows: int,
     n_cols: int,
     ws: int,
+    shift: int = 0,
 ) -> jnp.ndarray:
     """L1 all-pairs consistency between a view and its mirror for one Swin
-    block's window-attention export.
+    block's window-attention export (shifted blocks included when the
+    roll-aware un-indexing applies — see ``hflip_window_permutations``).
 
     Args:
       probs1, probs2: (B, nW, ws*ws, ws*ws) head-mean window probs of the
         original and the horizontally flipped view; nW = n_rows * n_cols.
     """
-    wperm, tperm = hflip_window_permutations(n_cols, ws)
+    wperm, tperm = hflip_window_permutations(n_cols, ws, shift)
     full_wperm = (
         np.arange(n_rows)[:, None] * n_cols + wperm[None, :]
     ).reshape(-1)

@@ -356,8 +356,11 @@ def _fwd_kernel_nhd(q_ref, k_ref, v_ref, o_ref, e_ref, *, scale: float,
     hc = pl.program_id(1)
     D = head_dim
     n_pad = q_ref.shape[1] - n_valid
-    # accumulate this grid step's head contributions in fp32, then fold
-    # into the (possibly lower-precision) export block once
+    # fp32 export: accumulate heads straight into the VMEM export block
+    # (no extra (Np, Np) accumulator tile — VMEM is the binding constraint
+    # at 6 heads/block). bf16 export: stage the grid step's contributions
+    # in fp32 first, folding into the half-width block once.
+    stage_fp32 = e_ref.dtype != jnp.float32
     chunk_sum = None
     for h in range(heads_per_block):
         q = q_ref[0, :, h * D:(h + 1) * D]
@@ -373,17 +376,29 @@ def _fwd_kernel_nhd(q_ref, k_ref, v_ref, o_ref, e_ref, *, scale: float,
         o_ref[0, :, h * D:(h + 1) * D] = (o_unnorm * recip_z).astype(o_ref.dtype)
 
         contrib = p * (recip_z * (1.0 / num_heads))
-        chunk_sum = contrib if chunk_sum is None else chunk_sum + contrib
+        if stage_fp32:
+            chunk_sum = contrib if chunk_sum is None else chunk_sum + contrib
+        elif h == 0:
+            @pl.when(hc == 0)
+            def _():
+                e_ref[0] = contrib
 
-    chunk_sum = chunk_sum.astype(e_ref.dtype)
+            @pl.when(hc > 0)
+            def _():
+                e_ref[0] += contrib
+        else:
+            e_ref[0] += contrib
 
-    @pl.when(hc == 0)
-    def _():
-        e_ref[0] = chunk_sum
+    if stage_fp32:
+        chunk_sum = chunk_sum.astype(e_ref.dtype)
 
-    @pl.when(hc > 0)
-    def _():
-        e_ref[0] += chunk_sum
+        @pl.when(hc == 0)
+        def _():
+            e_ref[0] = chunk_sum
+
+        @pl.when(hc > 0)
+        def _():
+            e_ref[0] += chunk_sum
 
 
 def _bwd_kernel_nhd(q_ref, k_ref, v_ref, g_ref, de_ref, dq_ref, dk_ref,

@@ -4,9 +4,10 @@ BASELINE config #5 (SURVEY.md §7 step 10): the all-pairs consistency
 objective applied to a Swin trunk. Window attention maps are exported per
 block (``models/swin.py``); the flip un-indexing is a window-column
 permutation composed with a within-window column reversal
-(``losses.hflip_window_permutations``). Consistency is applied on
-non-shifted blocks only — a mirrored shifted-window partition is not a
-permutation of the original windows.
+(``losses.hflip_window_permutations``). Shifted blocks are covered by
+roll-aware un-indexing whenever 2*shift is a multiple of the window size
+(all even window sizes, e.g. swin_base_384's ws=12) — only odd-ws shifted
+blocks are skipped, where the mirrored partition straddles windows.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ from acr_wsss_tpu.train import TrainState
 
 
 def swin_block_layout(model, crop_size: int):
-    """Static (n_rows, n_cols, ws, shifted) per block for a square input."""
+    """Static (n_rows, n_cols, ws, shift) per block for a square input."""
     layout = []
     grid = crop_size // model.patch_size
     for si, depth in enumerate(model.depths):
@@ -31,7 +32,9 @@ def swin_block_layout(model, crop_size: int):
             ws = min(model.window_size, grid)
             pad = (ws - grid % ws) % ws
             g = grid + pad
-            layout.append((g // ws, g // ws, ws, bi % 2 == 1 and ws < grid))
+            shift = (model.window_size // 2
+                     if bi % 2 == 1 and ws < grid else 0)
+            layout.append((g // ws, g // ws, ws, shift))
         grid = (grid + 1) // 2
     return layout
 
@@ -51,11 +54,13 @@ def make_swin_train_step(model, cfg: TrainConfig, crop_size: int):
 
         cons = 0.0
         n_cons = 0
-        for probs, (nr, nc, ws, shifted) in zip(out["window_probs"], layout):
-            if shifted:
+        for probs, (nr, nc, ws, shift) in zip(out["window_probs"], layout):
+            if shift and (2 * shift) % ws != 0:
+                # Odd window size: the mirrored shifted partition straddles
+                # window boundaries — no exact un-indexing exists.
                 continue
             cons = cons + losses.swin_window_consistency_loss(
-                probs[:b], probs[b:], nr, nc, ws)
+                probs[:b], probs[b:], nr, nc, ws, shift=shift)
             n_cons += 1
         cons = cons / max(n_cons, 1)
         total = cls1 + cls2 + alpha * cons

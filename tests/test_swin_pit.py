@@ -82,3 +82,66 @@ def test_swin_train_step_builds(rng):
     state, parts = step(state, batch)
     assert np.isfinite(float(parts["loss"]))
     assert float(parts["window_consistency"]) >= 0
+
+
+def test_shifted_window_flip_permutation_exact():
+    """Roll-aware un-indexing: permuted SHIFTED windows of the mirrored
+    grid == shifted windows of the original (requires 2*shift % ws == 0)."""
+    H = W = 8
+    ws = 4
+    shift = 2
+    nC = nR = W // ws
+    ids = np.arange(H * W).reshape(1, H, W, 1).astype(np.float32)
+
+    def shifted_windows(x):
+        rolled = jnp.roll(jnp.asarray(x), (-shift, -shift), axis=(1, 2))
+        return np.asarray(window_partition(rolled, ws)).reshape(
+            nR * nC, ws * ws)
+
+    w_orig = shifted_windows(ids)
+    w_mir = shifted_windows(ids[:, :, ::-1])
+    wperm, tperm = hflip_window_permutations(nC, ws, shift=shift)
+    full = (np.arange(nR)[:, None] * nC + wperm[None, :]).reshape(-1)
+    np.testing.assert_array_equal(w_mir[full][:, tperm], w_orig)
+
+
+def test_shifted_window_attn_probs_match_after_unindexing(rng):
+    """End-to-end on the attention module: shifted-window attention probs
+    of a mirrored feature map equal the un-indexed probs of the original
+    (zeroed relative-position bias; the mask is position-dependent and must
+    correspond zone-for-zone under the roll-aware permutation)."""
+    from acr_wsss_tpu.models.swin import WindowAttention, _shift_mask
+
+    H = W = 8
+    ws = 4
+    shift = 2
+    C, heads = 16, 2
+    nC = nR = W // ws
+    feat = rng.normal(size=(1, H, W, C)).astype(np.float32)
+
+    wa = WindowAttention(C, heads, ws, dtype=jnp.float32)
+    dummy = jnp.zeros((nR * nC, ws * ws, C), jnp.float32)
+    params = wa.init(jax.random.key(0), dummy)
+    params = jax.tree.map(lambda x: x, params)
+    params["params"]["relative_position_bias_table"] = jnp.zeros_like(
+        params["params"]["relative_position_bias_table"])
+
+    mask = _shift_mask(H, W, ws, shift)
+
+    def shifted_probs(x):
+        rolled = jnp.roll(jnp.asarray(x), (-shift, -shift), axis=(1, 2))
+        windows = window_partition(rolled, ws).reshape(-1, ws * ws, C)
+        _, probs = wa.apply(params, windows, mask=mask, export="mean")
+        return np.asarray(probs)  # (nW, ws*ws, ws*ws)
+
+    p1 = shifted_probs(feat)
+    p2 = shifted_probs(feat[:, :, ::-1])
+    wperm, tperm = hflip_window_permutations(nC, ws, shift=shift)
+    full = (np.arange(nR)[:, None] * nC + wperm[None, :]).reshape(-1)
+    p2u = p2[full][:, tperm][:, :, tperm]
+    np.testing.assert_allclose(p2u, p1, atol=1e-5)
+
+
+def test_odd_window_shift_unindexing_raises():
+    with pytest.raises(ValueError):
+        hflip_window_permutations(4, 7, shift=3)
