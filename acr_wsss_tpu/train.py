@@ -96,10 +96,20 @@ def make_train_step(model: ACR, cfg: TrainConfig, grid: Tuple[int, int]):
 
 def make_eval_step(model: ACR):
     def eval_step(params, batch):
+        """Per-example MLSM losses + validity weights.
+
+        Taking a ``weight`` mask (instead of a mean over the batch) lets
+        the validation loop PAD remainder batches to the train batch size:
+        one compiled program regardless of len(val) % batch_size."""
         out = model.apply(params, batch["image"], method=model.forward_cls,
                           export="none")
-        loss = losses.multilabel_soft_margin_loss(out["logits"], batch["label"])
-        return loss
+        logits = out["logits"].astype(jnp.float32)
+        labels = batch["label"].astype(jnp.float32)
+        per_class = -(labels * jax.nn.log_sigmoid(logits)
+                      + (1.0 - labels) * jax.nn.log_sigmoid(-logits))
+        per_example = jnp.mean(per_class, axis=-1)
+        w = batch["weight"].astype(jnp.float32)
+        return jnp.sum(per_example * w), jnp.sum(w)
 
     return eval_step
 
@@ -277,16 +287,29 @@ def validate(cfg: TrainConfig, model: ACR, params, eval_step,
         _, val_names, labels = _dataset_setup(cfg)
     source = voc_data.VOCClassificationSource(
         cfg.val_image_dir or cfg.image_dir, labels, cfg.crop_size)
-    it = voc_data.EvalIterator(source, val_names,
-                               batch_size=max(cfg.batch_size, 1))
-    meter = AverageMeter("loss")
+    bs = max(cfg.batch_size, 1)
+    it = voc_data.EvalIterator(source, val_names, batch_size=bs)
+    total, count = 0.0, 0.0
     for batch in it:
-        loss = eval_step(params, {
-            "image": jnp.asarray(batch["image"]),
-            "label": jnp.asarray(batch["label"]),
+        n = batch["image"].shape[0]
+        image, label = batch["image"], batch["label"]
+        if n < bs:
+            # pad the remainder batch to the steady-state shape so
+            # eval_step compiles exactly once; padded rows carry weight 0.
+            pad = bs - n
+            image = np.concatenate(
+                [image, np.zeros((pad,) + image.shape[1:], image.dtype)])
+            label = np.concatenate(
+                [label, np.zeros((pad,) + label.shape[1:], label.dtype)])
+        weight = (np.arange(bs) < n).astype(np.float32)
+        s, c = eval_step(params, {
+            "image": jnp.asarray(image),
+            "label": jnp.asarray(label),
+            "weight": jnp.asarray(weight),
         })
-        meter.add({"loss": float(loss)})
-    return meter.pop("loss")
+        total += float(s)
+        count += float(c)
+    return total / max(count, 1.0)
 
 
 def parse_args(argv=None) -> TrainConfig:

@@ -1,6 +1,7 @@
 """Full training-loop integration: files -> iterator -> SPMD step ->
 checkpoint -> resume, on a tiny synthetic VOC-shaped dataset (CPU)."""
 
+import dataclasses
 import os
 
 import numpy as np
@@ -76,3 +77,33 @@ def test_train_loop_runs_checkpoints_and_resumes(tiny_voc, tmp_path):
     # the restored optimizer count, not a restart from zero.
     state2 = train(cfg)
     assert int(state2.step) == 4
+
+
+def test_validate_pads_remainder_single_compile(tiny_voc, tmp_path):
+    """Remainder val batches are padded+masked to the steady-state shape:
+    eval_step compiles exactly once (round-1 regression: one compile per
+    distinct remainder size)."""
+    import jax
+
+    from acr_wsss_tpu.data import voc as voc_data
+    from acr_wsss_tpu.train import (
+        create_train_state, make_eval_step, validate,
+    )
+
+    root, names = tiny_voc
+    cfg = _cfg(root, tmp_path)  # batch_size 4
+    model, state = create_train_state(cfg, max_step=10, rng=jax.random.key(0),
+                                      crop=cfg.crop_size)
+    eval_step = jax.jit(make_eval_step(model))
+    labels = voc_data.load_cls_labels(cfg.cls_labels_path)
+    loss = validate(cfg, model, state.params, eval_step,
+                    val_names=names[:6], labels=labels)  # 4 + remainder 2
+    assert np.isfinite(loss)
+    assert eval_step._cache_size() == 1
+
+    # padded rows must not influence the loss: same 6 names via batch 6
+    cfg6 = dataclasses.replace(_cfg(root, tmp_path), batch_size=6)
+    eval_step6 = jax.jit(make_eval_step(model))
+    loss6 = validate(cfg6, model, state.params, eval_step6,
+                     val_names=names[:6], labels=labels)
+    np.testing.assert_allclose(loss, loss6, rtol=1e-6)
