@@ -88,7 +88,8 @@ def getam_cams(
     Returns:
       cams: (K, B, N - start_index) per-slot CLS-row CAMs (ReLU'd).
       logits: (B, C).
-      patch_aff: (B, N - 1, N - 1) summed head-mean affinity.
+      patch_aff: (B, N - start_index, N - start_index) summed head-mean
+        affinity.
     """
     L, B, H, N, _ = offsets_shape
     zeros = jnp.zeros(offsets_shape, jnp.float32)
@@ -100,9 +101,13 @@ def getam_cams(
 
     # Σ_layers head-mean patch-to-patch block (reference infer_cam.py:164-165:
     # attn is already head-mean, then summed over heads--dim 1 is the layer
-    # axis of the (B, L, N, N) stack).
+    # axis of the (B, L, N, N) stack). Sliced at start_index so affinity
+    # refinement also works for 2-prefix backbones (deit_distilled) — the
+    # reference's fixed [1:, 1:] slice would shape-mismatch its own
+    # (N-2)-token CAM there (latent crash; it never ships that combo).
     probs_mean = jnp.mean(probs_full, axis=2)              # (L, B, N, N)
-    patch_aff = jnp.sum(probs_mean[:, :, 1:, 1:], axis=0)  # (B, N-1, N-1)
+    patch_aff = jnp.sum(
+        probs_mean[:, :, start_index:, start_index:], axis=0)
 
     logits_zero = jnp.zeros_like(logits)
     probs_zero = jnp.zeros_like(probs_full)
@@ -115,9 +120,7 @@ def getam_cams(
         cams = jnp.sum(per_layer[start_layer:], axis=0)     # (B, N, N)
         cls_cam = jax.nn.relu(cams[:, 0, start_index:])     # (B, N - start_index)
         if use_aff:
-            # (B, N-1, N-1) @ (B, N-1, 1); for start_index == 2 the reference
-            # would mismatch -- affinity refinement is defined for 1-prefix
-            # backbones (the shipped config).
+            # (B, N-s, N-s) @ (B, N-s) per batch item
             cls_cam = jnp.einsum("bnm,bm->bn", patch_aff, cls_cam)
         return cls_cam
 

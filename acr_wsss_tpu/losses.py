@@ -106,6 +106,63 @@ def acr_consistency_losses(
     return l1_loss(attn1_cls, attn2_cls), l1_loss(attn1_aff, attn2_aff)
 
 
+def acr_consistency_losses_layers(
+    probs_layers,
+    b: int,
+    grid: tuple,
+) -> tuple:
+    """Per-layer formulation of :func:`acr_consistency_losses` over the
+    UNSTACKED per-layer exports.
+
+    Materializing the (B, L, N, N) stack costs ~1 GB of pure data movement
+    per step at the flagship shape (stack + slice + rev each read+write the
+    whole tensor, and the backward mirrors them; measured ~30 ms/step plus
+    the remat pressure of holding multiple copies). Consuming the per-layer
+    (2b, N, N) exports directly keeps every tensor at 1/L size, fuses per
+    layer, and skips the stack/unstack entirely. Identical math: each layer
+    contributes its mean; layers are averaged (all layers have equal
+    element counts, so this equals the stacked global mean).
+    """
+    cls_sum = 0.0
+    aff_sum = 0.0
+    for probs in probs_layers:
+        a1, a2 = probs[:b], probs[b:]
+        a1_cls, a2_cls = a1[:, 0, 1:], a2[:, 0, 1:]
+        a1_aff, a2_aff = a1[:, 1:, 1:], a2[:, 1:, 1:]
+        a2_cls = _unflip_token_axis(a2_cls, grid, -1)
+        a2_aff = _unflip_token_axis(
+            _unflip_token_axis(a2_aff, grid, -2), grid, -1)
+        cls_sum = cls_sum + l1_loss(a1_cls, a2_cls)
+        aff_sum = aff_sum + l1_loss(a1_aff, a2_aff)
+    n = len(probs_layers)
+    return cls_sum / n, aff_sum / n
+
+
+def acr_total_loss_layers(
+    logits1: jnp.ndarray,
+    logits2: jnp.ndarray,
+    probs_layers,
+    labels: jnp.ndarray,
+    grid: tuple,
+    alpha: float,
+) -> tuple:
+    """ACR objective over per-layer attention exports (see
+    :func:`acr_consistency_losses_layers`); both views stacked on the batch
+    axis of each layer's (2b, N, N) export."""
+    b = labels.shape[0]
+    cls_loss_1 = multilabel_soft_margin_loss(logits1, labels)
+    cls_loss_2 = multilabel_soft_margin_loss(logits2, labels)
+    cls_align, aff_align = acr_consistency_losses_layers(probs_layers, b, grid)
+    total = cls_loss_1 + cls_loss_2 + alpha * cls_align + alpha * aff_align
+    return total, {
+        "cls_loss_1": cls_loss_1,
+        "cls_loss_2": cls_loss_2,
+        "cls_align_loss": cls_align,
+        "aff_align_loss": aff_align,
+        "loss": total,
+    }
+
+
 def acr_total_loss(
     logits1: jnp.ndarray,
     logits2: jnp.ndarray,

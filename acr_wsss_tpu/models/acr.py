@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -91,10 +91,16 @@ class ACR(nn.Module):
     attn_impl: str = "xla"
     scan_blocks: bool = False
     probs_dtype: Dtype = jnp.float32
+    # Override the backbone's tap (hook) indices — the reference exposes
+    # this as the per-backbone hooks table (``DPT/ACR.py:59-65``).
+    taps_override: Optional[Tuple[int, ...]] = None
 
     @property
     def spec(self) -> BackboneSpec:
-        return resolve_backbone(self.backbone_name)
+        spec = resolve_backbone(self.backbone_name)
+        if self.taps_override is not None:
+            spec = dataclasses.replace(spec, taps=tuple(self.taps_override))
+        return spec
 
     @property
     def start_index(self) -> int:
@@ -142,6 +148,7 @@ class ACR(nn.Module):
             "logits": logits,
             "patch_logits": patch_logits,
             "probs": out.get("probs"),
+            "probs_layers": out.get("probs_layers"),
             "taps": out["taps"],
             "grid": out["grid"],
         }

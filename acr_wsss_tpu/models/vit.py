@@ -260,7 +260,12 @@ class VisionTransformer(nn.Module):
         taps: Dict[int, jnp.ndarray] = {}
         probs_list = []
         if self.scan_blocks:
-            x, taps, probs = self._scan_trunk(x, probs_offsets, export)
+            x, taps, probs_lm = self._scan_trunk(x, probs_offsets, export)
+            if probs_lm is not None:
+                # layer-major (L, B, ...) ys; per-layer entries are slices.
+                probs_list = [probs_lm[i] for i in range(self.depth)]
+            probs = (jnp.moveaxis(probs_lm, 0, 1)
+                     if probs_lm is not None else None)
         else:
             for i in range(self.depth):
                 offset_i = None if probs_offsets is None else probs_offsets[i]
@@ -289,6 +294,11 @@ class VisionTransformer(nn.Module):
         if probs is not None:
             # (B, L, N, N) or (B, L, H, N, N)
             out["probs"] = probs
+            # Per-layer exports, unstacked: consuming these (training loss)
+            # avoids materializing the (B, L, N, N) stack — ~1 GB of pure
+            # data movement per step at the flagship shape. Unused outputs
+            # are dead-code-eliminated by XLA, so exporting both is free.
+            out["probs_layers"] = tuple(probs_list) if probs_list else None
         return out
 
     def _scan_trunk(self, x, probs_offsets, export):
@@ -314,6 +324,6 @@ class VisionTransformer(nn.Module):
         # and lets the Attention module take its fused-Pallas path.
         x, (layer_tokens, probs) = scanned(x, probs_offsets)
         taps = {i: layer_tokens[i] for i in self.taps}
-        # layer-major (L, B, ...) -> (B, L, ...)
-        probs = jnp.moveaxis(probs, 0, 1)
+        # layer-major (L, B, ...); the caller builds both the per-layer
+        # list (slices) and, on demand, the (B, L, ...) stacked view.
         return x, taps, probs

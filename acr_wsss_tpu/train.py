@@ -49,6 +49,7 @@ def build_model(cfg: ModelConfig) -> ACR:
         attn_impl=cfg.attn_impl,
         scan_blocks=cfg.scan_blocks,
         probs_dtype=jnp.dtype(cfg.probs_dtype),
+        taps_override=cfg.hooks,
     )
 
 
@@ -80,9 +81,16 @@ def make_train_step(model: ACR, cfg: TrainConfig, grid: Tuple[int, int]):
         out = model.apply(params, jnp.concatenate([x1, x2], axis=0),
                           method=model.forward_cls)
         logits1, logits2 = out["logits"][:b], out["logits"][b:]
-        attn1, attn2 = out["probs"][:b], out["probs"][b:]
-        total, parts = losses.acr_total_loss(
-            logits1, logits2, attn1, attn2, batch["label"], perm, alpha)
+        if out.get("probs_layers") is not None:
+            # per-layer consistency: avoids materializing the (B, L, N, N)
+            # stack (see losses.acr_consistency_losses_layers)
+            total, parts = losses.acr_total_loss_layers(
+                logits1, logits2, out["probs_layers"], batch["label"],
+                grid, alpha)
+        else:
+            attn1, attn2 = out["probs"][:b], out["probs"][b:]
+            total, parts = losses.acr_total_loss(
+                logits1, logits2, attn1, attn2, batch["label"], perm, alpha)
         return total, parts
 
     def train_step(state: TrainState, batch):

@@ -88,3 +88,29 @@ def test_acr_total_loss_components(rng):
     assert abs(float(parts["aff_align_loss"]) - aff_align) < 1e-6
     expected = cls1 + cls2 + 125.0 * (cls_align + aff_align)
     assert abs(float(total) - expected) < 1e-4
+
+
+def test_layerwise_consistency_equals_stacked(rng):
+    """acr_total_loss_layers (per-layer, stack-free) == acr_total_loss on
+    the stacked tensor."""
+    import jax.numpy as jnp
+
+    from acr_wsss_tpu import losses
+
+    b, L, p = 2, 3, 4
+    N = p * p + 1
+    probs = jnp.asarray(rng.random((2 * b, L, N, N)).astype(np.float32))
+    logits = jnp.asarray(rng.normal(size=(2 * b, 20)).astype(np.float32))
+    labels = (rng.random((b, 20)) > 0.7).astype(np.float32)
+    perm = jnp.asarray(losses.hflip_token_permutation(p, p))
+
+    total_stacked, parts_s = losses.acr_total_loss(
+        logits[:b], logits[b:], probs[:b], probs[b:], labels, perm, 125.0)
+    layers = tuple(probs[:, i] for i in range(L))
+    total_layers, parts_l = losses.acr_total_loss_layers(
+        logits[:b], logits[b:], layers, labels, (p, p), 125.0)
+    np.testing.assert_allclose(float(total_layers), float(total_stacked),
+                               rtol=1e-5)
+    for k in parts_s:
+        np.testing.assert_allclose(float(parts_l[k]), float(parts_s[k]),
+                                   rtol=1e-5, err_msg=k)
