@@ -174,9 +174,17 @@ class ACR(nn.Module):
         (reference ``DPT/ACR.py:170-174`` runs two sequential forwards)."""
         b = x1.shape[0]
         out = self.forward_cls(jnp.concatenate([x1, x2], axis=0), export=export)
-        first = {k: (v[:b] if isinstance(v, jnp.ndarray) else v)
+
+        def view(v, sl):
+            if isinstance(v, jnp.ndarray):
+                return v[sl]
+            if isinstance(v, tuple):  # per-layer exports
+                return tuple(p[sl] for p in v)
+            return v
+
+        first = {k: view(v, slice(None, b))
                  for k, v in out.items() if k != "taps"}
-        second = {k: (v[b:] if isinstance(v, jnp.ndarray) else v)
+        second = {k: view(v, slice(b, None))
                   for k, v in out.items() if k != "taps"}
         return first, second
 

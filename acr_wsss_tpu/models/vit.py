@@ -94,6 +94,9 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, probs_offset=None, export="mean"):
+        # fp32 LN + cast: measured equal to a fused fp32-stats/bf16-out
+        # LayerNorm on the v5e train step (87.6 vs 86.6 img/s) — XLA
+        # already fuses the cast into the consumer.
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h, probs = Attention(
             self.dim, self.num_heads, self.qkv_bias, self.dtype,

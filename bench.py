@@ -76,12 +76,24 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * steps / dt
-    print(json.dumps({
+
+    # MFU vs the v5e bf16 peak (197 TFLOP/s), from XLA's own cost model of
+    # the compiled step (includes fwd+bwd+update and any remat).
+    record = {
         "metric": "train_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC_PER_CHIP, 3),
-    }))
+    }
+    try:
+        cost = train_step.lower(state, batch_data).compile().cost_analysis()
+        flops_per_step = float(cost.get("flops", 0.0))
+        if flops_per_step > 0:
+            record["mfu"] = round(
+                flops_per_step * steps / dt / 197e12, 4)
+    except Exception:
+        pass  # cost analysis is advisory; never fail the bench on it
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
