@@ -1,0 +1,266 @@
+"""Classic CNN backbone families: ResNet (v1), VGG, DenseNet.
+
+Clean-room flax counterparts of the reference zoo's most-used CNN families
+(vendored timm 0.4.5: ``models/resnet.py:1-1440``, ``models/vgg.py:1-260``,
+``models/densenet.py:1-387``) so these registry names resolve to real
+models instead of stubs. Contract shared with the other backbones:
+``__call__`` returns ``{"logits", "features", "taps"}`` with ``taps``
+holding the four stage outputs (the feature-pyramid hook points).
+
+BatchNorm and distribution: torch's SyncBatchNorm conversion
+(``train_acr.py:95``) becomes the ``bn_axis_name`` attribute — set it to a
+mesh axis name ('data') and the batch statistics are averaged across that
+axis inside the compiled program (``nn.BatchNorm(axis_name=...)``); leave
+it None for per-device stats. Train steps must thread the ``batch_stats``
+collection (``mutable=["batch_stats"]``); evaluation uses running
+averages.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from acr_wsss_tpu.models.layers import max_pool_same
+from acr_wsss_tpu.models.registry import register_model
+
+Dtype = Any
+
+
+class ConvBN(nn.Module):
+    """Conv (no bias) + BatchNorm (+ optional ReLU), torch defaults
+    (momentum 0.1 -> flax momentum 0.9, eps 1e-5)."""
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    apply_act: bool = True
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel_size
+        x = nn.Conv(self.features, (k, k), strides=(self.strides,) * 2,
+                    padding=[(k // 2, k // 2)] * 2, use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, axis_name=self.bn_axis_name if train else None,
+            name="bn")(x)
+        if self.apply_act:
+            x = nn.relu(x)
+        return x.astype(self.dtype)
+
+
+class ResNetBottleneck(nn.Module):
+    """torch-style v1 bottleneck (1x1 reduce -> 3x3 -> 1x1 expand, post-BN
+    residual; stride on the 3x3 per torchvision/timm)."""
+
+    out_chs: int
+    stride: int = 1
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = self.out_chs // 4
+        shortcut = x
+        if self.stride != 1 or x.shape[-1] != self.out_chs:
+            shortcut = ConvBN(self.out_chs, 1, self.stride, apply_act=False,
+                              dtype=self.dtype,
+                              bn_axis_name=self.bn_axis_name,
+                              name="downsample")(x, train)
+        y = ConvBN(mid, 1, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                   name="conv1")(x, train)
+        y = ConvBN(mid, 3, self.stride, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="conv2")(y, train)
+        y = ConvBN(self.out_chs, 1, apply_act=False, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="conv3")(y, train)
+        return nn.relu(y + shortcut).astype(self.dtype)
+
+
+class ResNetBasicBlock(nn.Module):
+    """Two 3x3 convs (resnet18/34)."""
+
+    out_chs: int
+    stride: int = 1
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        shortcut = x
+        if self.stride != 1 or x.shape[-1] != self.out_chs:
+            shortcut = ConvBN(self.out_chs, 1, self.stride, apply_act=False,
+                              dtype=self.dtype,
+                              bn_axis_name=self.bn_axis_name,
+                              name="downsample")(x, train)
+        y = ConvBN(self.out_chs, 3, self.stride, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="conv1")(x, train)
+        y = ConvBN(self.out_chs, 3, apply_act=False, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="conv2")(y, train)
+        return nn.relu(y + shortcut).astype(self.dtype)
+
+
+class ResNet(nn.Module):
+    """ResNet v1 classifier (reference ``models/resnet.py:1440``)."""
+
+    num_classes: int = 1000
+    layers: Sequence[int] = (3, 4, 6, 3)
+    bottleneck: bool = True
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        x = x.astype(self.dtype)
+        x = ConvBN(64, 7, 2, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="stem")(x, train)
+        x = max_pool_same(x, window=3, stride=2)
+
+        block = ResNetBottleneck if self.bottleneck else ResNetBasicBlock
+        widths = (256, 512, 1024, 2048) if self.bottleneck else (64, 128, 256, 512)
+        taps: Dict[int, jnp.ndarray] = {}
+        for si, (depth, width) in enumerate(zip(self.layers, widths)):
+            for bi in range(depth):
+                x = block(width, stride=2 if bi == 0 and si > 0 else 1,
+                          dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                          name=f"layer{si + 1}_{bi}")(x, train)
+            taps[si] = x
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          name="fc")(pooled)
+        return {"logits": logits, "features": x, "taps": taps}
+
+
+class VGG(nn.Module):
+    """VGG classifier (reference ``models/vgg.py:260``); conv cfg lists use
+    'M' for maxpool, channel ints otherwise."""
+
+    num_classes: int = 1000
+    cfg: Sequence = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                     512, 512, 512, "M", 512, 512, 512, "M")
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        x = x.astype(self.dtype)
+        taps: Dict[int, jnp.ndarray] = {}
+        stage = 0
+        ci = 0
+        for item in self.cfg:
+            if item == "M":
+                taps[stage] = x
+                stage += 1
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            else:
+                x = nn.relu(nn.Conv(int(item), (3, 3), padding="SAME",
+                                    dtype=self.dtype, name=f"conv{ci}")(x))
+                ci += 1
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        h = nn.relu(nn.Dense(4096, dtype=jnp.float32, name="fc1")(pooled))
+        h = nn.relu(nn.Dense(4096, dtype=jnp.float32, name="fc2")(h))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc3")(h)
+        return {"logits": logits, "features": x,
+                "taps": {k: v for k, v in taps.items() if k >= stage - 4}}
+
+
+class DenseLayer(nn.Module):
+    growth_rate: int
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="norm1")(x)
+        y = nn.Conv(4 * self.growth_rate, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(nn.relu(y).astype(self.dtype))
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="norm2")(y)
+        y = nn.Conv(self.growth_rate, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv2")(nn.relu(y).astype(self.dtype))
+        return jnp.concatenate([x, y.astype(x.dtype)], axis=-1)
+
+
+class DenseNet(nn.Module):
+    """DenseNet classifier (reference ``models/densenet.py:387``)."""
+
+    num_classes: int = 1000
+    growth_rate: int = 32
+    block_config: Sequence[int] = (6, 12, 24, 16)
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        x = x.astype(self.dtype)
+        x = ConvBN(2 * self.growth_rate, 7, 2, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="stem")(x, train)
+        x = max_pool_same(x, window=3, stride=2)
+        taps: Dict[int, jnp.ndarray] = {}
+        for si, depth in enumerate(self.block_config):
+            for bi in range(depth):
+                x = DenseLayer(self.growth_rate, dtype=self.dtype,
+                               bn_axis_name=self.bn_axis_name,
+                               name=f"block{si}_layer{bi}")(x, train)
+            taps[si] = x
+            if si < len(self.block_config) - 1:
+                x = ConvBN(x.shape[-1] // 2, 1, apply_act=True,
+                           dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                           name=f"transition{si}")(x, train)
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          name="classifier")(pooled)
+        return {"logits": logits, "features": x, "taps": taps}
+
+
+@register_model
+def resnet18(**kwargs):
+    return ResNet(layers=(2, 2, 2, 2), bottleneck=False, **kwargs)
+
+
+@register_model
+def resnet34(**kwargs):
+    return ResNet(layers=(3, 4, 6, 3), bottleneck=False, **kwargs)
+
+
+@register_model
+def resnet50(**kwargs):
+    return ResNet(layers=(3, 4, 6, 3), **kwargs)
+
+
+@register_model
+def resnet101(**kwargs):
+    return ResNet(layers=(3, 4, 23, 3), **kwargs)
+
+
+@register_model
+def vgg16(**kwargs):
+    return VGG(cfg=(64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                    512, 512, 512, "M", 512, 512, 512, "M"), **kwargs)
+
+
+@register_model
+def vgg19(**kwargs):
+    return VGG(cfg=(64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+                    512, 512, 512, 512, "M", 512, 512, 512, 512, "M"),
+               **kwargs)
+
+
+@register_model
+def densenet121(**kwargs):
+    return DenseNet(block_config=(6, 12, 24, 16), **kwargs)
+
+
+@register_model
+def densenet169(**kwargs):
+    return DenseNet(block_config=(6, 12, 32, 32), **kwargs)

@@ -54,13 +54,16 @@ def create_model(name: str, **kwargs):
 # families so the nominal surface is discoverable.
 # ---------------------------------------------------------------------------
 
+# resnet / vgg / densenet graduated to real implementations
+# (``models/cnn.py``), as did resnetv2 (``models/hybrid.py``), swin and
+# pit; the rest remain named stubs.
 _STUB_FAMILIES = (
-    "byoanet", "byobnet", "coat", "cspnet", "densenet", "dla", "dpn",
+    "byoanet", "byobnet", "coat", "cspnet", "dla", "dpn",
     "efficientnet", "ghostnet", "gluon_resnet", "gluon_xception",
     "hardcorenas", "hrnet", "inception_resnet_v2", "inception_v3",
     "inception_v4", "mobilenetv3", "nasnet", "nfnet", "pnasnet", "regnet",
-    "res2net", "resnest", "resnet", "rexnet", "selecsls", "senet", "sknet",
-    "tnt", "tresnet", "vgg", "vovnet", "xception", "xception_aligned",
+    "res2net", "resnest", "rexnet", "selecsls", "senet", "sknet",
+    "tnt", "tresnet", "vovnet", "xception", "xception_aligned",
 )
 
 

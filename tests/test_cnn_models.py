@@ -1,0 +1,72 @@
+"""Classic CNN families (resnet/vgg/densenet): shapes, BN state, SyncBN."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acr_wsss_tpu.models.registry import create_model
+
+
+@pytest.mark.parametrize("name,final_chs", [
+    ("resnet18", 512), ("resnet50", 2048),
+    ("densenet121", 1024),
+])
+def test_cnn_forward_and_bn_state(name, final_chs, rng):
+    model = create_model(name, num_classes=10, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=True)
+    assert "batch_stats" in variables
+
+    out, updates = model.apply(variables, x, train=True,
+                               mutable=["batch_stats"])
+    assert out["logits"].shape == (2, 10)
+    assert out["features"].shape[-1] == final_chs
+    assert len(out["taps"]) == 4
+    # running stats actually moved
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(updates["batch_stats"])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+    # eval: deterministic, no mutation needed
+    e1 = model.apply(variables, x, train=False)
+    e2 = model.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(e1["logits"]),
+                                  np.asarray(e2["logits"]))
+
+
+def test_vgg_forward(rng):
+    model = create_model("vgg16", num_classes=7, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    out = model.apply(variables, x)
+    assert out["logits"].shape == (1, 7)
+    assert out["features"].shape == (1, 2, 2, 512)
+
+
+def test_sync_batchnorm_cross_replica_stats(rng):
+    """bn_axis_name averages batch statistics across the named axis (the
+    SyncBatchNorm equivalent, reference ``train_acr.py:95``): per-replica
+    batches with different distributions must produce identical (global)
+    normalization statistics on every replica."""
+    from acr_wsss_tpu.models.cnn import ConvBN
+
+    layer = ConvBN(4, 1, apply_act=False, dtype=jnp.float32,
+                   bn_axis_name="data")
+    # two "replicas" with very different means
+    x = jnp.stack([
+        jnp.ones((2, 4, 4, 3)) * 5.0,
+        jnp.ones((2, 4, 4, 3)) * -3.0,
+    ])  # (replica, B, H, W, C)
+    variables = layer.init(jax.random.key(0), x[0], train=False)
+
+    def fwd(xi):
+        _, updates = layer.apply(variables, xi, train=True,
+                                 mutable=["batch_stats"])
+        return updates["batch_stats"]["bn"]["mean"]
+
+    means = jax.vmap(fwd, axis_name="data")(x)
+    # identical running means on both replicas = stats were psum'd
+    np.testing.assert_allclose(np.asarray(means[0]), np.asarray(means[1]),
+                               rtol=1e-6)
