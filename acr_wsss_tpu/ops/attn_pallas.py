@@ -541,3 +541,188 @@ def fused_attention_nhd(q, k, v, scale, num_heads, export: str = "mean",
     out, exported = _attention_mean_export_nhd(q, k, v, scale, num_heads,
                                                probs_dtype)
     return out, (exported if export == "mean" else None)
+
+
+# ---------------------------------------------------------------------------
+# Joint-qkv entry: one (B, N, 3*H*D) operand straight from the projection
+# ---------------------------------------------------------------------------
+# Splitting the fused qkv Dense output into q/k/v and padding each to the
+# lane multiple costs six full-tensor copies per layer around the custom
+# call (plus the mirrored slices in the backward). This entry consumes the
+# projection's joint output with ONE pad, views it as (B, Np, 3, H*D)
+# (free, contiguous) so q/k/v head chunks arrive as statically-sliced
+# blocks, and emits the backward's dqkv jointly so it feeds the
+# projection's transpose directly.
+
+def _fwd_kernel_qkv(qkv_ref, o_ref, e_ref, acc_ref, *, scale: float,
+                    n_valid: int, num_heads: int, heads_per_block: int,
+                    head_dim: int):
+    # qkv_ref block: (1, Np, 3, hb*D) — [:, :, 0] = q, 1 = k, 2 = v chunks
+    hc = pl.program_id(1)
+    D = head_dim
+    n_pad = qkv_ref.shape[1] - n_valid
+    for h in range(heads_per_block):
+        q = qkv_ref[0, :, 0, h * D:(h + 1) * D]
+        k = qkv_ref[0, :, 1, h * D:(h + 1) * D]
+        v = qkv_ref[0, :, 2, h * D:(h + 1) * D]
+
+        p, recip_z = _softmax_parts(q, k, scale, n_pad)
+        o_unnorm = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, h * D:(h + 1) * D] = (o_unnorm * recip_z).astype(o_ref.dtype)
+
+        contrib = p * (recip_z * (1.0 / num_heads))
+        if h == 0:
+            @pl.when(hc == 0)
+            def _():
+                acc_ref[...] = contrib
+
+            @pl.when(hc > 0)
+            def _():
+                acc_ref[...] += contrib
+        else:
+            acc_ref[...] += contrib
+
+    @pl.when(hc == num_heads // heads_per_block - 1)
+    def _():
+        e_ref[0] = acc_ref[...].astype(e_ref.dtype)
+
+
+def _bwd_kernel_qkv(qkv_ref, g_ref, de_ref, dqkv_ref, *, scale: float,
+                    n_valid: int, num_heads: int, heads_per_block: int,
+                    head_dim: int):
+    de = de_ref[0].astype(jnp.float32) * (1.0 / num_heads)
+    D = head_dim
+    n_pad = qkv_ref.shape[1] - n_valid
+    for h in range(heads_per_block):
+        q = qkv_ref[0, :, 0, h * D:(h + 1) * D]
+        k = qkv_ref[0, :, 1, h * D:(h + 1) * D]
+        v = qkv_ref[0, :, 2, h * D:(h + 1) * D]
+        g = g_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32)
+
+        p, recip_z = _softmax_parts(q, k, scale, n_pad)
+
+        gz = g * recip_z
+        dqkv_ref[0, :, 2, h * D:(h + 1) * D] = jax.lax.dot_general(
+            p, gz, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dqkv_ref.dtype)
+
+        dp = jax.lax.dot_general(
+            g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + de
+        c = jnp.sum(dp * p, axis=-1, keepdims=True) * recip_z
+        ds = p * ((dp - c) * recip_z)
+
+        dqkv_ref[0, :, 0, h * D:(h + 1) * D] = (jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 1, h * D:(h + 1) * D] = (jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dqkv_ref.dtype)
+
+
+def _fwd_qkv(qkv, scale, num_heads, probs_dtype):
+    B, N, HD3 = qkv.shape
+    HD = HD3 // 3
+    D = HD // num_heads
+    Np = _round_up(N, LANE)
+    qkv4 = _pad_axis(qkv, 1, Np).reshape(B, Np, 3, HD)
+    hb = _block_heads(num_heads, D, _FWD_HEADS_PER_BLOCK)
+
+    kernel = functools.partial(
+        _fwd_kernel_qkv, scale=scale, n_valid=N, num_heads=num_heads,
+        heads_per_block=hb, head_dim=D)
+    spec_qkv = pl.BlockSpec((1, Np, 3, hb * D), lambda b, h: (b, 0, 0, h),
+                            memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((1, Np, hb * D), lambda b, h: (b, 0, h),
+                          memory_space=pltpu.VMEM)
+    out, exported = pl.pallas_call(
+        kernel,
+        grid=(B, num_heads // hb),
+        in_specs=[spec_qkv],
+        out_specs=[
+            spec_o,
+            pl.BlockSpec((1, Np, Np), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Np, HD), qkv.dtype),
+            jax.ShapeDtypeStruct((B, Np, Np), probs_dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((Np, Np), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * num_heads * Np * Np * D,
+            bytes_accessed=B * Np * HD3 * 2 + B * Np * Np * 4,
+            transcendentals=B * num_heads * Np * Np,
+        ),
+    )(qkv4)
+    return out[:, :N], exported[:, :N, :N]
+
+
+def _bwd_qkv(num_heads, scale, probs_dtype, residuals, cotangents):
+    (qkv,) = residuals
+    g, de = cotangents
+    B, N, HD3 = qkv.shape
+    HD = HD3 // 3
+    D = HD // num_heads
+    Np = _round_up(N, LANE)
+    qkv4 = _pad_axis(qkv, 1, Np).reshape(B, Np, 3, HD)
+    gp = _pad_axis(g, 1, Np)
+    if de is None:
+        de = jnp.zeros((B, N, N), jnp.float32)
+    dep = _pad_axis(_pad_axis(de.astype(jnp.float32), 1, Np), 2, Np)
+    hb = _block_heads(num_heads, D, _BWD_HEADS_PER_BLOCK)
+
+    kernel = functools.partial(
+        _bwd_kernel_qkv, scale=scale, n_valid=N, num_heads=num_heads,
+        heads_per_block=hb, head_dim=D)
+    spec_qkv = pl.BlockSpec((1, Np, 3, hb * D), lambda b, h: (b, 0, 0, h),
+                            memory_space=pltpu.VMEM)
+    spec_g = pl.BlockSpec((1, Np, hb * D), lambda b, h: (b, 0, h),
+                          memory_space=pltpu.VMEM)
+    spec_e = pl.BlockSpec((1, Np, Np), lambda b, h: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    (dqkv4,) = pl.pallas_call(
+        kernel,
+        grid=(B, num_heads // hb),
+        in_specs=[spec_qkv, spec_g, spec_e],
+        out_specs=[spec_qkv],
+        out_shape=[jax.ShapeDtypeStruct((B, Np, 3, HD), qkv.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * num_heads * Np * Np * D,
+            bytes_accessed=B * Np * HD3 * 2 * 2 + B * Np * Np * 4,
+            transcendentals=B * num_heads * Np * Np,
+        ),
+    )(qkv4, gp, dep)
+    return (dqkv4.reshape(B, Np, HD3)[:, :N],)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _attention_mean_export_qkv(qkv, scale, num_heads, probs_dtype):
+    return _fwd_qkv(qkv, scale, num_heads, probs_dtype)
+
+
+def _attention_fwd_rule_qkv(qkv, scale, num_heads, probs_dtype):
+    return _fwd_qkv(qkv, scale, num_heads, probs_dtype), (qkv,)
+
+
+def _bwd_rule_qkv(scale, num_heads, probs_dtype, residuals, cotangents):
+    return _bwd_qkv(num_heads, scale, probs_dtype, residuals, cotangents)
+
+
+_attention_mean_export_qkv.defvjp(_attention_fwd_rule_qkv, _bwd_rule_qkv)
+
+
+def fused_attention_qkv(qkv, scale, num_heads, export: str = "mean",
+                        probs_dtype=jnp.float32):
+    """Attention over the JOINT (B, N, 3*H*D) projection output (layout
+    [q | k | v] on the feature axis, matching a fused qkv Dense). Returns
+    (out (B, N, H*D), head-mean probs (B, N, N))."""
+    out, exported = _attention_mean_export_qkv(qkv, scale, num_heads,
+                                               probs_dtype)
+    return out, (exported if export == "mean" else None)
