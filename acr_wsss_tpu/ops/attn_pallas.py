@@ -590,9 +590,12 @@ def _fwd_kernel_qkv(qkv_ref, o_ref, e_ref, acc_ref, *, scale: float,
         e_ref[0] = acc_ref[...].astype(e_ref.dtype)
 
 
-def _bwd_kernel_qkv(qkv_ref, g_ref, de_ref, dqkv_ref, *, scale: float,
-                    n_valid: int, num_heads: int, heads_per_block: int,
-                    head_dim: int):
+def _bwd_kernel_qkv(qkv_ref, g_ref, de_ref, dq_ref, dk_ref, dv_ref, *,
+                    scale: float, n_valid: int, num_heads: int,
+                    heads_per_block: int, head_dim: int):
+    # Reads come from the joint 4-D view (Mosaic handles middle-dim loads);
+    # STORES to middle-dim slices of a 4-D block do not lower, so the three
+    # gradients are emitted as separate arrays and joined by the wrapper.
     de = de_ref[0].astype(jnp.float32) * (1.0 / num_heads)
     D = head_dim
     n_pad = qkv_ref.shape[1] - n_valid
@@ -605,9 +608,9 @@ def _bwd_kernel_qkv(qkv_ref, g_ref, de_ref, dqkv_ref, *, scale: float,
         p, recip_z = _softmax_parts(q, k, scale, n_pad)
 
         gz = g * recip_z
-        dqkv_ref[0, :, 2, h * D:(h + 1) * D] = jax.lax.dot_general(
+        dv_ref[0, :, h * D:(h + 1) * D] = jax.lax.dot_general(
             p, gz, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dqkv_ref.dtype)
+        ).astype(dv_ref.dtype)
 
         dp = jax.lax.dot_general(
             g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
@@ -616,14 +619,14 @@ def _bwd_kernel_qkv(qkv_ref, g_ref, de_ref, dqkv_ref, *, scale: float,
         c = jnp.sum(dp * p, axis=-1, keepdims=True) * recip_z
         ds = p * ((dp - c) * recip_z)
 
-        dqkv_ref[0, :, 0, h * D:(h + 1) * D] = (jax.lax.dot_general(
+        dq_ref[0, :, h * D:(h + 1) * D] = (jax.lax.dot_general(
             ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale).astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, 1, h * D:(h + 1) * D] = (jax.lax.dot_general(
+        ) * scale).astype(dq_ref.dtype)
+        dk_ref[0, :, h * D:(h + 1) * D] = (jax.lax.dot_general(
             ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale).astype(dqkv_ref.dtype)
+        ) * scale).astype(dk_ref.dtype)
 
 
 def _fwd_qkv(qkv, scale, num_heads, probs_dtype):
@@ -687,19 +690,19 @@ def _bwd_qkv(num_heads, scale, probs_dtype, residuals, cotangents):
                           memory_space=pltpu.VMEM)
     spec_e = pl.BlockSpec((1, Np, Np), lambda b, h: (b, 0, 0),
                           memory_space=pltpu.VMEM)
-    (dqkv4,) = pl.pallas_call(
+    dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(B, num_heads // hb),
         in_specs=[spec_qkv, spec_g, spec_e],
-        out_specs=[spec_qkv],
-        out_shape=[jax.ShapeDtypeStruct((B, Np, 3, HD), qkv.dtype)],
+        out_specs=[spec_g, spec_g, spec_g],
+        out_shape=[jax.ShapeDtypeStruct((B, Np, HD), qkv.dtype)] * 3,
         cost_estimate=pl.CostEstimate(
             flops=5 * 2 * B * num_heads * Np * Np * D,
             bytes_accessed=B * Np * HD3 * 2 * 2 + B * Np * Np * 4,
             transcendentals=B * num_heads * Np * Np,
         ),
     )(qkv4, gp, dep)
-    return (dqkv4.reshape(B, Np, HD3)[:, :N],)
+    return (jnp.concatenate([dq[:, :N], dk[:, :N], dv[:, :N]], axis=-1),)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
