@@ -59,13 +59,17 @@ class Attention(nn.Module):
 
         if (self.impl == "pallas" and probs_offset is None
                 and export in ("mean", "none")):
-            # Transpose-free joint path: the fused kernel consumes the qkv
-            # Dense output (B, N, 3*H*D) directly — no q/k/v splits, no
-            # per-operand pads, and one joint dqkv in the backward.
-            from acr_wsss_tpu.ops.attn_pallas import fused_attention_qkv
+            # Transpose-free path: the fused kernel consumes/produces the
+            # (B, N, H*D) layout the projections use, so no (B,H,N,D)
+            # relayouts get materialized around the custom call.
+            # (The joint-qkv entry — fused_attention_qkv — measured SLOWER
+            # end to end: 77 vs 97 img/s at batch 24; the strided 4-D
+            # block DMA costs more than the splits/pads it saves.)
+            from acr_wsss_tpu.ops.attn_pallas import fused_attention_nhd
 
-            out, probs = fused_attention_qkv(
-                qkv, scale, self.num_heads, export=export,
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            out, probs = fused_attention_nhd(
+                q, k, v, scale, self.num_heads, export=export,
                 probs_dtype=self.probs_dtype)
         else:
             qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)

@@ -551,8 +551,12 @@ def fused_attention_nhd(q, k, v, scale, num_heads, export: str = "mean",
 # call (plus the mirrored slices in the backward). This entry consumes the
 # projection's joint output with ONE pad, views it as (B, Np, 3, H*D)
 # (free, contiguous) so q/k/v head chunks arrive as statically-sliced
-# blocks, and emits the backward's dqkv jointly so it feeds the
-# projection's transpose directly.
+# blocks, and emits the backward's dq/dk/dv which the wrapper joins.
+#
+# MEASURED SLOWER end to end than the split entry (77 vs 97 img/s on the
+# batch-24 v5e train step): the strided 4-D block DMA costs more than the
+# splits/pads it saves. Kept because the entry is correct, tested, and the
+# right starting point if Mosaic's strided-block DMA improves.
 
 def _fwd_kernel_qkv(qkv_ref, o_ref, e_ref, acc_ref, *, scale: float,
                     n_valid: int, num_heads: int, heads_per_block: int,
