@@ -311,7 +311,7 @@ def fused_attention_with_probs(
 # the kernel sits inside the full train-step program. Stay at the sizes
 # that compile everywhere.
 _FWD_HEADS_PER_BLOCK = 4
-_BWD_HEADS_PER_BLOCK = 2
+_BWD_HEADS_PER_BLOCK = 4
 
 
 def _block_heads(num_heads: int, head_dim: int, target: int) -> int:

