@@ -69,6 +69,11 @@ def _unflip_token_axis(x: jnp.ndarray, grid: tuple, axis: int) -> jnp.ndarray:
     return jnp.flip(x.reshape(shape), axis=axis + 1).reshape(x.shape)
 
 
+# (A single multi-dim rev over a (..., p, q, p, q) view measured SLOWER
+# than two sequential single-axis reversals on v5e — 94.4 vs 96.8 img/s on
+# the train step; the interleaved stride pattern defeats the rev's tiling.)
+
+
 def acr_consistency_losses(
     attn1: jnp.ndarray,
     attn2: jnp.ndarray,
