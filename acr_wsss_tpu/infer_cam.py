@@ -161,6 +161,96 @@ def process_image(
     return cam_dict, patch_dict, rgb
 
 
+def process_images_batched(
+    infer_fn,
+    img_paths: Sequence[str],
+    labels_list: Sequence[np.ndarray],
+    crop_size: int,
+    flip_tta: bool = True,
+    scales: Sequence[float] = (1.0,),
+    infer_fns_by_scale: Optional[Dict[float, Any]] = None,
+):
+    """Batched :func:`process_image`: V images per compiled pass.
+
+    The per-class vjp sweep is the dominant inference cost and its cost is
+    nearly flat in batch (the 2-view batch leaves the chip underfed), so
+    stacking V images x 2 TTA views into one (2V, ...) batch amortizes it.
+    Class slots sweep the UNION of the images' present classes. Outputs are
+    identical to V single-image calls (asserted in tests).
+
+    Returns a list of (cam_dict, patch_cam_dict, rgb) per image.
+    """
+    V = len(img_paths)
+    rgbs = [transforms.load_image_rgb(p) for p in img_paths]
+    num_classes = labels_list[0].shape[0]
+    present_sets = [
+        [c for c in range(num_classes) if lab[c] > 1e-5]
+        for lab in labels_list
+    ]
+    union_present = sorted(set().union(*map(set, present_sets)))
+
+    cam_accs: list = [None] * V
+    patch_accs: list = [None] * V
+    for scale in scales:
+        size = int(crop_size * scale)
+        fn = (infer_fns_by_scale or {}).get(scale, infer_fn)
+        xs = [transforms.val_transform(rgb, size) for rgb in rgbs]
+        views = list(xs)
+        if flip_tta:
+            views += [x[:, ::-1] for x in xs]
+        batch = jnp.asarray(np.stack(views))
+        grid = size // 16
+        nB = len(views)
+
+        slots = getattr(fn, "class_slots", 0)
+        if slots and union_present:
+            cam_rows = np.zeros((num_classes, nB, grid * grid), np.float32)
+            out = None
+            for pos in range(0, len(union_present), slots):
+                chunk = union_present[pos:pos + slots]
+                ids = chunk + [chunk[-1]] * (slots - len(chunk))
+                out = jax.device_get(fn(batch, np.asarray(ids, np.int32)))
+                for row, cls in enumerate(chunk):
+                    cam_rows[cls] = out["cams"][row]
+            out = dict(out)
+            out["cams"] = cam_rows
+        else:
+            out = jax.device_get(fn(batch))
+
+        cams = out["cams"].reshape(num_classes, nB, grid, grid)
+        patch = out["patch_cam"].transpose(0, 2, 1).reshape(
+            nB, num_classes, grid, grid)
+        for v in range(V):
+            cam_v = cams[:, v]
+            patch_v = patch[v]
+            if flip_tta:
+                cam_v = cam_v + cams[:, V + v, :, ::-1]
+                patch_v = patch_v + patch[V + v, :, :, ::-1]
+            H, W = rgbs[v].shape[:2]
+            cam_up = imops.resize_bilinear_np(cam_v, (H, W),
+                                              align_corners=True)
+            patch_up = imops.resize_bilinear_np(patch_v, (H, W),
+                                                align_corners=False)
+            cam_accs[v] = cam_up if cam_accs[v] is None else cam_accs[v] + cam_up
+            patch_accs[v] = (patch_up if patch_accs[v] is None
+                             else patch_accs[v] + patch_up)
+
+    results = []
+    for v in range(V):
+        if not present_sets[v]:
+            results.append(({}, {}, rgbs[v]))
+            continue
+        mask = (labels_list[v] > 1e-5)[:, None, None]
+        norm_cam = imops.minmax_normalize(cam_accs[v] * mask)
+        patch_norm = imops.minmax_normalize(patch_accs[v] * mask, eps=1e-5)
+        results.append((
+            {c: norm_cam[c].astype(np.float32) for c in present_sets[v]},
+            {c: patch_norm[c].astype(np.float32) for c in present_sets[v]},
+            rgbs[v],
+        ))
+    return results
+
+
 def crf_with_alpha(cam_dict: Dict[int, np.ndarray], alpha: float,
                    orig_img: np.ndarray) -> Dict[int, np.ndarray]:
     """Background-power CRF fusion (reference ``infer_cam.py:27-40``)."""
@@ -230,23 +320,36 @@ def run(cfg: InferConfig) -> None:
     if cfg.out_cam:
         os.makedirs(cfg.out_cam, exist_ok=True)
     print("generating cam...", flush=True)
-    for i, name in enumerate(names):
-        cam_dict, patch_dict, rgb = process_image(
-            infer_fn, os.path.join(cfg.image_dir, f"{name}.jpg"),
-            labels[name], cfg.crop_size, cfg.flip_tta,
-            scales=cfg.scales, infer_fns_by_scale=infer_fns)
-        if cfg.out_cam:
-            np.save(os.path.join(cfg.out_cam, f"{name}.npy"), cam_dict)  # type: ignore[arg-type]
-        if cfg.out_crf:
-            for t in (cfg.low_alpha, cfg.high_alpha):
-                crf = crf_with_alpha(cam_dict, t, rgb)
-                folder = f"{cfg.out_crf}_{t}"
-                os.makedirs(folder, exist_ok=True)
-                np.save(os.path.join(folder, f"{name}.npy"), crf)  # type: ignore[arg-type]
-        if cfg.heatmap:
-            save_heatmaps(cfg.heatmap, name, rgb, cam_dict)
-        if i % 50 == 0:
-            print(i, flush=True)
+    V = max(1, cfg.batch_images)
+    for gi in range(0, len(names), V):
+        group = names[gi:gi + V]
+        # pad the final partial group (repeat the last name) so the whole
+        # run uses ONE compiled batch shape; duplicates are not re-saved.
+        padded = group + [group[-1]] * (V - len(group))
+        if V == 1:
+            results = [process_image(
+                infer_fn, os.path.join(cfg.image_dir, f"{group[0]}.jpg"),
+                labels[group[0]], cfg.crop_size, cfg.flip_tta,
+                scales=cfg.scales, infer_fns_by_scale=infer_fns)]
+        else:
+            results = process_images_batched(
+                infer_fn,
+                [os.path.join(cfg.image_dir, f"{n}.jpg") for n in padded],
+                [labels[n] for n in padded], cfg.crop_size, cfg.flip_tta,
+                scales=cfg.scales, infer_fns_by_scale=infer_fns)
+        for name, (cam_dict, patch_dict, rgb) in zip(group, results):
+            if cfg.out_cam:
+                np.save(os.path.join(cfg.out_cam, f"{name}.npy"), cam_dict)  # type: ignore[arg-type]
+            if cfg.out_crf:
+                for t in (cfg.low_alpha, cfg.high_alpha):
+                    crf = crf_with_alpha(cam_dict, t, rgb)
+                    folder = f"{cfg.out_crf}_{t}"
+                    os.makedirs(folder, exist_ok=True)
+                    np.save(os.path.join(folder, f"{name}.npy"), crf)  # type: ignore[arg-type]
+            if cfg.heatmap:
+                save_heatmaps(cfg.heatmap, name, rgb, cam_dict)
+        if gi % 50 < V:
+            print(gi, flush=True)
 
 
 def parse_args(argv=None) -> InferConfig:
@@ -269,6 +372,9 @@ def parse_args(argv=None) -> InferConfig:
     parser.add_argument("--attn_impl", default="xla", choices=["xla", "pallas"])
     parser.add_argument("--class_slots", default=8, type=int,
                         help="present-class backprop slots per pass (0 = all classes)")
+    parser.add_argument("--batch_images", default=4, type=int,
+                        help="images per compiled pass (the per-class vjp "
+                             "sweep amortizes nearly flat in batch)")
     parser.add_argument("--no_scan", action="store_true",
                         help="use the unrolled trunk (larger compile)")
     args = parser.parse_args(argv)
@@ -289,6 +395,7 @@ def parse_args(argv=None) -> InferConfig:
         infer_list=args.LISTpath,
         cls_labels_path=args.cls_labels,
         class_slots=args.class_slots,
+        batch_images=args.batch_images,
     )
 
 

@@ -101,3 +101,42 @@ def test_class_slots_match_full_sweep(fixture_dir):
     for c in cams_full:
         np.testing.assert_allclose(cams_slot[c], cams_full[c],
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_batched_inference_matches_single(tmp_path, rng):
+    """process_images_batched == V independent process_image calls."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from acr_wsss_tpu.infer_cam import (
+        build_infer_fn, process_image, process_images_batched,
+    )
+    from acr_wsss_tpu.models.acr import ACR
+
+    model = ACR(backbone_name="vitb", dtype=jnp.float32, attn_impl="xla")
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    fn = build_infer_fn(model, params, 32, start_layer=10, getam_func="grad",
+                        use_aff=True, num_classes=20, class_slots=2)
+
+    paths, labs = [], []
+    for i in range(3):
+        p = tmp_path / f"im{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, size=(40 + 4 * i, 50, 3), dtype=np.uint8)
+        ).save(p)
+        lab = np.zeros(20, np.float32)
+        lab[[i, i + 4]] = 1.0
+        paths.append(str(p))
+        labs.append(lab)
+
+    batched = process_images_batched(fn, paths, labs, 32, flip_tta=True)
+    for path, lab, (cam_b, patch_b, _) in zip(paths, labs, batched):
+        cam_s, patch_s, _ = process_image(fn, path, lab, 32, flip_tta=True)
+        assert sorted(cam_b) == sorted(cam_s)
+        for c in cam_s:
+            # 1e-4: batch-size-dependent XLA fusion order shifts fp32
+            # rounding by ~1e-5 after min-max normalization
+            np.testing.assert_allclose(cam_b[c], cam_s[c], atol=1e-4,
+                                       err_msg=f"{path} cls {c}")
+            np.testing.assert_allclose(patch_b[c], patch_s[c], atol=1e-4)
