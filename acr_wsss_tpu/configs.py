@@ -130,9 +130,10 @@ class InferConfig:
     # vjp is the dominant inference cost; present classes per image are
     # few, so padded slots cut wall-clock without changing any output.
     class_slots: int = 8
-    # Images per compiled pass (2*batch_images TTA views per batch); the
-    # vjp sweep's cost is nearly flat in batch, so batching images divides
-    # the per-image wall clock. 1 = reference-style one-image-at-a-time.
+    # Images per compiled pass (2*batch_images TTA views per batch).
+    # Device time per image is ~flat in the group size; batching overlaps
+    # host-side loading/dispatch with the device pass. 1 = reference-style
+    # one-image-at-a-time.
     batch_images: int = 1
 
 

@@ -172,11 +172,13 @@ def process_images_batched(
 ):
     """Batched :func:`process_image`: V images per compiled pass.
 
-    The per-class vjp sweep is the dominant inference cost and its cost is
-    nearly flat in batch (the 2-view batch leaves the chip underfed), so
-    stacking V images x 2 TTA views into one (2V, ...) batch amortizes it.
-    Class slots sweep the UNION of the images' present classes. Outputs are
-    identical to V single-image calls (asserted in tests).
+    Measured per-image DEVICE time is nearly flat in V (59.8 ms at V=1 vs
+    58.1 at V=4 on v5e; the vjp sweep scales with batch) — the win from
+    batching is on the HOST side: per-group dispatch overhead and image
+    loading/preprocessing overlap the device pass. Class slots sweep the
+    UNION of the group's present classes, so grouping images with similar
+    label sets is preferable. Outputs are identical to V single-image calls
+    (asserted in tests).
 
     Returns a list of (cam_dict, patch_cam_dict, rgb) per image.
     """
@@ -373,8 +375,9 @@ def parse_args(argv=None) -> InferConfig:
     parser.add_argument("--class_slots", default=8, type=int,
                         help="present-class backprop slots per pass (0 = all classes)")
     parser.add_argument("--batch_images", default=4, type=int,
-                        help="images per compiled pass (the per-class vjp "
-                             "sweep amortizes nearly flat in batch)")
+                        help="images per compiled pass (overlaps host-side "
+                             "loading with the device pass; outputs "
+                             "identical to one-at-a-time)")
     parser.add_argument("--no_scan", action="store_true",
                         help="use the unrolled trunk (larger compile)")
     args = parser.parse_args(argv)
