@@ -129,7 +129,7 @@ class InferConfig:
     # Per-pass class backprop slots (0 = sweep every class). The per-class
     # vjp is the dominant inference cost; present classes per image are
     # few, so padded slots cut wall-clock without changing any output.
-    class_slots: int = 8
+    class_slots: int = 4
     # Images per compiled pass (2*batch_images TTA views per batch).
     # Device time per image is ~flat in the group size; batching overlaps
     # host-side loading/dispatch with the device pass. 1 = reference-style

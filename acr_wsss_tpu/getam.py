@@ -7,7 +7,7 @@ attention probs and their gradients, combine per one of four variants,
 sum blocks from ``start_layer``, take the CLS row, ReLU.
 
 Here the per-class sequential backwards collapse into **one** ``jax.vjp``
-whose cotangent is swept over class one-hots with ``lax.map`` — the forward
+whose cotangent is vmapped over class one-hots (one K-stacked backward) — the forward
 runs once, every class's probability-gradient is a linear pull-back, and
 everything stays on device under one jit.
 
@@ -126,7 +126,10 @@ def getam_cams(
 
     if class_ids is None:
         class_ids = jnp.arange(num_classes)
-    cams = jax.lax.map(cam_for_class, class_ids)            # (K, B, N - start)
+    # vmap, not lax.map: the vjp is linear in its cotangent, so all K class
+    # backwards batch into ONE backward pass with a K-stacked cotangent —
+    # far better MXU occupancy than K sequential backwards at batch 2.
+    cams = jax.vmap(cam_for_class)(class_ids)               # (K, B, N - start)
     if extras:
         return cams, logits, patch_aff, extras[0]
     return cams, logits, patch_aff

@@ -5,8 +5,9 @@ present class — a full backward pass with ``retain_graph=True``, then
 host-side upsample/normalize/save. The TPU redesign:
 
 * both TTA views (identity + hflip) run as ONE batch of 2;
-* all 20 classes' probability-gradients come from one ``jax.vjp`` swept by
-  ``lax.map`` (see ``getam.py``) — no Python-loop backwards;
+* the present classes' probability-gradients come from one ``jax.vjp``
+  vmapped over class one-hots (see ``getam.py``) — a single K-stacked
+  backward, no Python-loop backwards;
 * everything at the fixed 384-crop resolution is jit-compiled once; only
   the per-image native-size resize + min-max normalization runs on host
   (shape-varying, bandwidth-trivial);
@@ -372,7 +373,7 @@ def parse_args(argv=None) -> InferConfig:
     parser.add_argument("--low_alpha", default=1, type=int)
     parser.add_argument("--high_alpha", default=12, type=int)
     parser.add_argument("--attn_impl", default="xla", choices=["xla", "pallas"])
-    parser.add_argument("--class_slots", default=8, type=int,
+    parser.add_argument("--class_slots", default=4, type=int,
                         help="present-class backprop slots per pass (0 = all classes)")
     parser.add_argument("--batch_images", default=4, type=int,
                         help="images per compiled pass (overlaps host-side "
