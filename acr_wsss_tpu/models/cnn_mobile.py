@@ -1,0 +1,332 @@
+"""Mobile/efficient CNN families: EfficientNet, MobileNetV3, RegNet.
+
+Clean-room flax counterparts of the reference zoo's efficient-CNN families
+(vendored timm 0.4.5: ``models/efficientnet.py:1-1788``,
+``models/mobilenetv3.py:1-469``, ``models/regnet.py:1-494``), graduating
+three more registry names from stubs to real models. Same output contract
+as the other backbones: ``{"logits", "features", "taps"}``.
+
+BatchNorm semantics and the ``bn_axis_name`` SyncBN equivalent follow
+``models/cnn.py``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from acr_wsss_tpu.models.cnn import ConvBN
+from acr_wsss_tpu.models.registry import register_model
+
+Dtype = Any
+
+
+def _hardsigmoid(x):
+    return nn.relu6(x + 3.0) / 6.0
+
+
+def _hardswish(x):
+    return x * _hardsigmoid(x)
+
+
+class SqueezeExcite(nn.Module):
+    """SE block: GAP -> reduce -> act -> expand -> gate."""
+
+    reduced_chs: int
+    gate: str = "sigmoid"           # sigmoid (efficientnet) | hard (mbv3)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.reduced_chs, (1, 1), dtype=jnp.float32,
+                    name="reduce")(s)
+        s = nn.relu(s)
+        s = nn.Conv(x.shape[-1], (1, 1), dtype=jnp.float32, name="expand")(s)
+        s = _hardsigmoid(s) if self.gate == "hard" else nn.sigmoid(s)
+        return (x * s.astype(x.dtype)).astype(x.dtype)
+
+
+class DepthwiseConvBN(nn.Module):
+    kernel_size: int
+    strides: int = 1
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel_size
+        chs = x.shape[-1]
+        x = nn.Conv(chs, (k, k), strides=(self.strides,) * 2,
+                    padding=[(k // 2, k // 2)] * 2, feature_group_count=chs,
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="bn")(x)
+        return x.astype(self.dtype)
+
+
+class MBConv(nn.Module):
+    """Inverted-residual block (MobileNetV2/EfficientNet/MobileNetV3)."""
+
+    out_chs: int
+    kernel_size: int = 3
+    stride: int = 1
+    expand_ratio: float = 6.0
+    se_ratio: float = 0.25          # of the INPUT channels; 0 = no SE
+    act: str = "silu"               # silu (effnet) | hardswish | relu (mbv3)
+    se_gate: str = "sigmoid"
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_chs = x.shape[-1]
+        mid = int(in_chs * self.expand_ratio)
+        act = {"silu": nn.silu, "hardswish": _hardswish, "relu": nn.relu}[self.act]
+
+        y = x
+        if mid != in_chs:
+            y = ConvBN(mid, 1, apply_act=False, dtype=self.dtype,
+                       bn_axis_name=self.bn_axis_name, name="expand")(y, train)
+            y = act(y)
+        y = DepthwiseConvBN(self.kernel_size, self.stride, dtype=self.dtype,
+                            bn_axis_name=self.bn_axis_name, name="dw")(y, train)
+        y = act(y)
+        if self.se_ratio > 0:
+            y = SqueezeExcite(max(1, int(in_chs * self.se_ratio)),
+                              gate=self.se_gate, dtype=self.dtype,
+                              name="se")(y)
+        y = ConvBN(self.out_chs, 1, apply_act=False, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="project")(y, train)
+        if self.stride == 1 and in_chs == self.out_chs:
+            y = y + x
+        return y.astype(self.dtype)
+
+
+# EfficientNet-B0 stage table: (expand, kernel, stride, channels, repeats)
+_EFFNET_B0 = (
+    (1, 3, 1, 16, 1),
+    (6, 3, 2, 24, 2),
+    (6, 5, 2, 40, 2),
+    (6, 3, 2, 80, 3),
+    (6, 5, 1, 112, 3),
+    (6, 5, 2, 192, 4),
+    (6, 3, 1, 320, 1),
+)
+
+
+def _round_chs(chs: float, multiplier: float, divisor: int = 8) -> int:
+    chs *= multiplier
+    new = max(divisor, int(chs + divisor / 2) // divisor * divisor)
+    if new < 0.9 * chs:
+        new += divisor
+    return int(new)
+
+
+class EfficientNet(nn.Module):
+    """EfficientNet classifier (reference ``models/efficientnet.py``)."""
+
+    num_classes: int = 1000
+    width_mult: float = 1.0
+    depth_mult: float = 1.0
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        x = x.astype(self.dtype)
+        x = ConvBN(_round_chs(32, self.width_mult), 3, 2, apply_act=False,
+                   dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                   name="stem")(x, train)
+        x = nn.silu(x)
+
+        taps: Dict[int, jnp.ndarray] = {}
+        tap_i = 0
+        for si, (exp, k, s, chs, reps) in enumerate(_EFFNET_B0):
+            chs = _round_chs(chs, self.width_mult)
+            reps = int(math.ceil(reps * self.depth_mult))
+            for bi in range(reps):
+                x = MBConv(chs, k, s if bi == 0 else 1, expand_ratio=exp,
+                           se_ratio=0.25 / exp, act="silu",
+                           dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                           name=f"stage{si}_block{bi}")(x, train)
+            if si in (1, 2, 4, 6):   # stride 4/8/16/32 feature pyramid
+                taps[tap_i] = x
+                tap_i += 1
+        x = ConvBN(_round_chs(1280, self.width_mult), 1, apply_act=False,
+                   dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                   name="head_conv")(x, train)
+        x = nn.silu(x)
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          name="classifier")(pooled)
+        return {"logits": logits, "features": x, "taps": taps}
+
+
+# MobileNetV3-Large: (kernel, expanded_chs, out_chs, se, act, stride)
+_MBV3_LARGE = (
+    (3, 16, 16, False, "relu", 1),
+    (3, 64, 24, False, "relu", 2),
+    (3, 72, 24, False, "relu", 1),
+    (5, 72, 40, True, "relu", 2),
+    (5, 120, 40, True, "relu", 1),
+    (5, 120, 40, True, "relu", 1),
+    (3, 240, 80, False, "hardswish", 2),
+    (3, 200, 80, False, "hardswish", 1),
+    (3, 184, 80, False, "hardswish", 1),
+    (3, 184, 80, False, "hardswish", 1),
+    (3, 480, 112, True, "hardswish", 1),
+    (3, 672, 112, True, "hardswish", 1),
+    (5, 672, 160, True, "hardswish", 2),
+    (5, 960, 160, True, "hardswish", 1),
+    (5, 960, 160, True, "hardswish", 1),
+)
+
+
+class MobileNetV3(nn.Module):
+    """MobileNetV3-Large classifier (reference ``models/mobilenetv3.py``)."""
+
+    num_classes: int = 1000
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        x = x.astype(self.dtype)
+        x = ConvBN(16, 3, 2, apply_act=False, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="stem")(x, train)
+        x = _hardswish(x)
+
+        taps: Dict[int, jnp.ndarray] = {}
+        tap_i = 0
+        for bi, (k, mid, out, se, act, s) in enumerate(_MBV3_LARGE):
+            in_chs = x.shape[-1]
+            x = MBConv(out, k, s, expand_ratio=mid / in_chs,
+                       se_ratio=(0.25 * mid / in_chs) if se else 0.0,
+                       act=act, se_gate="hard", dtype=self.dtype,
+                       bn_axis_name=self.bn_axis_name,
+                       name=f"block{bi}")(x, train)
+            if bi in (2, 5, 11, 14):
+                taps[tap_i] = x
+                tap_i += 1
+        x = ConvBN(960, 1, apply_act=False, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="head_conv")(x, train)
+        x = _hardswish(x)
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        h = _hardswish(nn.Dense(1280, dtype=jnp.float32, name="pre")(pooled))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          name="classifier")(h)
+        return {"logits": logits, "features": x, "taps": taps}
+
+
+class RegNetBottleneck(nn.Module):
+    """RegNet X/Y bottleneck: 1x1 -> grouped 3x3 -> (SE) -> 1x1."""
+
+    out_chs: int
+    stride: int = 1
+    group_width: int = 16
+    se_ratio: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_chs = x.shape[-1]
+        groups = max(1, self.out_chs // self.group_width)
+        shortcut = x
+        if self.stride != 1 or in_chs != self.out_chs:
+            shortcut = ConvBN(self.out_chs, 1, self.stride, apply_act=False,
+                              dtype=self.dtype,
+                              bn_axis_name=self.bn_axis_name,
+                              name="downsample")(x, train)
+        y = ConvBN(self.out_chs, 1, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="conv1")(x, train)
+        y = nn.Conv(self.out_chs, (3, 3), strides=(self.stride,) * 2,
+                    padding=[(1, 1)] * 2, feature_group_count=groups,
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="bn2")(y)
+        y = nn.relu(y).astype(self.dtype)
+        if self.se_ratio > 0:
+            from acr_wsss_tpu.models.cnn_mobile import SqueezeExcite
+
+            y = SqueezeExcite(max(1, int(in_chs * self.se_ratio)),
+                              dtype=self.dtype, name="se")(y)
+        y = ConvBN(self.out_chs, 1, apply_act=False, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="conv3")(y, train)
+        return nn.relu(y + shortcut).astype(self.dtype)
+
+
+class RegNet(nn.Module):
+    """RegNet classifier (reference ``models/regnet.py``); Y variants add
+    SE (se_ratio 0.25)."""
+
+    num_classes: int = 1000
+    depths: Sequence[int] = (1, 1, 4, 7)          # regnetx_002
+    widths: Sequence[int] = (24, 56, 152, 368)
+    group_width: int = 8
+    se_ratio: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        x = x.astype(self.dtype)
+        x = ConvBN(32, 3, 2, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="stem")(x, train)
+        taps: Dict[int, jnp.ndarray] = {}
+        for si, (depth, width) in enumerate(zip(self.depths, self.widths)):
+            for bi in range(depth):
+                x = RegNetBottleneck(
+                    width, stride=2 if bi == 0 else 1,
+                    group_width=self.group_width, se_ratio=self.se_ratio,
+                    dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                    name=f"stage{si}_block{bi}")(x, train)
+            taps[si] = x
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          name="head")(pooled)
+        return {"logits": logits, "features": x, "taps": taps}
+
+
+@register_model
+def efficientnet_b0(**kwargs):
+    return EfficientNet(width_mult=1.0, depth_mult=1.0, **kwargs)
+
+
+@register_model
+def efficientnet_b1(**kwargs):
+    return EfficientNet(width_mult=1.0, depth_mult=1.1, **kwargs)
+
+
+@register_model
+def efficientnet_b2(**kwargs):
+    return EfficientNet(width_mult=1.1, depth_mult=1.2, **kwargs)
+
+
+@register_model
+def mobilenetv3_large_100(**kwargs):
+    return MobileNetV3(**kwargs)
+
+
+@register_model
+def regnetx_002(**kwargs):
+    return RegNet(**kwargs)
+
+
+@register_model
+def regnety_002(**kwargs):
+    return RegNet(se_ratio=0.25, **kwargs)
+
+
+@register_model
+def regnetx_032(**kwargs):
+    return RegNet(depths=(2, 6, 15, 2), widths=(96, 192, 432, 1008),
+                  group_width=48, **kwargs)

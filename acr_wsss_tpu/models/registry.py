@@ -54,14 +54,15 @@ def create_model(name: str, **kwargs):
 # families so the nominal surface is discoverable.
 # ---------------------------------------------------------------------------
 
-# resnet / vgg / densenet graduated to real implementations
-# (``models/cnn.py``), as did resnetv2 (``models/hybrid.py``), swin and
-# pit; the rest remain named stubs.
+# resnet / vgg / densenet (``models/cnn.py``), efficientnet /
+# mobilenetv3 / regnet (``models/cnn_mobile.py``), resnetv2
+# (``models/hybrid.py``), swin and pit graduated to real implementations;
+# the rest remain named stubs.
 _STUB_FAMILIES = (
     "byoanet", "byobnet", "coat", "cspnet", "dla", "dpn",
-    "efficientnet", "ghostnet", "gluon_resnet", "gluon_xception",
+    "ghostnet", "gluon_resnet", "gluon_xception",
     "hardcorenas", "hrnet", "inception_resnet_v2", "inception_v3",
-    "inception_v4", "mobilenetv3", "nasnet", "nfnet", "pnasnet", "regnet",
+    "inception_v4", "nasnet", "nfnet", "pnasnet",
     "res2net", "resnest", "rexnet", "selecsls", "senet", "sknet",
     "tnt", "tresnet", "vovnet", "xception", "xception_aligned",
 )

@@ -70,3 +70,19 @@ def test_sync_batchnorm_cross_replica_stats(rng):
     # identical running means on both replicas = stats were psum'd
     np.testing.assert_allclose(np.asarray(means[0]), np.asarray(means[1]),
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["efficientnet_b0", "mobilenetv3_large_100",
+                                  "regnety_002"])
+def test_mobile_families_forward(name, rng):
+    model = create_model(name, num_classes=11, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=True)
+    assert "batch_stats" in variables
+    out, updates = model.apply(variables, x, train=True,
+                               mutable=["batch_stats"])
+    assert out["logits"].shape == (2, 11)
+    assert len(out["taps"]) == 4
+    # eval path deterministic
+    e = model.apply(variables, x, train=False)
+    assert np.isfinite(np.asarray(e["logits"])).all()
