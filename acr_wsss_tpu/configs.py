@@ -102,6 +102,12 @@ class TrainConfig:
     reference_optimizer_quirk: bool = False
     # Global-norm gradient clipping (0 = off, reference behavior).
     clip_grad_norm: float = 0.0
+    # Un-mirror the flipped view's TOKEN ORDER once after the pos-embed
+    # (the trunk is permutation-equivariant) instead of un-flipping every
+    # layer's (B, N, N) attention export in the loss — identical math
+    # (reference ``train_acr.py:149-158`` semantics), ~O(L*N^2) less fp32
+    # data movement per step. False = literal reference ordering.
+    aligned_mirror: bool = True
     # Write a JAX profiler trace of steps 10-20 here (None = off).
     profile_dir: Optional[str] = None
 

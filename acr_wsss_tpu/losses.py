@@ -115,6 +115,7 @@ def acr_consistency_losses_layers(
     probs_layers,
     b: int,
     grid: tuple,
+    aligned: bool = False,
 ) -> tuple:
     """Per-layer formulation of :func:`acr_consistency_losses` over the
     UNSTACKED per-layer exports.
@@ -127,6 +128,12 @@ def acr_consistency_losses_layers(
     layer, and skips the stack/unstack entirely. Identical math: each layer
     contributes its mean; layers are averaged (all layers have equal
     element counts, so this equals the stacked global mean).
+
+    ``aligned=True`` means the trunk already un-mirrored view 2's token
+    order (``mirror_second_half``), so its exports arrive as P.A.P^T and no
+    per-layer un-flip is needed — the dominant data-movement term of the
+    loss (two full (2b, N, N) reversal passes per layer, plus their
+    backward scatters) disappears.
     """
     cls_sum = 0.0
     aff_sum = 0.0
@@ -134,9 +141,10 @@ def acr_consistency_losses_layers(
         a1, a2 = probs[:b], probs[b:]
         a1_cls, a2_cls = a1[:, 0, 1:], a2[:, 0, 1:]
         a1_aff, a2_aff = a1[:, 1:, 1:], a2[:, 1:, 1:]
-        a2_cls = _unflip_token_axis(a2_cls, grid, -1)
-        a2_aff = _unflip_token_axis(
-            _unflip_token_axis(a2_aff, grid, -2), grid, -1)
+        if not aligned:
+            a2_cls = _unflip_token_axis(a2_cls, grid, -1)
+            a2_aff = _unflip_token_axis(
+                _unflip_token_axis(a2_aff, grid, -2), grid, -1)
         cls_sum = cls_sum + l1_loss(a1_cls, a2_cls)
         aff_sum = aff_sum + l1_loss(a1_aff, a2_aff)
     n = len(probs_layers)
@@ -150,6 +158,7 @@ def acr_total_loss_layers(
     labels: jnp.ndarray,
     grid: tuple,
     alpha: float,
+    aligned: bool = False,
 ) -> tuple:
     """ACR objective over per-layer attention exports (see
     :func:`acr_consistency_losses_layers`); both views stacked on the batch
@@ -157,7 +166,8 @@ def acr_total_loss_layers(
     b = labels.shape[0]
     cls_loss_1 = multilabel_soft_margin_loss(logits1, labels)
     cls_loss_2 = multilabel_soft_margin_loss(logits2, labels)
-    cls_align, aff_align = acr_consistency_losses_layers(probs_layers, b, grid)
+    cls_align, aff_align = acr_consistency_losses_layers(
+        probs_layers, b, grid, aligned=aligned)
     total = cls_loss_1 + cls_loss_2 + alpha * cls_align + alpha * aff_align
     return total, {
         "cls_loss_1": cls_loss_1,

@@ -139,9 +139,16 @@ class ACR(nn.Module):
     def __call__(self, x, probs_offsets=None, export="mean"):
         return self.forward_cls(x, probs_offsets=probs_offsets, export=export)
 
-    def forward_cls(self, x, probs_offsets=None, export="mean") -> Dict[str, Any]:
-        """Returns dict(logits, patch_logits, probs, trunk outputs)."""
-        out = self.trunk(x, probs_offsets=probs_offsets, export=export)
+    def forward_cls(self, x, probs_offsets=None, export="mean",
+                    mirror_second_half=False) -> Dict[str, Any]:
+        """Returns dict(logits, patch_logits, probs, trunk outputs).
+
+        ``mirror_second_half=True`` (training, views stacked on the batch
+        axis) un-mirrors the flipped view's token order once after the
+        pos-embed so exported probs are pre-aligned across views — see
+        ``VisionTransformer.__call__``."""
+        out = self.trunk(x, probs_offsets=probs_offsets, export=export,
+                         mirror_second_half=mirror_second_half)
         layer4 = out["taps"][self.spec.taps[-1]]
         logits, patch_logits = self._heads(layer4)
         return {

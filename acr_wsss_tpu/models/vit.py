@@ -216,6 +216,7 @@ class VisionTransformer(nn.Module):
         x: jnp.ndarray,                 # (B, H, W, 3)
         probs_offsets: Optional[jnp.ndarray] = None,  # (L, B, Hh, N, N)
         export: str = "mean",
+        mirror_second_half: bool = False,
     ) -> Dict[str, Any]:
         B, H, W, _ = x.shape
         gh, gw = H // self.patch_size, W // self.patch_size
@@ -262,6 +263,30 @@ class VisionTransformer(nn.Module):
             # (reference ``_resize_pos_embed_2``).
             pe = jnp.concatenate([pe[:, :1], pe[:, :1], pe[:, 1:]], axis=1)
         x = x + pe.astype(x.dtype)
+
+        if mirror_second_half:
+            # Siamese alignment trick: the trunk is permutation-equivariant
+            # over tokens (attention/MLP/LN are per-token or all-pairs), so
+            # un-mirroring the *token order* of the flipped view's rows HERE
+            # — one (b, gh, gw, D) column reversal — makes every layer's
+            # exported probs come out as P.A.P^T, already index-aligned with
+            # view 1. The consistency loss (train_acr.py:143-158 semantics)
+            # then needs no per-layer un-flip of the (B, N, N) stacks: same
+            # math, moved from L x O(N^2) fp32 tensors to one O(N) token
+            # reshuffle. Logits are unaffected (CLS row + patch-mean are
+            # permutation-invariant).
+            if x.shape[0] % 2:
+                raise ValueError(
+                    "mirror_second_half expects views stacked on the batch "
+                    f"axis (even batch), got {x.shape[0]}")
+            b2 = x.shape[0] // 2
+            start = self.num_prefix_tokens + int(self.with_bkg_token)
+            patches2 = x[b2:, start:].reshape(b2, gh, gw, self.embed_dim)
+            patches2 = jnp.flip(patches2, axis=2).reshape(b2, gh * gw,
+                                                          self.embed_dim)
+            x = jnp.concatenate(
+                [x[:b2], jnp.concatenate([x[b2:, :start], patches2], axis=1)],
+                axis=0)
 
         taps: Dict[int, jnp.ndarray] = {}
         probs_list = []

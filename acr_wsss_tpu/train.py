@@ -74,23 +74,36 @@ def make_train_step(model: ACR, cfg: TrainConfig, grid: Tuple[int, int]):
     perm = jnp.asarray(losses.hflip_token_permutation(*grid))
     alpha = cfg.alpha
 
+    aligned = getattr(cfg, "aligned_mirror", True)
+
     def loss_fn(params, batch):
         x1 = batch["image"]
         x2 = x1[:, :, ::-1, :]  # horizontal flip of view 1 (train_acr.py:135)
         b = x1.shape[0]
         out = model.apply(params, jnp.concatenate([x1, x2], axis=0),
-                          method=model.forward_cls)
+                          method=model.forward_cls,
+                          mirror_second_half=aligned)
         logits1, logits2 = out["logits"][:b], out["logits"][b:]
         if out.get("probs_layers") is not None:
             # per-layer consistency: avoids materializing the (B, L, N, N)
             # stack (see losses.acr_consistency_losses_layers)
             total, parts = losses.acr_total_loss_layers(
                 logits1, logits2, out["probs_layers"], batch["label"],
-                grid, alpha)
+                grid, alpha, aligned=aligned)
         else:
             attn1, attn2 = out["probs"][:b], out["probs"][b:]
-            total, parts = losses.acr_total_loss(
-                logits1, logits2, attn1, attn2, batch["label"], perm, alpha)
+            if aligned:
+                # exports are pre-aligned; undo nothing — reuse the layers
+                # helper on the per-layer slices of the stack.
+                L = attn1.shape[1]
+                total, parts = losses.acr_total_loss_layers(
+                    logits1, logits2,
+                    tuple(out["probs"][:, i] for i in range(L)),
+                    batch["label"], grid, alpha, aligned=True)
+            else:
+                total, parts = losses.acr_total_loss(
+                    logits1, logits2, attn1, attn2, batch["label"], perm,
+                    alpha)
         return total, parts
 
     def train_step(state: TrainState, batch):

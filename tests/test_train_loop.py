@@ -107,3 +107,46 @@ def test_validate_pads_remainder_single_compile(tiny_voc, tmp_path):
     loss6 = validate(cfg6, model, state.params, eval_step6,
                      val_names=names[:6], labels=labels)
     np.testing.assert_allclose(loss, loss6, rtol=1e-6)
+
+
+def test_aligned_mirror_matches_legacy_unflip(tiny_voc, tmp_path):
+    """aligned_mirror (token-order un-mirroring in the trunk) must produce
+    the same loss and gradients as the legacy per-layer attention un-flip:
+    the trunk is permutation-equivariant, so P.A.P^T computed by reordering
+    tokens equals un-flipping the exported probs."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from acr_wsss_tpu.train import create_train_state, make_train_step
+
+    root, names = tiny_voc
+    base = _cfg(root, tmp_path)
+    rng = np.random.default_rng(3)
+    batch = {
+        "image": jnp.asarray(
+            rng.normal(size=(4, 32, 32, 3)).astype(np.float32)),
+        "label": jnp.asarray(
+            (rng.uniform(size=(4, 20)) > 0.7).astype(np.float32)),
+    }
+    grid = (2, 2)
+
+    outs = {}
+    for aligned in (False, True):
+        cfg = dc.replace(base, aligned_mirror=aligned)
+        model, state = create_train_state(
+            cfg, max_step=10, rng=jax.random.key(7), crop=cfg.crop_size)
+        step = jax.jit(make_train_step(model, cfg, grid))
+        new_state, parts = step(state, batch)
+        outs[aligned] = (jax.device_get(parts),
+                         jax.device_get(new_state.params))
+
+    legacy_parts, legacy_params = outs[False]
+    aligned_parts, aligned_params = outs[True]
+    for k in legacy_parts:
+        np.testing.assert_allclose(aligned_parts[k], legacy_parts[k],
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+    flat_l = jax.tree_util.tree_leaves(legacy_params)
+    flat_a = jax.tree_util.tree_leaves(aligned_params)
+    for la, aa in zip(flat_l, flat_a):
+        np.testing.assert_allclose(aa, la, rtol=1e-4, atol=1e-6)
