@@ -1,0 +1,314 @@
+"""Attention-augmented ResNet families: SENet, SKNet, Res2Net, ResNeSt.
+
+Clean-room flax counterparts of four more reference-zoo families (vendored
+timm 0.4.5: ``models/senet.py:1-467``, ``models/sknet.py:1-220``,
+``models/res2net.py:1-216``, ``models/resnest.py:1-238``), graduating them
+from registry stubs. All are ResNet-shaped classifiers whose bottleneck is
+augmented with a channel/branch attention mechanism:
+
+* SENet: squeeze-and-excite gate after the 1x1 expand conv;
+* SKNet: two parallel 3x3 branches (dilation 1 and 2) fused by a softmax
+  channel-attention over branches (selective kernel);
+* Res2Net: the 3x3 conv becomes a hierarchical cascade over channel splits
+  (multi-scale within one block, ``scale=4``);
+* ResNeSt: split-attention conv — ``radix`` grouped branches combined by a
+  per-channel softmax over the radix axis.
+
+Output contract shared with the other backbones:
+``{"logits", "features", "taps"}``; BatchNorm/SyncBN semantics follow
+``models/cnn.py`` (``bn_axis_name``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from acr_wsss_tpu.models.cnn import ConvBN
+from acr_wsss_tpu.models.cnn_mobile import SqueezeExcite
+from acr_wsss_tpu.models.registry import register_model
+
+Dtype = Any
+
+
+class SEBottleneck(nn.Module):
+    """ResNet bottleneck + SE gate (reference ``models/senet.py`` SEResNet
+    bottleneck: SE applied to the 1x1-expand output before the residual)."""
+
+    out_chs: int
+    stride: int = 1
+    se_reduction: int = 16
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = self.out_chs // 4
+        shortcut = x
+        if self.stride != 1 or x.shape[-1] != self.out_chs:
+            shortcut = ConvBN(self.out_chs, 1, self.stride, apply_act=False,
+                              dtype=self.dtype,
+                              bn_axis_name=self.bn_axis_name,
+                              name="downsample")(x, train)
+        y = ConvBN(mid, 1, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                   name="conv1")(x, train)
+        y = ConvBN(mid, 3, self.stride, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="conv2")(y, train)
+        y = ConvBN(self.out_chs, 1, apply_act=False, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="conv3")(y, train)
+        y = SqueezeExcite(max(1, self.out_chs // self.se_reduction),
+                          dtype=self.dtype, name="se")(y)
+        return nn.relu(y + shortcut).astype(self.dtype)
+
+
+class SelectiveKernel(nn.Module):
+    """Selective-kernel conv (reference ``models/sknet.py`` /
+    ``models/layers/selective_kernel.py``): branches with different
+    receptive fields, fused by softmax attention over branches."""
+
+    out_chs: int
+    stride: int = 1
+    dilations: Sequence[int] = (1, 2)
+    reduction: int = 16
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        branches = []
+        for bi, d in enumerate(self.dilations):
+            y = nn.Conv(self.out_chs, (3, 3), strides=(self.stride,) * 2,
+                        padding=[(d, d)] * 2, kernel_dilation=(d, d),
+                        use_bias=False, dtype=self.dtype,
+                        name=f"branch{bi}_conv")(x)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             axis_name=self.bn_axis_name if train else None,
+                             name=f"branch{bi}_bn")(y)
+            branches.append(nn.relu(y))
+        stacked = jnp.stack(branches, axis=1)          # (B, K, H, W, C)
+        u = jnp.sum(stacked, axis=1)                   # fuse
+        s = jnp.mean(u.astype(jnp.float32), axis=(1, 2))  # (B, C)
+        z = nn.relu(nn.Dense(max(8, self.out_chs // self.reduction),
+                             dtype=jnp.float32, name="fc_reduce")(s))
+        logits = nn.Dense(self.out_chs * len(self.dilations),
+                          dtype=jnp.float32, name="fc_select")(z)
+        att = nn.softmax(
+            logits.reshape(-1, len(self.dilations), self.out_chs), axis=1)
+        att = att[:, :, None, None, :].astype(stacked.dtype)
+        return jnp.sum(stacked * att, axis=1).astype(self.dtype)
+
+
+class SKBottleneck(nn.Module):
+    """SKNet bottleneck: 1x1 -> selective kernel -> 1x1."""
+
+    out_chs: int
+    stride: int = 1
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = self.out_chs // 4
+        shortcut = x
+        if self.stride != 1 or x.shape[-1] != self.out_chs:
+            shortcut = ConvBN(self.out_chs, 1, self.stride, apply_act=False,
+                              dtype=self.dtype,
+                              bn_axis_name=self.bn_axis_name,
+                              name="downsample")(x, train)
+        y = ConvBN(mid, 1, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                   name="conv1")(x, train)
+        y = SelectiveKernel(mid, self.stride, dtype=self.dtype,
+                            bn_axis_name=self.bn_axis_name, name="sk")(y, train)
+        y = ConvBN(self.out_chs, 1, apply_act=False, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="conv3")(y, train)
+        return nn.relu(y + shortcut).astype(self.dtype)
+
+
+class Res2NetBottleneck(nn.Module):
+    """Res2Net bottleneck (reference ``models/res2net.py``): the middle 3x3
+    runs as a hierarchical cascade over ``scale`` channel splits — split i
+    sees its own channels plus the previous split's output."""
+
+    out_chs: int
+    stride: int = 1
+    scale: int = 4
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = self.out_chs // 4
+        width = mid // self.scale
+        mid = width * self.scale
+        shortcut = x
+        if self.stride != 1 or x.shape[-1] != self.out_chs:
+            shortcut = ConvBN(self.out_chs, 1, self.stride, apply_act=False,
+                              dtype=self.dtype,
+                              bn_axis_name=self.bn_axis_name,
+                              name="downsample")(x, train)
+        y = ConvBN(mid, 1, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                   name="conv1")(x, train)
+        splits = [y[..., i * width:(i + 1) * width] for i in range(self.scale)]
+        outs = []
+        prev = None
+        for i in range(self.scale - 1):
+            inp = splits[i] if prev is None else splits[i] + prev
+            prev = ConvBN(width, 3, self.stride, dtype=self.dtype,
+                          bn_axis_name=self.bn_axis_name,
+                          name=f"conv2_{i}")(inp, train)
+            outs.append(prev)
+            if self.stride != 1:
+                prev = None  # strided blocks can't add mismatched maps
+        last = splits[-1]
+        if self.stride != 1:
+            last = nn.avg_pool(last, (3, 3), strides=(self.stride,) * 2,
+                               padding=[(1, 1)] * 2)
+        outs.append(last)
+        y = jnp.concatenate(outs, axis=-1)
+        y = ConvBN(self.out_chs, 1, apply_act=False, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="conv3")(y, train)
+        return nn.relu(y + shortcut).astype(self.dtype)
+
+
+class SplitAttentionConv(nn.Module):
+    """ResNeSt split-attention conv (reference ``models/resnest.py`` /
+    ``models/layers/split_attn.py``): radix grouped 3x3 branches combined
+    by per-channel softmax over the radix axis."""
+
+    out_chs: int
+    stride: int = 1
+    radix: int = 2
+    reduction: int = 4
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        r = self.radix
+        y = nn.Conv(self.out_chs * r, (3, 3), strides=(self.stride,) * 2,
+                    padding=[(1, 1)] * 2, use_bias=False, dtype=self.dtype,
+                    name="conv")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="bn")(y)
+        y = nn.relu(y)
+        B, H, W, _ = y.shape
+        y = y.reshape(B, H, W, r, self.out_chs)
+        gap = jnp.mean(jnp.sum(y, axis=3).astype(jnp.float32), axis=(1, 2))
+        z = nn.relu(nn.Dense(max(32, self.out_chs // self.reduction),
+                             dtype=jnp.float32, name="fc1")(gap))
+        att = nn.Dense(self.out_chs * r, dtype=jnp.float32, name="fc2")(z)
+        att = nn.softmax(att.reshape(B, r, self.out_chs), axis=1)
+        att = jnp.transpose(att, (0, 2, 1))[:, None, None]  # (B,1,1,C,r)
+        att = jnp.moveaxis(att, -1, 3)                      # (B,1,1,r,C)
+        return jnp.sum(y * att.astype(y.dtype), axis=3).astype(self.dtype)
+
+
+class ResNeStBottleneck(nn.Module):
+    """ResNeSt bottleneck: 1x1 -> split-attention 3x3 -> 1x1, with
+    avg-pool downsampling on strided blocks (ResNet-D style)."""
+
+    out_chs: int
+    stride: int = 1
+    radix: int = 2
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = self.out_chs // 4
+        shortcut = x
+        if self.stride != 1:
+            shortcut = nn.avg_pool(shortcut, (2, 2), strides=(2, 2))
+        if shortcut.shape[-1] != self.out_chs:
+            shortcut = ConvBN(self.out_chs, 1, 1, apply_act=False,
+                              dtype=self.dtype,
+                              bn_axis_name=self.bn_axis_name,
+                              name="downsample")(shortcut, train)
+        y = ConvBN(mid, 1, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                   name="conv1")(x, train)
+        y = SplitAttentionConv(mid, 1, radix=self.radix, dtype=self.dtype,
+                               bn_axis_name=self.bn_axis_name,
+                               name="splat")(y, train)
+        if self.stride != 1:
+            y = nn.avg_pool(y, (3, 3), strides=(self.stride,) * 2,
+                            padding=[(1, 1)] * 2)
+        y = ConvBN(self.out_chs, 1, apply_act=False, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="conv3")(y, train)
+        return nn.relu(y + shortcut).astype(self.dtype)
+
+
+class AttnResNet(nn.Module):
+    """Shared 4-stage trunk for the attention-ResNet families."""
+
+    block: Any = SEBottleneck
+    num_classes: int = 1000
+    layers: Sequence[int] = (3, 4, 6, 3)
+    deep_stem: bool = False        # ResNeSt uses a 3x 3x3 deep stem
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        x = x.astype(self.dtype)
+        if self.deep_stem:
+            x = ConvBN(32, 3, 2, dtype=self.dtype,
+                       bn_axis_name=self.bn_axis_name, name="stem0")(x, train)
+            x = ConvBN(32, 3, 1, dtype=self.dtype,
+                       bn_axis_name=self.bn_axis_name, name="stem1")(x, train)
+            x = ConvBN(64, 3, 1, dtype=self.dtype,
+                       bn_axis_name=self.bn_axis_name, name="stem2")(x, train)
+        else:
+            x = ConvBN(64, 7, 2, dtype=self.dtype,
+                       bn_axis_name=self.bn_axis_name, name="stem")(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+
+        taps: Dict[int, jnp.ndarray] = {}
+        widths = (256, 512, 1024, 2048)
+        for si, (depth, width) in enumerate(zip(self.layers, widths)):
+            for bi in range(depth):
+                x = self.block(width,
+                               stride=2 if bi == 0 and si > 0 else 1,
+                               dtype=self.dtype,
+                               bn_axis_name=self.bn_axis_name,
+                               name=f"layer{si + 1}_{bi}")(x, train)
+            taps[si] = x
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          name="fc")(pooled)
+        return {"logits": logits, "features": x, "taps": taps}
+
+
+@register_model
+def seresnet50(**kwargs):
+    kwargs.setdefault("layers", (3, 4, 6, 3))
+    return AttnResNet(block=SEBottleneck, **kwargs)
+
+
+@register_model
+def seresnet101(**kwargs):
+    kwargs.setdefault("layers", (3, 4, 23, 3))
+    return AttnResNet(block=SEBottleneck, **kwargs)
+
+
+@register_model
+def sknet50(**kwargs):
+    kwargs.setdefault("layers", (3, 4, 6, 3))
+    return AttnResNet(block=SKBottleneck, **kwargs)
+
+
+@register_model
+def res2net50(**kwargs):
+    kwargs.setdefault("layers", (3, 4, 6, 3))
+    return AttnResNet(block=Res2NetBottleneck, **kwargs)
+
+
+@register_model
+def resnest50d(**kwargs):
+    kwargs.setdefault("layers", (3, 4, 6, 3))
+    kwargs.setdefault("deep_stem", True)
+    return AttnResNet(block=ResNeStBottleneck, **kwargs)

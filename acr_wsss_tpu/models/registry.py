@@ -55,7 +55,8 @@ def create_model(name: str, **kwargs):
 # ---------------------------------------------------------------------------
 
 # resnet / vgg / densenet (``models/cnn.py``), efficientnet /
-# mobilenetv3 / regnet (``models/cnn_mobile.py``), resnetv2
+# mobilenetv3 / regnet (``models/cnn_mobile.py``), senet / sknet /
+# res2net / resnest (``models/cnn_attn.py``), resnetv2
 # (``models/hybrid.py``), swin and pit graduated to real implementations;
 # the rest remain named stubs.
 _STUB_FAMILIES = (
@@ -63,7 +64,7 @@ _STUB_FAMILIES = (
     "ghostnet", "gluon_resnet", "gluon_xception",
     "hardcorenas", "hrnet", "inception_resnet_v2", "inception_v3",
     "inception_v4", "nasnet", "nfnet", "pnasnet",
-    "res2net", "resnest", "rexnet", "selecsls", "senet", "sknet",
+    "rexnet", "selecsls",
     "tnt", "tresnet", "vovnet", "xception", "xception_aligned",
 )
 

@@ -86,3 +86,31 @@ def test_mobile_families_forward(name, rng):
     # eval path deterministic
     e = model.apply(variables, x, train=False)
     assert np.isfinite(np.asarray(e["logits"])).all()
+
+
+@pytest.mark.parametrize("name", ["seresnet50", "sknet50", "res2net50",
+                                  "resnest50d"])
+def test_attention_resnet_families_forward(name, rng):
+    model = create_model(name, num_classes=9, dtype=jnp.float32,
+                         layers=(1, 1, 1, 1))  # one block/stage: fast CI
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=True)
+    assert "batch_stats" in variables
+    out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out["logits"].shape == (2, 9)
+    assert out["features"].shape == (2, 2, 2, 2048)
+    assert len(out["taps"]) == 4
+    e = model.apply(variables, x, train=False)
+    assert np.isfinite(np.asarray(e["logits"])).all()
+
+
+def test_res2net_strided_block_shapes(rng):
+    """Strided Res2Net blocks pool the passthrough split (no mismatched
+    adds)."""
+    from acr_wsss_tpu.models.cnn_attn import Res2NetBottleneck
+
+    blk = Res2NetBottleneck(64, stride=2, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 32)).astype(np.float32))
+    variables = blk.init(jax.random.key(0), x, train=True)
+    y, _ = blk.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert y.shape == (1, 8, 8, 64)
