@@ -1,0 +1,509 @@
+"""Inception and Xception backbone families.
+
+Clean-room flax counterparts of five reference-zoo families (vendored timm
+0.4.5: ``models/inception_v3.py:1-470``, ``models/inception_v4.py:1-316``,
+``models/inception_resnet_v2.py:1-358``, ``models/xception.py:1-232``,
+``models/xception_aligned.py:1-238``, ``models/gluon_xception.py:1-246``),
+graduating them from registry stubs:
+
+* Inception v3: factorized-conv mixed blocks (A: 5x5, B: 1x7/7x1, C: split
+  1x3 + 3x1) with grid reductions;
+* Inception v4: the deeper stem + A/B/C mixed blocks at v4 widths;
+* Inception-ResNet v2: residual mixed blocks with branch-concat -> 1x1
+  projection and block-specific residual scaling (0.17 / 0.10 / 0.20);
+* Xception: depthwise-separable entry/middle/exit flows (8-block middle);
+  ``gluon_xception`` (xception65) deepens the middle flow to 16 blocks and
+  ``xception_aligned`` (xception41) uses 3-separable-conv stages.
+
+Contract shared with the other backbones: ``{"logits", "features",
+"taps"}``; SyncBN via ``bn_axis_name`` (see ``models/cnn.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from acr_wsss_tpu.models.cnn import ConvBN
+from acr_wsss_tpu.models.registry import register_model
+
+Dtype = Any
+
+
+def _pool3(x, stride=1, kind="max"):
+    fn = nn.max_pool if kind == "max" else nn.avg_pool
+    return fn(x, (3, 3), strides=(stride, stride), padding=[(1, 1)] * 2)
+
+
+class Conv2dBN(nn.Module):
+    """Conv + BN + ReLU with arbitrary (kh, kw) kernels and per-axis
+    padding — inception blocks use asymmetric 1x7/7x1/1x3/3x1 kernels."""
+
+    features: int
+    kernel: Sequence[int] = (3, 3)
+    stride: int = 1
+    padding: Optional[Sequence[int]] = None   # (ph, pw); None = same-ish
+    apply_act: bool = True
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kh, kw = self.kernel
+        ph, pw = self.padding if self.padding is not None else (kh // 2, kw // 2)
+        x = nn.Conv(self.features, (kh, kw), strides=(self.stride,) * 2,
+                    padding=[(ph, ph), (pw, pw)], use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="bn")(x)
+        if self.apply_act:
+            x = nn.relu(x)
+        return x.astype(self.dtype)
+
+
+class InceptionA(nn.Module):
+    """v3 Mixed_5x: 1x1 / 5x5 / double-3x3 / pool-proj branches."""
+
+    pool_features: int
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        b1 = Conv2dBN(64, (1, 1), name="b1", **kw)(x, train)
+        b2 = Conv2dBN(48, (1, 1), name="b2_1", **kw)(x, train)
+        b2 = Conv2dBN(64, (5, 5), name="b2_2", **kw)(b2, train)
+        b3 = Conv2dBN(64, (1, 1), name="b3_1", **kw)(x, train)
+        b3 = Conv2dBN(96, (3, 3), name="b3_2", **kw)(b3, train)
+        b3 = Conv2dBN(96, (3, 3), name="b3_3", **kw)(b3, train)
+        b4 = Conv2dBN(self.pool_features, (1, 1), name="b4",
+                      **kw)(_pool3(x, kind="avg"), train)
+        return jnp.concatenate([b1, b2, b3, b4], axis=-1)
+
+
+class InceptionB(nn.Module):
+    """v3 Mixed_6x: factorized 7x7 branches (1x7 then 7x1)."""
+
+    c7: int
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        c7 = self.c7
+        b1 = Conv2dBN(192, (1, 1), name="b1", **kw)(x, train)
+        b2 = Conv2dBN(c7, (1, 1), name="b2_1", **kw)(x, train)
+        b2 = Conv2dBN(c7, (1, 7), name="b2_2", **kw)(b2, train)
+        b2 = Conv2dBN(192, (7, 1), name="b2_3", **kw)(b2, train)
+        b3 = Conv2dBN(c7, (1, 1), name="b3_1", **kw)(x, train)
+        b3 = Conv2dBN(c7, (7, 1), name="b3_2", **kw)(b3, train)
+        b3 = Conv2dBN(c7, (1, 7), name="b3_3", **kw)(b3, train)
+        b3 = Conv2dBN(c7, (7, 1), name="b3_4", **kw)(b3, train)
+        b3 = Conv2dBN(192, (1, 7), name="b3_5", **kw)(b3, train)
+        b4 = Conv2dBN(192, (1, 1), name="b4", **kw)(_pool3(x, kind="avg"), train)
+        return jnp.concatenate([b1, b2, b3, b4], axis=-1)
+
+
+class InceptionC(nn.Module):
+    """v3 Mixed_7x: expanded-split branches (1x3 and 3x1 outputs concat)."""
+
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        b1 = Conv2dBN(320, (1, 1), name="b1", **kw)(x, train)
+        b2 = Conv2dBN(384, (1, 1), name="b2_1", **kw)(x, train)
+        b2a = Conv2dBN(384, (1, 3), name="b2_2a", **kw)(b2, train)
+        b2b = Conv2dBN(384, (3, 1), name="b2_2b", **kw)(b2, train)
+        b3 = Conv2dBN(448, (1, 1), name="b3_1", **kw)(x, train)
+        b3 = Conv2dBN(384, (3, 3), name="b3_2", **kw)(b3, train)
+        b3a = Conv2dBN(384, (1, 3), name="b3_3a", **kw)(b3, train)
+        b3b = Conv2dBN(384, (3, 1), name="b3_3b", **kw)(b3, train)
+        b4 = Conv2dBN(192, (1, 1), name="b4", **kw)(_pool3(x, kind="avg"), train)
+        return jnp.concatenate([b1, b2a, b2b, b3a, b3b, b4], axis=-1)
+
+
+class ReductionA(nn.Module):
+    """v3 Mixed_6a-style grid reduction (stride-2 3x3 + double-3x3 + pool)."""
+
+    out3x3: int = 384
+    dbl: Sequence[int] = (64, 96, 96)
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        b1 = Conv2dBN(self.out3x3, (3, 3), stride=2, padding=(0, 0),
+                      name="b1", **kw)(x, train)
+        b2 = Conv2dBN(self.dbl[0], (1, 1), name="b2_1", **kw)(x, train)
+        b2 = Conv2dBN(self.dbl[1], (3, 3), name="b2_2", **kw)(b2, train)
+        b2 = Conv2dBN(self.dbl[2], (3, 3), stride=2, padding=(0, 0),
+                      name="b2_3", **kw)(b2, train)
+        b3 = nn.max_pool(x, (3, 3), strides=(2, 2))
+        return jnp.concatenate([b1, b2, b3], axis=-1)
+
+
+class ReductionB(nn.Module):
+    """v3 Mixed_7a-style grid reduction with factorized-7x7 branch."""
+
+    c7: int = 192
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        b1 = Conv2dBN(192, (1, 1), name="b1_1", **kw)(x, train)
+        b1 = Conv2dBN(320, (3, 3), stride=2, padding=(0, 0),
+                      name="b1_2", **kw)(b1, train)
+        b2 = Conv2dBN(self.c7, (1, 1), name="b2_1", **kw)(x, train)
+        b2 = Conv2dBN(self.c7, (1, 7), name="b2_2", **kw)(b2, train)
+        b2 = Conv2dBN(self.c7, (7, 1), name="b2_3", **kw)(b2, train)
+        b2 = Conv2dBN(192, (3, 3), stride=2, padding=(0, 0),
+                      name="b2_4", **kw)(b2, train)
+        b3 = nn.max_pool(x, (3, 3), strides=(2, 2))
+        return jnp.concatenate([b1, b2, b3], axis=-1)
+
+
+class InceptionV3(nn.Module):
+    """Inception v3 classifier (reference ``models/inception_v3.py:470``)."""
+
+    num_classes: int = 1000
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = x.astype(self.dtype)
+        x = Conv2dBN(32, (3, 3), stride=2, padding=(0, 0), name="s1", **kw)(x, train)
+        x = Conv2dBN(32, (3, 3), padding=(0, 0), name="s2", **kw)(x, train)
+        x = Conv2dBN(64, (3, 3), name="s3", **kw)(x, train)
+        taps: Dict[int, jnp.ndarray] = {0: x}
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = Conv2dBN(80, (1, 1), name="s4", **kw)(x, train)
+        x = Conv2dBN(192, (3, 3), padding=(0, 0), name="s5", **kw)(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        for i, pf in enumerate((32, 64, 64)):
+            x = InceptionA(pf, name=f"mixed5{'bcd'[i]}", **kw)(x, train)
+        taps[1] = x
+        x = ReductionA(name="mixed6a", **kw)(x, train)
+        for i, c7 in enumerate((128, 160, 160, 192)):
+            x = InceptionB(c7, name=f"mixed6{'bcde'[i]}", **kw)(x, train)
+        taps[2] = x
+        x = ReductionB(name="mixed7a", **kw)(x, train)
+        for i in range(2):
+            x = InceptionC(name=f"mixed7{'bc'[i]}", **kw)(x, train)
+        taps[3] = x
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(pooled)
+        return {"logits": logits, "features": x, "taps": taps}
+
+
+class InceptionV4A(nn.Module):
+    """v4 Inception-A block (96-wide branches)."""
+
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        b1 = Conv2dBN(96, (1, 1), name="b1", **kw)(x, train)
+        b2 = Conv2dBN(64, (1, 1), name="b2_1", **kw)(x, train)
+        b2 = Conv2dBN(96, (3, 3), name="b2_2", **kw)(b2, train)
+        b3 = Conv2dBN(64, (1, 1), name="b3_1", **kw)(x, train)
+        b3 = Conv2dBN(96, (3, 3), name="b3_2", **kw)(b3, train)
+        b3 = Conv2dBN(96, (3, 3), name="b3_3", **kw)(b3, train)
+        b4 = Conv2dBN(96, (1, 1), name="b4", **kw)(_pool3(x, kind="avg"), train)
+        return jnp.concatenate([b1, b2, b3, b4], axis=-1)
+
+
+class InceptionV4(nn.Module):
+    """Inception v4 classifier (reference ``models/inception_v4.py:316``);
+    v4-stem (stacked reductions with branch concats) + 4xA, RedA, 7xB,
+    RedB, 3xC at the v4 widths."""
+
+    num_classes: int = 1000
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = x.astype(self.dtype)
+        x = Conv2dBN(32, (3, 3), stride=2, padding=(0, 0), name="s1", **kw)(x, train)
+        x = Conv2dBN(32, (3, 3), padding=(0, 0), name="s2", **kw)(x, train)
+        x = Conv2dBN(64, (3, 3), name="s3", **kw)(x, train)
+        taps: Dict[int, jnp.ndarray] = {0: x}
+        # mixed stem 3a: maxpool || stride-2 conv
+        xa = nn.max_pool(x, (3, 3), strides=(2, 2))
+        xb = Conv2dBN(96, (3, 3), stride=2, padding=(0, 0), name="s4", **kw)(x, train)
+        x = jnp.concatenate([xa, xb], axis=-1)
+        # mixed stem 4a: two conv paths
+        p1 = Conv2dBN(64, (1, 1), name="s5_1", **kw)(x, train)
+        p1 = Conv2dBN(96, (3, 3), padding=(0, 0), name="s5_2", **kw)(p1, train)
+        p2 = Conv2dBN(64, (1, 1), name="s6_1", **kw)(x, train)
+        p2 = Conv2dBN(64, (1, 7), name="s6_2", **kw)(p2, train)
+        p2 = Conv2dBN(64, (7, 1), name="s6_3", **kw)(p2, train)
+        p2 = Conv2dBN(96, (3, 3), padding=(0, 0), name="s6_4", **kw)(p2, train)
+        x = jnp.concatenate([p1, p2], axis=-1)
+        # mixed stem 5a
+        xa = Conv2dBN(192, (3, 3), stride=2, padding=(0, 0), name="s7", **kw)(x, train)
+        xb = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = jnp.concatenate([xa, xb], axis=-1)
+        for i in range(4):
+            x = InceptionV4A(name=f"a{i}", **kw)(x, train)
+        taps[1] = x
+        x = ReductionA(out3x3=384, dbl=(192, 224, 256), name="reda", **kw)(x, train)
+        for i in range(7):
+            x = InceptionB(224, name=f"b{i}", **kw)(x, train)
+        taps[2] = x
+        x = ReductionB(c7=256, name="redb", **kw)(x, train)
+        for i in range(3):
+            x = InceptionC(name=f"c{i}", **kw)(x, train)
+        taps[3] = x
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(pooled)
+        return {"logits": logits, "features": x, "taps": taps}
+
+
+class ResNetA(nn.Module):
+    """Inception-ResNet block: branches -> concat -> 1x1 -> scaled residual."""
+
+    branches: Sequence[Sequence] = ()   # list of lists of (chs, kernel)
+    proj_chs: int = 320
+    scale: float = 0.17
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        outs = []
+        for bi, branch in enumerate(self.branches):
+            y = x
+            for ci, (chs, kernel) in enumerate(branch):
+                y = Conv2dBN(chs, kernel, name=f"b{bi}_{ci}", **kw)(y, train)
+            outs.append(y)
+        y = jnp.concatenate(outs, axis=-1)
+        y = nn.Conv(self.proj_chs, (1, 1), use_bias=True, dtype=self.dtype,
+                    name="proj")(y)
+        return nn.relu(x + self.scale * y).astype(self.dtype)
+
+
+class InceptionResNetV2(nn.Module):
+    """Inception-ResNet v2 classifier (reference
+    ``models/inception_resnet_v2.py:358``): v4-style stem, 10x residual-A
+    (scale .17), 20x residual-B (scale .10), 9x residual-C (scale .20)."""
+
+    num_classes: int = 1000
+    blocks: Sequence[int] = (10, 20, 9)
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = x.astype(self.dtype)
+        x = Conv2dBN(32, (3, 3), stride=2, padding=(0, 0), name="s1", **kw)(x, train)
+        x = Conv2dBN(32, (3, 3), padding=(0, 0), name="s2", **kw)(x, train)
+        x = Conv2dBN(64, (3, 3), name="s3", **kw)(x, train)
+        taps: Dict[int, jnp.ndarray] = {0: x}
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = Conv2dBN(80, (1, 1), name="s4", **kw)(x, train)
+        x = Conv2dBN(192, (3, 3), padding=(0, 0), name="s5", **kw)(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        # mixed_5b: 4-branch concat to 320 channels
+        b1 = Conv2dBN(96, (1, 1), name="m5_b1", **kw)(x, train)
+        b2 = Conv2dBN(48, (1, 1), name="m5_b2a", **kw)(x, train)
+        b2 = Conv2dBN(64, (5, 5), name="m5_b2b", **kw)(b2, train)
+        b3 = Conv2dBN(64, (1, 1), name="m5_b3a", **kw)(x, train)
+        b3 = Conv2dBN(96, (3, 3), name="m5_b3b", **kw)(b3, train)
+        b3 = Conv2dBN(96, (3, 3), name="m5_b3c", **kw)(b3, train)
+        b4 = Conv2dBN(64, (1, 1), name="m5_b4", **kw)(_pool3(x, kind="avg"), train)
+        x = jnp.concatenate([b1, b2, b3, b4], axis=-1)
+        a_branches = (((32, (1, 1)),),
+                      ((32, (1, 1)), (32, (3, 3))),
+                      ((32, (1, 1)), (48, (3, 3)), (64, (3, 3))))
+        for i in range(self.blocks[0]):
+            x = ResNetA(a_branches, proj_chs=320, scale=0.17,
+                        name=f"ra{i}", **kw)(x, train)
+        taps[1] = x
+        x = ReductionA(out3x3=384, dbl=(256, 256, 384), name="reda", **kw)(x, train)
+        b_branches = (((192, (1, 1)),),
+                      ((128, (1, 1)), (160, (1, 7)), (192, (7, 1))))
+        for i in range(self.blocks[1]):
+            x = ResNetA(b_branches, proj_chs=x.shape[-1], scale=0.10,
+                        name=f"rb{i}", **kw)(x, train)
+        taps[2] = x
+        x = ReductionB(c7=288, name="redb", **kw)(x, train)
+        c_branches = (((192, (1, 1)),),
+                      ((192, (1, 1)), (224, (1, 3)), (256, (3, 1))))
+        for i in range(self.blocks[2]):
+            x = ResNetA(c_branches, proj_chs=x.shape[-1], scale=0.20,
+                        name=f"rc{i}", **kw)(x, train)
+        x = Conv2dBN(1536, (1, 1), name="conv7b", **kw)(x, train)
+        taps[3] = x
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(pooled)
+        return {"logits": logits, "features": x, "taps": taps}
+
+
+class SeparableConvBN(nn.Module):
+    """Depthwise 3x3 + pointwise 1x1, each BN'd (Xception building block)."""
+
+    features: int
+    stride: int = 1
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        chs = x.shape[-1]
+        x = nn.Conv(chs, (3, 3), strides=(self.stride,) * 2,
+                    padding=[(1, 1)] * 2, feature_group_count=chs,
+                    use_bias=False, dtype=self.dtype, name="dw")(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="pw")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="bn")(x)
+        return x.astype(self.dtype)
+
+
+class XceptionBlock(nn.Module):
+    """Residual stack of separable convs with pre-ReLU (Chollet-style)."""
+
+    features: int
+    reps: int = 2
+    stride: int = 1
+    first_relu: bool = True
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        shortcut = x
+        if self.stride != 1 or x.shape[-1] != self.features:
+            shortcut = ConvBN(self.features, 1, self.stride, apply_act=False,
+                              name="skip", **kw)(x, train)
+        y = x
+        for i in range(self.reps):
+            if i > 0 or self.first_relu:
+                y = nn.relu(y)
+            y = SeparableConvBN(self.features,
+                                stride=self.stride if i == self.reps - 1 else 1,
+                                name=f"sep{i}", **kw)(y, train)
+        return (y + shortcut).astype(self.dtype)
+
+
+class Xception(nn.Module):
+    """Xception classifier (reference ``models/xception.py:232``);
+    ``middle_blocks=16`` gives the gluon xception65 depth (reference
+    ``models/gluon_xception.py:246``)."""
+
+    num_classes: int = 1000
+    middle_blocks: int = 8
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = x.astype(self.dtype)
+        x = ConvBN(32, 3, 2, name="stem1", **kw)(x, train)
+        x = ConvBN(64, 3, 1, name="stem2", **kw)(x, train)
+        taps: Dict[int, jnp.ndarray] = {}
+        x = XceptionBlock(128, stride=2, first_relu=False, name="entry1",
+                          **kw)(x, train)
+        taps[0] = x
+        x = XceptionBlock(256, stride=2, name="entry2", **kw)(x, train)
+        taps[1] = x
+        x = XceptionBlock(728, stride=2, name="entry3", **kw)(x, train)
+        for i in range(self.middle_blocks):
+            x = XceptionBlock(728, reps=3, name=f"mid{i}", **kw)(x, train)
+        taps[2] = x
+        x = XceptionBlock(1024, stride=2, name="exit1", **kw)(x, train)
+        x = nn.relu(SeparableConvBN(1536, name="exit2", **kw)(x, train))
+        x = nn.relu(SeparableConvBN(2048, name="exit3", **kw)(x, train))
+        taps[3] = x
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(pooled)
+        return {"logits": logits, "features": x, "taps": taps}
+
+
+class XceptionAligned(nn.Module):
+    """xception41-style aligned variant (reference
+    ``models/xception_aligned.py:238``): 3-separable-conv stages with
+    stride-aligned downsampling per stage."""
+
+    num_classes: int = 1000
+    stage_chs: Sequence[int] = (128, 256, 728, 728, 1024)
+    stage_reps: Sequence[int] = (1, 1, 1, 8, 1)
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = x.astype(self.dtype)
+        x = ConvBN(32, 3, 2, name="stem1", **kw)(x, train)
+        x = ConvBN(64, 3, 1, name="stem2", **kw)(x, train)
+        taps: Dict[int, jnp.ndarray] = {}
+        tap_i = 0
+        for si, (chs, reps) in enumerate(zip(self.stage_chs, self.stage_reps)):
+            for bi in range(reps):
+                stride = 2 if bi == reps - 1 and si != 3 else 1
+                x = XceptionBlock(chs, reps=3, stride=stride,
+                                  name=f"s{si}_b{bi}", **kw)(x, train)
+            if si in (0, 1, 3, 4):
+                taps[tap_i] = x
+                tap_i += 1
+        x = nn.relu(SeparableConvBN(1536, name="head1", **kw)(x, train))
+        x = nn.relu(SeparableConvBN(2048, name="head2", **kw)(x, train))
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(pooled)
+        return {"logits": logits, "features": x, "taps": taps}
+
+
+@register_model
+def inception_v3(**kwargs):
+    return InceptionV3(**kwargs)
+
+
+@register_model
+def inception_v4(**kwargs):
+    return InceptionV4(**kwargs)
+
+
+@register_model
+def inception_resnet_v2(**kwargs):
+    return InceptionResNetV2(**kwargs)
+
+
+@register_model
+def xception(**kwargs):
+    return Xception(**kwargs)
+
+
+@register_model
+def gluon_xception65(**kwargs):
+    kwargs.setdefault("middle_blocks", 16)
+    return Xception(**kwargs)
+
+
+@register_model
+def xception41(**kwargs):
+    return XceptionAligned(**kwargs)

@@ -91,7 +91,10 @@ class GroupNormAct(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # fp32 norm path measured FASTER than bf16-through (XLA fuses the
-        # upcast chain better): 72.7 vs 68.9 img/s on the v5e train step.
+        # upcast chain better): 72.7 vs 68.9 img/s on the round-1 v5e train
+        # step; re-measured round 2 where dtype=bf16 GroupNorm collapsed the
+        # whole step to 4.8 img/s (pathological Mosaic/XLA lowering of the
+        # bf16 grouped reductions) vs 106 with this path.
         orig_dtype = x.dtype
         y = nn.GroupNorm(
             num_groups=self.num_groups, epsilon=self.eps, dtype=jnp.float32

@@ -61,11 +61,10 @@ def create_model(name: str, **kwargs):
 # the rest remain named stubs.
 _STUB_FAMILIES = (
     "byoanet", "byobnet", "coat", "cspnet", "dla", "dpn",
-    "ghostnet", "gluon_resnet", "gluon_xception",
-    "hardcorenas", "hrnet", "inception_resnet_v2", "inception_v3",
-    "inception_v4", "nasnet", "nfnet", "pnasnet",
+    "ghostnet", "gluon_resnet",
+    "hardcorenas", "hrnet", "nasnet", "nfnet", "pnasnet",
     "rexnet", "selecsls",
-    "tnt", "tresnet", "vovnet", "xception", "xception_aligned",
+    "tnt", "tresnet", "vovnet",
 )
 
 

@@ -114,3 +114,30 @@ def test_res2net_strided_block_shapes(rng):
     variables = blk.init(jax.random.key(0), x, train=True)
     y, _ = blk.apply(variables, x, train=True, mutable=["batch_stats"])
     assert y.shape == (1, 8, 8, 64)
+
+
+@pytest.mark.parametrize("name,min_hw", [
+    ("inception_v3", 96), ("inception_v4", 96), ("inception_resnet_v2", 96),
+])
+def test_inception_families_forward(name, min_hw, rng):
+    model = create_model(name, num_classes=6, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, min_hw, min_hw, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=True)
+    out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out["logits"].shape == (1, 6)
+    assert len(out["taps"]) == 4
+    e = model.apply(variables, x, train=False)
+    assert np.isfinite(np.asarray(e["logits"])).all()
+
+
+@pytest.mark.parametrize("name,final_chs", [
+    ("xception", 2048), ("xception41", 2048),
+])
+def test_xception_families_forward(name, final_chs, rng):
+    model = create_model(name, num_classes=5, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=True)
+    out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out["logits"].shape == (1, 5)
+    assert out["features"].shape[-1] == final_chs
+    assert len(out["taps"]) == 4
