@@ -1,0 +1,670 @@
+"""Assorted CNN backbone families: DPN, DLA, CSPNet, VoVNet, GhostNet,
+ReXNet, SelecSLS, TResNet, Gluon-ResNet, HardCoRe-NAS.
+
+Clean-room flax counterparts of ten more reference-zoo families (vendored
+timm 0.4.5: ``models/dpn.py:1-316``, ``models/dla.py:1-441``,
+``models/cspnet.py:1-457``, ``models/vovnet.py:1-406``,
+``models/ghostnet.py:1-276``, ``models/rexnet.py:1-253``,
+``models/selecsls.py:1-362``, ``models/tresnet.py:1-297``,
+``models/gluon_resnet.py:1-248``, ``models/hardcorenas.py:1-149``),
+graduating them from registry stubs. Each keeps its family's defining
+mechanism:
+
+* DPN — dual paths: a residual slice plus a growing dense-concat slice;
+* DLA — hierarchical aggregation nodes that fuse stage sub-trees;
+* CSPNet — cross-stage partial: only half the channels enter the block
+  stack, re-joined by a transition conv;
+* VoVNet — one-shot aggregation (concat every intermediate 3x3 output,
+  compress once);
+* GhostNet — ghost modules (cheap depthwise "ghost" features concatenated
+  onto a thin primary conv);
+* ReXNet — inverted residuals with linearly growing widths and silu/relu6;
+* SelecSLS — selective short/long skips routed across blocks via concat;
+* TResNet — space-to-depth stem + anti-aliased (blur-pool) downsampling +
+  SE bottlenecks;
+* Gluon ResNet-D — deep 3x3 stem + avg-pool downsample shortcuts;
+* HardCoRe-NAS — a MBConv table found by NAS (mobilenet-style).
+
+Contract shared with every backbone here: ``{"logits", "features",
+"taps"}``; SyncBN via ``bn_axis_name`` (``models/cnn.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from acr_wsss_tpu.models.cnn import ConvBN, ResNetBottleneck
+from acr_wsss_tpu.models.cnn_mobile import (
+    DepthwiseConvBN, MBConv, SqueezeExcite, _hardswish,
+)
+from acr_wsss_tpu.models.registry import register_model
+
+Dtype = Any
+
+
+def _head(x, num_classes, name="fc"):
+    pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+    return nn.Dense(num_classes, dtype=jnp.float32, name=name)(pooled)
+
+
+class DualPathBlock(nn.Module):
+    """DPN block: grouped bottleneck whose output is split into a residual
+    part (added) and a dense part (concatenated onto the dense path)."""
+
+    res_chs: int           # residual-path width
+    dense_inc: int         # dense-path growth per block
+    mid_chs: int
+    groups: int = 32
+    stride: int = 1
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, res, dense, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = jnp.concatenate([res, dense], axis=-1) if dense is not None else res
+        if self.stride != 1 or res.shape[-1] != self.res_chs:
+            proj = ConvBN(self.res_chs + 2 * self.dense_inc, 1, self.stride,
+                          apply_act=False, name="proj", **kw)(x, train)
+            res_s = proj[..., :self.res_chs]
+            dense_s = proj[..., self.res_chs:]
+        else:
+            res_s, dense_s = res, dense
+        y = ConvBN(self.mid_chs, 1, name="c1", **kw)(x, train)
+        y = nn.Conv(self.mid_chs, (3, 3), strides=(self.stride,) * 2,
+                    padding=[(1, 1)] * 2, feature_group_count=self.groups,
+                    use_bias=False, dtype=self.dtype, name="c2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="bn2")(y)
+        y = nn.relu(y).astype(self.dtype)
+        y = ConvBN(self.res_chs + self.dense_inc, 1, apply_act=False,
+                   name="c3", **kw)(y, train)
+        res_out = nn.relu(res_s + y[..., :self.res_chs]).astype(self.dtype)
+        dense_new = y[..., self.res_chs:]
+        dense_out = (dense_new if dense_s is None
+                     else jnp.concatenate([dense_s, dense_new], axis=-1))
+        return res_out, dense_out
+
+
+class DPN(nn.Module):
+    """Dual Path Network classifier (reference ``models/dpn.py:316``);
+    default config ~ dpn68 shape (groups 32)."""
+
+    num_classes: int = 1000
+    stage_blocks: Sequence[int] = (3, 4, 12, 3)
+    res_widths: Sequence[int] = (64, 128, 256, 512)
+    dense_incs: Sequence[int] = (16, 32, 32, 64)
+    mid_widths: Sequence[int] = (32, 64, 128, 256)
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = x.astype(self.dtype)
+        x = ConvBN(64, 3, 2, name="stem", **kw)(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        res, dense = x, None
+        taps: Dict[int, jnp.ndarray] = {}
+        for si, (depth, rw, di, mw) in enumerate(zip(
+                self.stage_blocks, self.res_widths, self.dense_incs,
+                self.mid_widths)):
+            for bi in range(depth):
+                res, dense = DualPathBlock(
+                    rw, di, mw, stride=2 if bi == 0 and si > 0 else 1,
+                    name=f"s{si}_b{bi}", **kw)(res, dense, train)
+            taps[si] = jnp.concatenate([res, dense], axis=-1)
+        x = taps[len(self.stage_blocks) - 1]
+        return {"logits": _head(x, self.num_classes), "features": x,
+                "taps": taps}
+
+
+class DLABasic(nn.Module):
+    out_chs: int
+    stride: int = 1
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, shortcut=None, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        if shortcut is None:
+            shortcut = x
+            if self.stride != 1:
+                shortcut = nn.max_pool(shortcut, (self.stride,) * 2,
+                                       strides=(self.stride,) * 2)
+            if shortcut.shape[-1] != self.out_chs:
+                shortcut = ConvBN(self.out_chs, 1, apply_act=False,
+                                  name="proj", **kw)(shortcut, train)
+        y = ConvBN(self.out_chs, 3, self.stride, name="c1", **kw)(x, train)
+        y = ConvBN(self.out_chs, 3, apply_act=False, name="c2", **kw)(y, train)
+        return nn.relu(y + shortcut).astype(self.dtype)
+
+
+class DLATree(nn.Module):
+    """One DLA tree level: two blocks whose outputs meet at a root
+    aggregation conv (reference ``models/dla.py`` Tree, depth 1)."""
+
+    out_chs: int
+    stride: int = 2
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        b1 = DLABasic(self.out_chs, self.stride, name="b1", **kw)(x, train=train)
+        b2 = DLABasic(self.out_chs, 1, name="b2", **kw)(b1, train=train)
+        root = jnp.concatenate([b2, b1], axis=-1)
+        root = ConvBN(self.out_chs, 1, apply_act=False, name="root",
+                      **kw)(root, train)
+        return nn.relu(root).astype(self.dtype)
+
+
+class DLA(nn.Module):
+    """Deep Layer Aggregation classifier (reference ``models/dla.py:441``,
+    dla34-shaped)."""
+
+    num_classes: int = 1000
+    widths: Sequence[int] = (64, 128, 256, 512)
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = x.astype(self.dtype)
+        x = ConvBN(16, 7, 1, name="base", **kw)(x, train)
+        x = ConvBN(16, 3, 1, name="level0", **kw)(x, train)
+        x = ConvBN(32, 3, 2, name="level1", **kw)(x, train)
+        taps: Dict[int, jnp.ndarray] = {}
+        for si, w in enumerate(self.widths):
+            x = DLATree(w, stride=2, name=f"level{si + 2}", **kw)(x, train)
+            taps[si] = x
+        return {"logits": _head(x, self.num_classes), "features": x,
+                "taps": taps}
+
+
+class CSPStage(nn.Module):
+    """Cross-stage-partial stage: downsample, split channels, run the
+    residual stack on ONE half, re-join with a transition conv."""
+
+    out_chs: int
+    depth: int
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = ConvBN(self.out_chs, 3, 2, name="down", **kw)(x, train)
+        half = self.out_chs // 2
+        xa, xb = x[..., :half], x[..., half:]
+        for bi in range(self.depth):
+            xb = ResNetBottleneck(half, dtype=self.dtype,
+                                  bn_axis_name=self.bn_axis_name,
+                                  name=f"b{bi}")(xb, train)
+        xb = ConvBN(half, 1, name="post", **kw)(xb, train)
+        return ConvBN(self.out_chs, 1, name="transition",
+                      **kw)(jnp.concatenate([xa, xb], axis=-1), train)
+
+
+class CSPNet(nn.Module):
+    """CSPResNet50-shaped classifier (reference ``models/cspnet.py:457``)."""
+
+    num_classes: int = 1000
+    stage_depths: Sequence[int] = (3, 3, 5, 2)
+    widths: Sequence[int] = (128, 256, 512, 1024)
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = x.astype(self.dtype)
+        x = ConvBN(64, 7, 2, name="stem", **kw)(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        taps: Dict[int, jnp.ndarray] = {}
+        for si, (d, w) in enumerate(zip(self.stage_depths, self.widths)):
+            x = CSPStage(w, d, name=f"stage{si}", **kw)(x, train)
+            taps[si] = x
+        return {"logits": _head(x, self.num_classes), "features": x,
+                "taps": taps}
+
+
+class OSABlock(nn.Module):
+    """VoVNet one-shot aggregation: n sequential 3x3 convs, concat ALL
+    intermediate outputs (+input), compress with a 1x1."""
+
+    mid_chs: int
+    out_chs: int
+    n_convs: int = 5
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        outs = [x]
+        y = x
+        for i in range(self.n_convs):
+            y = ConvBN(self.mid_chs, 3, name=f"c{i}", **kw)(y, train)
+            outs.append(y)
+        y = jnp.concatenate(outs, axis=-1)
+        return ConvBN(self.out_chs, 1, name="concat_conv", **kw)(y, train)
+
+
+class VoVNet(nn.Module):
+    """VoVNet-39-shaped classifier (reference ``models/vovnet.py:406``)."""
+
+    num_classes: int = 1000
+    stage_blocks: Sequence[int] = (1, 1, 2, 2)
+    mid_widths: Sequence[int] = (128, 160, 192, 224)
+    out_widths: Sequence[int] = (256, 512, 768, 1024)
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = x.astype(self.dtype)
+        x = ConvBN(64, 3, 2, name="stem1", **kw)(x, train)
+        x = ConvBN(64, 3, 1, name="stem2", **kw)(x, train)
+        x = ConvBN(128, 3, 2, name="stem3", **kw)(x, train)
+        taps: Dict[int, jnp.ndarray] = {}
+        for si, (nb, mw, ow) in enumerate(zip(
+                self.stage_blocks, self.mid_widths, self.out_widths)):
+            if si > 0:
+                x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                                padding=[(1, 1)] * 2)
+            for bi in range(nb):
+                x = OSABlock(mw, ow, name=f"s{si}_osa{bi}", **kw)(x, train)
+            taps[si] = x
+        return {"logits": _head(x, self.num_classes), "features": x,
+                "taps": taps}
+
+
+class GhostModule(nn.Module):
+    """Primary 1x1 conv producing half the channels; the other half are
+    cheap 3x3 depthwise 'ghosts' of the primary output."""
+
+    out_chs: int
+    apply_act: bool = True
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        init = self.out_chs // 2
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        primary = ConvBN(init, 1, apply_act=self.apply_act, name="primary",
+                         **kw)(x, train)
+        ghost = DepthwiseConvBN(3, name="cheap", **kw)(primary, train)
+        if self.apply_act:
+            ghost = nn.relu(ghost)
+        return jnp.concatenate([primary, ghost],
+                               axis=-1)[..., :self.out_chs]
+
+
+class GhostBottleneck(nn.Module):
+    mid_chs: int
+    out_chs: int
+    kernel: int = 3
+    stride: int = 1
+    se_ratio: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        shortcut = x
+        if self.stride != 1 or x.shape[-1] != self.out_chs:
+            s = DepthwiseConvBN(self.kernel, self.stride, name="skip_dw",
+                                **kw)(x, train)
+            shortcut = ConvBN(self.out_chs, 1, apply_act=False,
+                              name="skip_pw", **kw)(s, train)
+        y = GhostModule(self.mid_chs, name="ghost1", **kw)(x, train)
+        if self.stride != 1:
+            y = DepthwiseConvBN(self.kernel, self.stride, name="dw",
+                                **kw)(y, train)
+        if self.se_ratio > 0:
+            y = SqueezeExcite(max(1, int(self.mid_chs * self.se_ratio)),
+                              gate="hard", dtype=self.dtype, name="se")(y)
+        y = GhostModule(self.out_chs, apply_act=False, name="ghost2",
+                        **kw)(y, train)
+        return (y + shortcut).astype(self.dtype)
+
+
+# GhostNet-1.0 table: (kernel, mid, out, se_ratio, stride)
+_GHOSTNET = (
+    (3, 16, 16, 0.0, 1), (3, 48, 24, 0.0, 2), (3, 72, 24, 0.0, 1),
+    (5, 72, 40, 0.25, 2), (5, 120, 40, 0.25, 1), (3, 240, 80, 0.0, 2),
+    (3, 200, 80, 0.0, 1), (3, 184, 80, 0.0, 1), (3, 184, 80, 0.0, 1),
+    (3, 480, 112, 0.25, 1), (3, 672, 112, 0.25, 1), (5, 672, 160, 0.25, 2),
+    (5, 960, 160, 0.0, 1), (5, 960, 160, 0.25, 1),
+)
+
+
+class GhostNet(nn.Module):
+    """GhostNet-1.0 classifier (reference ``models/ghostnet.py:276``)."""
+
+    num_classes: int = 1000
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = x.astype(self.dtype)
+        x = ConvBN(16, 3, 2, name="stem", **kw)(x, train)
+        taps: Dict[int, jnp.ndarray] = {}
+        tap_i = 0
+        for bi, (k, mid, out, se, s) in enumerate(_GHOSTNET):
+            x = GhostBottleneck(mid, out, k, s, se_ratio=se,
+                                name=f"b{bi}", **kw)(x, train)
+            if bi in (2, 4, 10, 13):
+                taps[tap_i] = x
+                tap_i += 1
+        x = ConvBN(960, 1, name="head_conv", **kw)(x, train)
+        return {"logits": _head(x, self.num_classes), "features": x,
+                "taps": taps}
+
+
+class ReXNet(nn.Module):
+    """ReXNet-1.0 classifier (reference ``models/rexnet.py:253``): inverted
+    residuals whose output width grows LINEARLY block to block."""
+
+    num_classes: int = 1000
+    depth: int = 16
+    width_mult: float = 1.0
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = x.astype(self.dtype)
+        x = ConvBN(int(32 * self.width_mult), 3, 2, name="stem", **kw)(x, train)
+        x = nn.silu(x)
+        strides = [1, 2, 2, 2, 1, 2] + [1] * (self.depth - 6)
+        taps: Dict[int, jnp.ndarray] = {}
+        tap_i = 0
+        for bi in range(self.depth):
+            out = int((16 + (180 - 16) * bi / (self.depth - 1))
+                      * self.width_mult)
+            out = max(8, out // 8 * 8)
+            x = MBConv(out, 3, strides[bi] if bi < len(strides) else 1,
+                       expand_ratio=1.0 if bi == 0 else 6.0,
+                       se_ratio=0.0 if bi < 2 else 1.0 / 12,
+                       act="silu", dtype=self.dtype,
+                       bn_axis_name=self.bn_axis_name,
+                       name=f"b{bi}")(x, train)
+            if bi in (2, 5, 10, self.depth - 1):
+                taps[tap_i] = x
+                tap_i += 1
+        x = ConvBN(int(1280 * self.width_mult), 1, name="head_conv",
+                   **kw)(x, train)
+        x = nn.silu(x)
+        return {"logits": _head(x, self.num_classes), "features": x,
+                "taps": taps}
+
+
+class SelecSLSBlock(nn.Module):
+    """SelecSLS unit: two 3x3+1x1 conv pairs whose intermediate outputs are
+    concatenated (short skips) before a 1x1 fuse; the stride-1 variant also
+    concatenates the unit input (long skip)."""
+
+    mid_chs: int
+    out_chs: int
+    stride: int = 1
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        d1 = ConvBN(self.mid_chs, 3, self.stride, name="c1", **kw)(x, train)
+        d2 = ConvBN(self.mid_chs, 1, name="c2", **kw)(d1, train)
+        d3 = ConvBN(self.mid_chs, 3, name="c3", **kw)(d2, train)
+        cat = [d1, d2, d3]
+        if self.stride == 1:
+            cat.append(x)
+        return ConvBN(self.out_chs, 1,
+                      name="fuse", **kw)(jnp.concatenate(cat, -1), train)
+
+
+class SelecSLS(nn.Module):
+    """SelecSLS42-shaped classifier (reference ``models/selecsls.py:362``)."""
+
+    num_classes: int = 1000
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = x.astype(self.dtype)
+        x = ConvBN(32, 3, 2, name="stem", **kw)(x, train)
+        taps: Dict[int, jnp.ndarray] = {}
+        cfg = ((64, 64, 2), (64, 128, 1),
+               (144, 144, 2), (144, 288, 1),
+               (304, 304, 2), (304, 480, 1))
+        for bi, (mid, out, s) in enumerate(cfg):
+            x = SelecSLSBlock(mid, out, s, name=f"b{bi}", **kw)(x, train)
+            if s == 1:
+                taps[len(taps)] = x
+        x = ConvBN(960, 3, 2, name="head1", **kw)(x, train)
+        taps[len(taps)] = x
+        x = ConvBN(1024, 1, name="head2", **kw)(x, train)
+        return {"logits": _head(x, self.num_classes), "features": x,
+                "taps": taps}
+
+
+def _space_to_depth(x, block: int = 4):
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // block, block, W // block, block, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(B, H // block, W // block, block * block * C)
+
+
+class TResNetBlock(nn.Module):
+    """TResNet bottleneck: SE + anti-aliased stride (3x3 blur-pool)."""
+
+    out_chs: int
+    stride: int = 1
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        blur = jnp.asarray([1.0, 2.0, 1.0])
+        blur = (blur[:, None] * blur[None, :]) / 16.0
+
+        def blur_pool(y):
+            C = y.shape[-1]
+            kern = jnp.tile(blur[:, :, None, None], (1, 1, 1, C)).astype(y.dtype)
+            import jax as _jax
+            return _jax.lax.conv_general_dilated(
+                y, kern, window_strides=(2, 2), padding=[(1, 1)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=C)
+
+        shortcut = x
+        if self.stride != 1:
+            shortcut = blur_pool(shortcut)
+        if shortcut.shape[-1] != self.out_chs:
+            shortcut = ConvBN(self.out_chs, 1, apply_act=False, name="proj",
+                              **kw)(shortcut, train)
+        mid = self.out_chs // 4
+        y = ConvBN(mid, 1, name="c1", **kw)(x, train)
+        y = ConvBN(mid, 3, name="c2", **kw)(y, train)
+        if self.stride != 1:
+            y = blur_pool(y)
+        y = SqueezeExcite(max(8, mid // 4), dtype=self.dtype, name="se")(y)
+        y = ConvBN(self.out_chs, 1, apply_act=False, name="c3", **kw)(y, train)
+        return nn.relu(y + shortcut).astype(self.dtype)
+
+
+class TResNet(nn.Module):
+    """TResNet-M-shaped classifier (reference ``models/tresnet.py:297``):
+    space-to-depth stem + SE/anti-aliased residual stages."""
+
+    num_classes: int = 1000
+    layers: Sequence[int] = (3, 4, 11, 3)
+    width: int = 64
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = _space_to_depth(x.astype(self.dtype))
+        x = ConvBN(self.width, 3, 1, name="stem", **kw)(x, train)
+        taps: Dict[int, jnp.ndarray] = {}
+        widths = (self.width * 4, self.width * 8,
+                  self.width * 16, self.width * 32)
+        for si, (d, w) in enumerate(zip(self.layers, widths)):
+            for bi in range(d):
+                x = TResNetBlock(w, stride=2 if bi == 0 and si > 0 else 1,
+                                 name=f"s{si}_b{bi}", **kw)(x, train)
+            taps[si] = x
+        return {"logits": _head(x, self.num_classes), "features": x,
+                "taps": taps}
+
+
+class GluonResNetD(nn.Module):
+    """Gluon ResNet-D (reference ``models/gluon_resnet.py:248``,
+    resnet50_v1d): deep 3x3 stem + avg-pool downsample shortcuts."""
+
+    num_classes: int = 1000
+    layers: Sequence[int] = (3, 4, 6, 3)
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = x.astype(self.dtype)
+        x = ConvBN(32, 3, 2, name="stem0", **kw)(x, train)
+        x = ConvBN(32, 3, 1, name="stem1", **kw)(x, train)
+        x = ConvBN(64, 3, 1, name="stem2", **kw)(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        widths = (256, 512, 1024, 2048)
+        taps: Dict[int, jnp.ndarray] = {}
+        for si, (d, w) in enumerate(zip(self.layers, widths)):
+            for bi in range(d):
+                stride = 2 if bi == 0 and si > 0 else 1
+                if stride != 1 or x.shape[-1] != w:
+                    sc = x
+                    if stride != 1:
+                        sc = nn.avg_pool(sc, (2, 2), strides=(2, 2))
+                    sc = ConvBN(w, 1, apply_act=False,
+                                name=f"s{si}_b{bi}_proj", **kw)(sc, train)
+                else:
+                    sc = x
+                mid = w // 4
+                y = ConvBN(mid, 1, name=f"s{si}_b{bi}_c1", **kw)(x, train)
+                y = ConvBN(mid, 3, stride, name=f"s{si}_b{bi}_c2", **kw)(y, train)
+                y = ConvBN(w, 1, apply_act=False,
+                           name=f"s{si}_b{bi}_c3", **kw)(y, train)
+                x = nn.relu(y + sc).astype(self.dtype)
+            taps[si] = x
+        return {"logits": _head(x, self.num_classes), "features": x,
+                "taps": taps}
+
+
+# HardCoRe-NAS A table: (kernel, expand, out, se, stride)
+_HARDCORENAS_A = (
+    (3, 1.0, 16, False, 1),
+    (5, 3.0, 24, False, 2), (5, 3.0, 24, True, 1),
+    (5, 3.0, 40, True, 2), (5, 3.0, 40, True, 1),
+    (5, 6.0, 80, True, 2), (5, 6.0, 80, True, 1),
+    (5, 6.0, 112, True, 1), (5, 6.0, 112, True, 1),
+    (5, 6.0, 192, True, 2), (5, 6.0, 192, True, 1),
+)
+
+
+class HardCoReNAS(nn.Module):
+    """HardCoRe-NAS-A classifier (reference ``models/hardcorenas.py:149``):
+    a latency-constrained NAS MBConv stack (mobilenetv3 search space)."""
+
+    num_classes: int = 1000
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = x.astype(self.dtype)
+        x = ConvBN(32, 3, 2, apply_act=False, name="stem", **kw)(x, train)
+        x = _hardswish(x)
+        taps: Dict[int, jnp.ndarray] = {}
+        for bi, (k, exp, out, se, s) in enumerate(_HARDCORENAS_A):
+            x = MBConv(out, k, s, expand_ratio=exp,
+                       se_ratio=0.25 if se else 0.0, act="hardswish",
+                       se_gate="hard", dtype=self.dtype,
+                       bn_axis_name=self.bn_axis_name,
+                       name=f"b{bi}")(x, train)
+            if bi in (2, 4, 8, 10):
+                taps[len(taps)] = x
+        x = ConvBN(960, 1, apply_act=False, name="head_conv", **kw)(x, train)
+        x = _hardswish(x)
+        return {"logits": _head(x, self.num_classes), "features": x,
+                "taps": taps}
+
+
+@register_model
+def dpn68(**kwargs):
+    return DPN(**kwargs)
+
+
+@register_model
+def dla34(**kwargs):
+    return DLA(**kwargs)
+
+
+@register_model
+def cspresnet50(**kwargs):
+    return CSPNet(**kwargs)
+
+
+@register_model
+def vovnet39a(**kwargs):
+    return VoVNet(**kwargs)
+
+
+@register_model
+def ghostnet_100(**kwargs):
+    return GhostNet(**kwargs)
+
+
+@register_model
+def rexnet_100(**kwargs):
+    return ReXNet(**kwargs)
+
+
+@register_model
+def selecsls42b(**kwargs):
+    return SelecSLS(**kwargs)
+
+
+@register_model
+def tresnet_m(**kwargs):
+    return TResNet(**kwargs)
+
+
+@register_model
+def gluon_resnet50_v1d(**kwargs):
+    return GluonResNetD(**kwargs)
+
+
+@register_model
+def hardcorenas_a(**kwargs):
+    return HardCoReNAS(**kwargs)

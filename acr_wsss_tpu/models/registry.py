@@ -60,11 +60,8 @@ def create_model(name: str, **kwargs):
 # (``models/hybrid.py``), swin and pit graduated to real implementations;
 # the rest remain named stubs.
 _STUB_FAMILIES = (
-    "byoanet", "byobnet", "coat", "cspnet", "dla", "dpn",
-    "ghostnet", "gluon_resnet",
-    "hardcorenas", "hrnet", "nasnet", "nfnet", "pnasnet",
-    "rexnet", "selecsls",
-    "tnt", "tresnet", "vovnet",
+    "byoanet", "byobnet", "coat",
+    "hrnet", "nasnet", "nfnet", "pnasnet", "tnt",
 )
 
 

@@ -59,18 +59,31 @@ class Attention(nn.Module):
 
         if (self.impl == "pallas" and probs_offset is None
                 and export in ("mean", "none")):
-            # Transpose-free path: the fused kernel consumes/produces the
-            # (B, N, H*D) layout the projections use, so no (B,H,N,D)
-            # relayouts get materialized around the custom call.
-            # (The joint-qkv entry — fused_attention_qkv — measured SLOWER
-            # end to end: 77 vs 97 img/s at batch 24; the strided 4-D
-            # block DMA costs more than the splits/pads it saves.)
-            from acr_wsss_tpu.ops.attn_pallas import fused_attention_nhd
+            import os as _os
 
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            out, probs = fused_attention_nhd(
-                q, k, v, scale, self.num_heads, export=export,
-                probs_dtype=self.probs_dtype)
+            if _os.environ.get("ACR_ATTN_QKV_COLS"):
+                # Operand-aliased joint entry: one pad, no splits, no
+                # backward re-pads (q/k/v are column views of one array).
+                from acr_wsss_tpu.ops.attn_pallas import (
+                    fused_attention_qkv_cols,
+                )
+
+                out, probs = fused_attention_qkv_cols(
+                    qkv, scale, self.num_heads, export=export,
+                    probs_dtype=self.probs_dtype)
+            else:
+                # Transpose-free path: the fused kernel consumes/produces
+                # the (B, N, H*D) layout the projections use, so no
+                # (B,H,N,D) relayouts get materialized around the custom
+                # call. (The strided-4-D joint-qkv entry —
+                # fused_attention_qkv — measured SLOWER end to end: 77 vs
+                # 97 img/s at batch 24.)
+                from acr_wsss_tpu.ops.attn_pallas import fused_attention_nhd
+
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                out, probs = fused_attention_nhd(
+                    q, k, v, scale, self.num_heads, export=export,
+                    probs_dtype=self.probs_dtype)
         else:
             qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
             qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, H, N, D)

@@ -30,6 +30,7 @@ inference work.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -398,7 +399,18 @@ def _fwd_kernel_nhd(q_ref, k_ref, v_ref, o_ref, e_ref, acc_ref, *,
 
 def _bwd_kernel_nhd(q_ref, k_ref, v_ref, g_ref, de_ref, dq_ref, dk_ref,
                     dv_ref, *, scale: float, n_valid: int, num_heads: int,
-                    heads_per_block: int, head_dim: int):
+                    heads_per_block: int, head_dim: int,
+                    bf16_matmuls: bool = False):
+    # bf16_matmuls: run the four gradient matmuls with bf16 INPUTS and fp32
+    # accumulation (the MXU-native mode — ~4x the fp32 matmul rate). g, q,
+    # k, v are already bf16 in the training configuration, so dp/dv lose
+    # nothing; ds and the normalizer folds get one bf16 rounding, matching
+    # the bf16-matmul policy the rest of the model already runs under.
+    # MEASURED SLOWER end to end (104.8 vs 106.3 img/s on the batch-24 v5e
+    # train step): the backward kernel is VPU-bound (exp recompute), so the
+    # cheaper MXU issue just adds cast traffic. Kept as an opt-in knob
+    # (ACR_ATTN_BWD_BF16) for future hardware where the balance differs.
+    mm = jnp.bfloat16 if bf16_matmuls else jnp.float32
     de = de_ref[0].astype(jnp.float32) * (1.0 / num_heads)
     D = head_dim
     n_pad = q_ref.shape[1] - n_valid
@@ -406,31 +418,32 @@ def _bwd_kernel_nhd(q_ref, k_ref, v_ref, g_ref, de_ref, dq_ref, dk_ref,
         q = q_ref[0, :, h * D:(h + 1) * D]
         k = k_ref[0, :, h * D:(h + 1) * D]
         v = v_ref[0, :, h * D:(h + 1) * D]
-        g = g_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32)
+        g = g_ref[0, :, h * D:(h + 1) * D].astype(mm)
 
         p, recip_z = _softmax_parts(q, k, scale, n_pad)
 
         # dv = softmax(p)^T g: fold the row normalizer into g ((Np, D)).
-        gz = g * recip_z
+        gz = (g.astype(jnp.float32) * recip_z).astype(mm)
         dv_ref[0, :, h * D:(h + 1) * D] = jax.lax.dot_general(
-            p, gz, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(mm), gz, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ).astype(dv_ref.dtype)
 
         dp = jax.lax.dot_general(
-            g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            g, v.astype(mm), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + de
         # ds = softmax(p) * (dp - rowsum(dp * softmax(p))); written with the
         # unnormalized tile as p * ((dp - c) * recip_z).
         c = jnp.sum(dp * p, axis=-1, keepdims=True) * recip_z
-        ds = p * ((dp - c) * recip_z)
+        ds = (p * ((dp - c) * recip_z)).astype(mm)
 
         dq_ref[0, :, h * D:(h + 1) * D] = (jax.lax.dot_general(
-            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            ds, k.astype(mm), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale).astype(dq_ref.dtype)
         dk_ref[0, :, h * D:(h + 1) * D] = (jax.lax.dot_general(
-            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            ds, q.astype(mm), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale).astype(dk_ref.dtype)
 
@@ -489,7 +502,8 @@ def _bwd_nhd(num_heads, scale, residuals, cotangents):
 
     kernel = functools.partial(
         _bwd_kernel_nhd, scale=scale, n_valid=N, num_heads=num_heads,
-        heads_per_block=hb, head_dim=D)
+        heads_per_block=hb, head_dim=D,
+        bf16_matmuls=bool(os.environ.get("ACR_ATTN_BWD_BF16")))
     spec_b = pl.BlockSpec((1, Np, hb * D), lambda b, h: (b, 0, h),
                           memory_space=pltpu.VMEM)
     spec_e = pl.BlockSpec((1, Np, Np), lambda b, h: (b, 0, 0),
@@ -733,3 +747,136 @@ def fused_attention_qkv(qkv, scale, num_heads, export: str = "mean",
     out, exported = _attention_mean_export_qkv(qkv, scale, num_heads,
                                                probs_dtype)
     return out, (exported if export == "mean" else None)
+
+
+# ---------------------------------------------------------------------------
+# Operand-aliased joint-qkv entry: q/k/v as three COLUMN VIEWS of one array
+# ---------------------------------------------------------------------------
+# The (B, N, H*D)-layout entry still needs jnp.split (3 slice copies) plus
+# three pads around the fused projection output, and its backward re-pads
+# the saved q/k/v. This entry instead pads the JOINT (B, N, 3*H*D)
+# projection output once (pad rows are zeros, so the kernels' analytic
+# pad-correction still holds) and passes the SAME padded array three times
+# with column-offset BlockSpec index maps — q head-chunks live in blocks
+# [0, S), k in [S, 2S), v in [2S, 3S) of the feature axis (S = H*D / block
+# width, always lane-aligned). The kernel bodies are reused unchanged; the
+# custom VJP saves one padded array instead of three unpadded ones, so the
+# backward needs no re-pads either.
+
+def _qkv_col_specs(Np: int, bw: int, stride: int):
+    return [
+        pl.BlockSpec((1, Np, bw), lambda b, h: (b, 0, h),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Np, bw), lambda b, h, _s=stride: (b, 0, h + _s),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Np, bw), lambda b, h, _s=stride: (b, 0, h + 2 * _s),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _fwd_qkv_cols(qkv_p, scale, num_heads, probs_dtype, n_valid):
+    B, Np, HD3 = qkv_p.shape
+    HD = HD3 // 3
+    D = HD // num_heads
+    hb = _block_heads(num_heads, D, _FWD_HEADS_PER_BLOCK)
+    bw = hb * D
+    stride = HD // bw
+    kernel = functools.partial(
+        _fwd_kernel_nhd, scale=scale, n_valid=n_valid, num_heads=num_heads,
+        heads_per_block=hb, head_dim=D)
+    spec_o = pl.BlockSpec((1, Np, bw), lambda b, h: (b, 0, h),
+                          memory_space=pltpu.VMEM)
+    out, exported = pl.pallas_call(
+        kernel,
+        grid=(B, stride),
+        in_specs=_qkv_col_specs(Np, bw, stride),
+        out_specs=[
+            spec_o,
+            pl.BlockSpec((1, Np, Np), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Np, HD), qkv_p.dtype),
+            jax.ShapeDtypeStruct((B, Np, Np), probs_dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((Np, Np), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * num_heads * Np * Np * D,
+            bytes_accessed=B * Np * HD3 * 2 + B * Np * Np * 4,
+            transcendentals=B * num_heads * Np * Np,
+        ),
+    )(qkv_p, qkv_p, qkv_p)
+    return out, exported
+
+
+def _bwd_qkv_cols(num_heads, scale, probs_dtype, n_valid, residuals,
+                  cotangents):
+    (qkv_p,) = residuals
+    g, de = cotangents
+    B, Np, HD3 = qkv_p.shape
+    HD = HD3 // 3
+    D = HD // num_heads
+    gp = _pad_axis(g, 1, Np) if g.shape[1] != Np else g
+    if de is None:
+        de = jnp.zeros((B, Np, Np), jnp.float32)
+    elif de.shape[1] != Np:
+        de = _pad_axis(_pad_axis(de, 1, Np), 2, Np)
+    hb = _block_heads(num_heads, D, _BWD_HEADS_PER_BLOCK)
+    bw = hb * D
+    stride = HD // bw
+    kernel = functools.partial(
+        _bwd_kernel_nhd, scale=scale, n_valid=n_valid, num_heads=num_heads,
+        heads_per_block=hb, head_dim=D,
+        bf16_matmuls=bool(os.environ.get("ACR_ATTN_BWD_BF16")))
+    spec_io = pl.BlockSpec((1, Np, bw), lambda b, h: (b, 0, h),
+                           memory_space=pltpu.VMEM)
+    spec_e = pl.BlockSpec((1, Np, Np), lambda b, h: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(B, stride),
+        in_specs=_qkv_col_specs(Np, bw, stride) + [spec_io, spec_e],
+        out_specs=[spec_io, spec_io, spec_io],
+        out_shape=[jax.ShapeDtypeStruct((B, Np, HD), qkv_p.dtype)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * num_heads * Np * Np * D,
+            bytes_accessed=B * Np * HD3 * 2 * 2 + B * Np * Np * 4,
+            transcendentals=B * num_heads * Np * Np,
+        ),
+    )(qkv_p, qkv_p, qkv_p, gp, de)
+    return (jnp.concatenate([dq, dk, dv], axis=-1),)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _attention_qkv_cols(qkv_p, scale, num_heads, probs_dtype, n_valid):
+    return _fwd_qkv_cols(qkv_p, scale, num_heads, probs_dtype, n_valid)
+
+
+def _fwd_rule_qkv_cols(qkv_p, scale, num_heads, probs_dtype, n_valid):
+    return (_fwd_qkv_cols(qkv_p, scale, num_heads, probs_dtype, n_valid),
+            (qkv_p,))
+
+
+def _bwd_rule_qkv_cols(scale, num_heads, probs_dtype, n_valid, residuals,
+                       cotangents):
+    return _bwd_qkv_cols(num_heads, scale, probs_dtype, n_valid, residuals,
+                         cotangents)
+
+
+_attention_qkv_cols.defvjp(_fwd_rule_qkv_cols, _bwd_rule_qkv_cols)
+
+
+def fused_attention_qkv_cols(qkv, scale, num_heads, export: str = "mean",
+                             probs_dtype=jnp.float32):
+    """Attention over the JOINT (B, N, 3*H*D) projection output via column
+    aliasing — ONE pad in, no splits, no backward re-pads. Returns
+    (out (B, N, H*D), head-mean probs (B, N, N))."""
+    B, N, HD3 = qkv.shape
+    Np = _round_up(N, LANE)
+    qkv_p = _pad_axis(qkv, 1, Np)
+    out, exported = _attention_qkv_cols(qkv_p, scale, num_heads,
+                                        jnp.dtype(probs_dtype), N)
+    out = out[:, :N]
+    if export != "mean":
+        return out, None
+    return out, exported[:, :N, :N]

@@ -163,3 +163,33 @@ def test_joint_qkv_entry_matches_split_entry(qkv):
     np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(e2), np.asarray(e1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-4)
+
+
+def test_qkv_cols_entry_matches_split_entry(qkv):
+    """fused_attention_qkv_cols (operand-aliased column views of ONE padded
+    joint array) == the split entry, values and gradients."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from acr_wsss_tpu.ops.attn_pallas import (
+        fused_attention_nhd, fused_attention_qkv_cols,
+    )
+
+    q, k, v = (t.transpose(0, 2, 1, 3).reshape(B, N, H * D) for t in qkv)
+    joint = jnp.concatenate([q, k, v], axis=-1)
+
+    def loss(f):
+        def g(x):
+            o, e = f(x)
+            return o.sum() + (e * jnp.arange(N)[None, :, None]).sum()
+        return g
+
+    with pltpu.force_tpu_interpret_mode():
+        o1, e1 = fused_attention_nhd(q, k, v, SCALE, H)
+        o2, e2 = fused_attention_qkv_cols(joint, SCALE, H)
+        g1 = jax.grad(loss(lambda x: fused_attention_nhd(
+            *jnp.split(x, 3, -1), SCALE, H)))(joint)
+        g2 = jax.grad(loss(lambda x: fused_attention_qkv_cols(
+            x, SCALE, H)))(joint)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(e1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-4)

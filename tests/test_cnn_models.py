@@ -141,3 +141,30 @@ def test_xception_families_forward(name, final_chs, rng):
     assert out["logits"].shape == (1, 5)
     assert out["features"].shape[-1] == final_chs
     assert len(out["taps"]) == 4
+
+
+@pytest.mark.parametrize("name", [
+    "dpn68", "dla34", "cspresnet50", "vovnet39a", "ghostnet_100",
+    "rexnet_100", "selecsls42b", "gluon_resnet50_v1d", "hardcorenas_a",
+])
+def test_misc_cnn_families_forward(name, rng):
+    model = create_model(name, num_classes=7, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=True)
+    assert "batch_stats" in variables
+    out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out["logits"].shape == (1, 7)
+    assert len(out["taps"]) == 4
+    e = model.apply(variables, x, train=False)
+    assert np.isfinite(np.asarray(e["logits"])).all()
+
+
+def test_tresnet_space_to_depth_stem(rng):
+    model = create_model("tresnet_m", num_classes=7, dtype=jnp.float32,
+                         layers=(1, 1, 1, 1))
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=True)
+    out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    # s2d stem: 64 -> 16 spatial, then strides 1/2/2/2 -> 2x2 final
+    assert out["features"].shape == (1, 2, 2, 2048)
+    assert out["logits"].shape == (1, 7)
