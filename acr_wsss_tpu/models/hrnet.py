@@ -1,0 +1,157 @@
+"""HRNet — parallel multi-resolution branches with exchange fusion.
+
+Clean-room flax counterpart of the reference zoo's HRNet (vendored timm
+0.4.5 ``models/hrnet.py:1-836``), graduating it from a registry stub. The
+defining mechanism is kept intact: the network holds several branches at
+different strides SIMULTANEOUSLY; after every stage an exchange unit fuses
+every branch into every other (1x1 conv + nearest upsample for
+low-to-high, strided 3x3 chains for high-to-low), so high-resolution
+features stay high-resolution end to end.
+
+``hrnet_w18_small`` uses the small-v1 module counts; ``hrnet_w18`` the
+full ones. Output contract: ``{"logits", "features", "taps"}`` where the
+taps are the four final branch maps (strides 4/8/16/32).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from acr_wsss_tpu.models.cnn import ConvBN, ResNetBasicBlock, ResNetBottleneck
+from acr_wsss_tpu.models.registry import register_model
+
+Dtype = Any
+
+
+def _upsample_nearest(x, factor: int):
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                         (B, H, factor, W, factor, C))
+    return x.reshape(B, H * factor, W * factor, C)
+
+
+class ExchangeUnit(nn.Module):
+    """Fuse every branch into every branch (HRNet exchange)."""
+
+    widths: Sequence[int]
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        n = len(xs)
+        outs = []
+        for i in range(n):
+            acc = None
+            for j in range(n):
+                y = xs[j]
+                if j > i:      # lower res -> upsample
+                    y = ConvBN(self.widths[i], 1, apply_act=False,
+                               name=f"up{j}to{i}", **kw)(y, train)
+                    y = _upsample_nearest(y, 2 ** (j - i))
+                elif j < i:    # higher res -> strided conv chain
+                    for s in range(i - j):
+                        last = s == i - j - 1
+                        y = ConvBN(self.widths[i] if last else self.widths[j],
+                                   3, 2, apply_act=not last,
+                                   name=f"down{j}to{i}_{s}", **kw)(y, train)
+                acc = y if acc is None else acc + y
+            outs.append(nn.relu(acc).astype(self.dtype))
+        return outs
+
+
+class HRStage(nn.Module):
+    """One HR module: per-branch basic blocks then an exchange unit."""
+
+    widths: Sequence[int]
+    blocks: int = 2
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        ys = []
+        for bi, (x, w) in enumerate(zip(xs, self.widths)):
+            for k in range(self.blocks):
+                x = ResNetBasicBlock(w, dtype=self.dtype,
+                                     bn_axis_name=self.bn_axis_name,
+                                     name=f"branch{bi}_block{k}")(x, train)
+            ys.append(x)
+        return ExchangeUnit(self.widths, dtype=self.dtype,
+                            bn_axis_name=self.bn_axis_name,
+                            name="exchange")(ys, train)
+
+
+class HRNet(nn.Module):
+    """HRNet classifier (reference ``models/hrnet.py:836``)."""
+
+    num_classes: int = 1000
+    width: int = 18
+    stage_modules: Sequence[int] = (1, 1, 1)   # small-v1; w18 full = (1, 4, 3)
+    stage_blocks: int = 2
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        w = self.width
+        widths = [w, 2 * w, 4 * w, 8 * w]
+        x = x.astype(self.dtype)
+        x = ConvBN(64, 3, 2, name="stem1", **kw)(x, train)
+        x = ConvBN(64, 3, 2, name="stem2", **kw)(x, train)
+        for i in range(2):
+            x = ResNetBottleneck(256, dtype=self.dtype,
+                                 bn_axis_name=self.bn_axis_name,
+                                 name=f"layer1_{i}")(x, train)
+
+        # transitions grow the branch list one stride at a time
+        xs = [ConvBN(widths[0], 3, 1, name="t1_0", **kw)(x, train),
+              ConvBN(widths[1], 3, 2, name="t1_1", **kw)(x, train)]
+        for mi in range(self.stage_modules[0]):
+            xs = HRStage(widths[:2], self.stage_blocks, name=f"stage2_{mi}",
+                         **kw)(xs, train)
+
+        xs = xs + [ConvBN(widths[2], 3, 2, name="t2", **kw)(xs[-1], train)]
+        for mi in range(self.stage_modules[1]):
+            xs = HRStage(widths[:3], self.stage_blocks, name=f"stage3_{mi}",
+                         **kw)(xs, train)
+
+        xs = xs + [ConvBN(widths[3], 3, 2, name="t3", **kw)(xs[-1], train)]
+        for mi in range(self.stage_modules[2]):
+            xs = HRStage(widths, self.stage_blocks, name=f"stage4_{mi}",
+                         **kw)(xs, train)
+
+        taps = {i: b for i, b in enumerate(xs)}
+        # classification head: incre 1x1 per branch, downsample-add chain
+        y = ConvBN(128, 1, name="incre0", **kw)(xs[0], train)
+        for i in range(1, 4):
+            inc = ConvBN(128 * 2 ** i, 1, name=f"incre{i}", **kw)(xs[i], train)
+            y = ConvBN(128 * 2 ** i, 3, 2, name=f"downs{i}", **kw)(y, train) + inc
+        y = ConvBN(2048, 1, name="final", **kw)(y, train)
+        pooled = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          name="classifier")(pooled)
+        return {"logits": logits, "features": y, "taps": taps}
+
+
+@register_model
+def hrnet_w18_small(**kwargs):
+    return HRNet(width=18, stage_modules=(1, 1, 1), **kwargs)
+
+
+@register_model
+def hrnet_w18(**kwargs):
+    kwargs.setdefault("stage_modules", (1, 4, 3))
+    return HRNet(width=18, **kwargs)
+
+
+@register_model
+def hrnet_w32(**kwargs):
+    kwargs.setdefault("stage_modules", (1, 4, 3))
+    return HRNet(width=32, **kwargs)

@@ -60,8 +60,7 @@ def create_model(name: str, **kwargs):
 # (``models/hybrid.py``), swin and pit graduated to real implementations;
 # the rest remain named stubs.
 _STUB_FAMILIES = (
-    "byoanet", "byobnet", "coat",
-    "hrnet", "nasnet", "nfnet", "pnasnet", "tnt",
+    "byoanet", "byobnet", "nasnet", "pnasnet",
 )
 
 

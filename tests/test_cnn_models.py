@@ -168,3 +168,48 @@ def test_tresnet_space_to_depth_stem(rng):
     # s2d stem: 64 -> 16 spatial, then strides 1/2/2/2 -> 2x2 final
     assert out["features"].shape == (1, 2, 2, 2048)
     assert out["logits"].shape == (1, 7)
+
+
+def test_hrnet_parallel_branches(rng):
+    model = create_model("hrnet_w18_small", num_classes=8, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=True)
+    out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out["logits"].shape == (1, 8)
+    # four branches at strides 4/8/16/32
+    assert [out["taps"][i].shape[1] for i in range(4)] == [16, 8, 4, 2]
+    assert [out["taps"][i].shape[-1] for i in range(4)] == [18, 36, 72, 144]
+
+
+def test_nfnet_no_batch_stats(rng):
+    """Normalizer-free: no BN state anywhere, deterministic forward."""
+    model = create_model("nf_resnet50", num_classes=8, dtype=jnp.float32,
+                         layers=(1, 1, 1, 1))
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    assert "batch_stats" not in variables
+    out = model.apply(variables, x)
+    assert out["logits"].shape == (1, 8)
+    assert len(out["taps"]) == 4
+
+
+def test_tnt_inner_outer_tokens(rng):
+    model = create_model("tnt_s_patch16_224", num_classes=8,
+                         dtype=jnp.float32, depth=2, taps=(0, 1))
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    out = model.apply(variables, x)
+    assert out["logits"].shape == (1, 8)
+    # outer probs exported per block: (B, L, P+1, P+1), P = 16 patches
+    assert out["probs"].shape == (1, 2, 17, 17)
+
+
+def test_coat_factorized_attention(rng):
+    model = create_model("coat_lite_tiny", num_classes=8, dtype=jnp.float32,
+                         depths=(1, 1, 1, 1))
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    out = model.apply(variables, x)
+    assert out["logits"].shape == (1, 8)
+    # stage maps at strides 4/8/16/32
+    assert [out["taps"][i].shape[1] for i in range(4)] == [16, 8, 4, 2]
