@@ -59,31 +59,17 @@ class Attention(nn.Module):
 
         if (self.impl == "pallas" and probs_offset is None
                 and export in ("mean", "none")):
-            import os as _os
+            # Operand-aliased joint entry: the fused kernel reads q/k/v as
+            # COLUMN VIEWS of the single padded (B, Np, 3*H*D) projection
+            # output — one pad in, no jnp.split copies, no backward
+            # re-pads. Measured fastest of the three entries on the
+            # batch-24 v5e train step: 108.9 img/s vs 106.3 (split
+            # fused_attention_nhd) vs 77 (strided-4-D fused_attention_qkv).
+            from acr_wsss_tpu.ops.attn_pallas import fused_attention_qkv_cols
 
-            if _os.environ.get("ACR_ATTN_QKV_COLS"):
-                # Operand-aliased joint entry: one pad, no splits, no
-                # backward re-pads (q/k/v are column views of one array).
-                from acr_wsss_tpu.ops.attn_pallas import (
-                    fused_attention_qkv_cols,
-                )
-
-                out, probs = fused_attention_qkv_cols(
-                    qkv, scale, self.num_heads, export=export,
-                    probs_dtype=self.probs_dtype)
-            else:
-                # Transpose-free path: the fused kernel consumes/produces
-                # the (B, N, H*D) layout the projections use, so no
-                # (B,H,N,D) relayouts get materialized around the custom
-                # call. (The strided-4-D joint-qkv entry —
-                # fused_attention_qkv — measured SLOWER end to end: 77 vs
-                # 97 img/s at batch 24.)
-                from acr_wsss_tpu.ops.attn_pallas import fused_attention_nhd
-
-                q, k, v = jnp.split(qkv, 3, axis=-1)
-                out, probs = fused_attention_nhd(
-                    q, k, v, scale, self.num_heads, export=export,
-                    probs_dtype=self.probs_dtype)
+            out, probs = fused_attention_qkv_cols(
+                qkv, scale, self.num_heads, export=export,
+                probs_dtype=self.probs_dtype)
         else:
             qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
             qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, H, N, D)

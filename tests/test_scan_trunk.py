@@ -93,13 +93,13 @@ def test_scan_takes_pallas_path(rng, monkeypatch):
     from acr_wsss_tpu.ops import attn_pallas
 
     calls = {"n": 0}
-    real = attn_pallas.fused_attention_nhd
+    real = attn_pallas.fused_attention_qkv_cols
 
     def counting(*args, **kwargs):
         calls["n"] += 1
         return real(*args, **kwargs)
 
-    monkeypatch.setattr(attn_pallas, "fused_attention_nhd", counting)
+    monkeypatch.setattr(attn_pallas, "fused_attention_qkv_cols", counting)
 
     m_p = ACR(backbone_name="vitb", dtype=jnp.float32, attn_impl="pallas",
               scan_blocks=True)
