@@ -16,5 +16,7 @@ from acr_wsss_tpu.models import cnn_misc as _cnnx  # noqa: F401  (dpn/dla/csp/vo
 from acr_wsss_tpu.models import hrnet as _hrnet  # noqa: F401  (hrnet w18/w32)
 from acr_wsss_tpu.models import nfnet as _nfnet  # noqa: F401  (nfnet_f0/nf_resnet50)
 from acr_wsss_tpu.models import tnt_coat as _tntc  # noqa: F401  (tnt_s, coat_lite)
+from acr_wsss_tpu.models import byob as _byob  # noqa: F401  (gernet/repvgg/botnet)
+from acr_wsss_tpu.models import nasnet as _nas  # noqa: F401  (nasnet-a, pnasnet-5)
 from acr_wsss_tpu.models import swin as _swin  # noqa: F401
 from acr_wsss_tpu.models import pit as _pit  # noqa: F401

@@ -54,14 +54,12 @@ def create_model(name: str, **kwargs):
 # families so the nominal surface is discoverable.
 # ---------------------------------------------------------------------------
 
-# resnet / vgg / densenet (``models/cnn.py``), efficientnet /
-# mobilenetv3 / regnet (``models/cnn_mobile.py``), senet / sknet /
-# res2net / resnest (``models/cnn_attn.py``), resnetv2
-# (``models/hybrid.py``), swin and pit graduated to real implementations;
-# the rest remain named stubs.
-_STUB_FAMILIES = (
-    "byoanet", "byobnet", "nasnet", "pnasnet",
-)
+# Every family of the reference zoo now has a real implementation
+# (cnn.py, cnn_mobile.py, cnn_attn.py, cnn_misc.py, inception.py,
+# hrnet.py, nfnet.py, tnt_coat.py, byob.py, nasnet.py, hybrid.py,
+# swin.py, pit.py, vit.py); the stub mechanism remains for forward
+# compatibility but the list is empty.
+_STUB_FAMILIES = ()
 
 
 def _make_stub(family: str):

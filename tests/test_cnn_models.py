@@ -213,3 +213,39 @@ def test_coat_factorized_attention(rng):
     assert out["logits"].shape == (1, 8)
     # stage maps at strides 4/8/16/32
     assert [out["taps"][i].shape[1] for i in range(4)] == [16, 8, 4, 2]
+
+
+@pytest.mark.parametrize("name", ["gernet_s", "repvgg_a2", "botnet26t_256"])
+def test_byob_families_forward(name, rng):
+    model = create_model(name, num_classes=6, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=True)
+    out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out["logits"].shape == (1, 6)
+    assert len(out["taps"]) == 4
+    e = model.apply(variables, x, train=False)
+    assert np.isfinite(np.asarray(e["logits"])).all()
+
+
+@pytest.mark.parametrize("name", ["nasnet_a_mobile", "pnasnet5large"])
+def test_nas_cell_families_forward(name, rng):
+    model = create_model(name, num_classes=6, dtype=jnp.float32,
+                         num_cells=1, base_chs=16)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=True)
+    out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out["logits"].shape == (1, 6)
+    assert len(out["taps"]) == 4
+    # five concatenated combine-node outputs per cell
+    assert out["features"].shape[-1] == 5 * 16 * 4
+
+
+def test_registry_has_no_stubs_left():
+    """Every reference-zoo family resolves to a real builder."""
+    from acr_wsss_tpu.models.registry import _STUB_FAMILIES, list_models
+
+    assert _STUB_FAMILIES == ()
+    for probe in ("resnet50", "hrnet_w18", "nfnet_f0", "tnt_s_patch16_224",
+                  "coat_lite_tiny", "botnet26t_256", "pnasnet5large",
+                  "inception_v3", "xception", "dpn68", "ghostnet_100"):
+        assert probe in list_models()
