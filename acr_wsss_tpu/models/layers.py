@@ -90,11 +90,12 @@ class GroupNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # fp32 norm path measured FASTER than bf16-through (XLA fuses the
-        # upcast chain better): 72.7 vs 68.9 img/s on the round-1 v5e train
-        # step; re-measured round 2 where dtype=bf16 GroupNorm collapsed the
-        # whole step to 4.8 img/s (pathological Mosaic/XLA lowering of the
-        # bf16 grouped reductions) vs 106 with this path.
+        # fp32 norm path measured FASTER than every alternative tried (XLA
+        # fuses the upcast chain better): round 1, 72.7 vs 68.9 img/s vs
+        # bf16-through; round 2, 109.4 vs 4.8 (flax dtype=bf16 GroupNorm —
+        # pathological lowering of the bf16 grouped reductions) and vs
+        # 106.1 (hand-written GN with fp32 stats + bf16 normalization
+        # arithmetic).
         orig_dtype = x.dtype
         y = nn.GroupNorm(
             num_groups=self.num_groups, epsilon=self.eps, dtype=jnp.float32
