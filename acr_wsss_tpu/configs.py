@@ -50,6 +50,15 @@ class ModelConfig:
     # in training). "bfloat16" halves that traffic at ~0.4% relative error
     # on the L1 regularizer inputs; "float32" matches the reference.
     probs_dtype: str = "float32"
+    # Compute the consistency L1 terms INSIDE the attention kernel
+    # (training only; needs attn_impl='pallas' + aligned_mirror): the
+    # head-mean probs never reach HBM — the kernel emits per-pair partial
+    # sums plus a bf16 sign tensor for the backward. Exactly the same
+    # gradients as the unfused path (tested); saves ~4.7 GB/step of
+    # probability traffic at the flagship shape (109.4 -> 113.5 img/s on
+    # the batch-24 v5e train step). False falls back to the HBM-export
+    # path (always used by inference/GETAM and the xla impl).
+    fuse_consistency: bool = True
     # Note: the reference ACR also instantiates DPT scratch convs that its
     # forward never uses (torch needed find_unused_parameters=True,
     # ``train_acr.py:99``); the converter drops them on import and the DPT

@@ -178,6 +178,42 @@ def acr_total_loss_layers(
     }
 
 
+def acr_total_loss_fused(
+    logits1: jnp.ndarray,
+    logits2: jnp.ndarray,
+    consistency_sums,
+    labels: jnp.ndarray,
+    n_tokens: int,
+    alpha: float,
+) -> tuple:
+    """ACR objective over IN-KERNEL consistency partial sums (see
+    ``ops.attn_pallas.fused_attention_pair_consistency``): each layer
+    contributes per-pair un-normalized sums of |p1 - p2| over the CLS row
+    and the affinity block; normalizing by pairs*(N-1) / pairs*(N-1)^2 and
+    averaging layers reproduces :func:`acr_consistency_losses_layers`
+    (aligned) exactly."""
+    b = labels.shape[0]
+    n1 = n_tokens - 1
+    cls_loss_1 = multilabel_soft_margin_loss(logits1, labels)
+    cls_loss_2 = multilabel_soft_margin_loss(logits2, labels)
+    cls_align = 0.0
+    aff_align = 0.0
+    for cls_s, aff_s in consistency_sums:
+        cls_align = cls_align + jnp.sum(cls_s) / (b * n1)
+        aff_align = aff_align + jnp.sum(aff_s) / (b * n1 * n1)
+    L = len(consistency_sums)
+    cls_align = cls_align / L
+    aff_align = aff_align / L
+    total = cls_loss_1 + cls_loss_2 + alpha * cls_align + alpha * aff_align
+    return total, {
+        "cls_loss_1": cls_loss_1,
+        "cls_loss_2": cls_loss_2,
+        "cls_align_loss": cls_align,
+        "aff_align_loss": aff_align,
+        "loss": total,
+    }
+
+
 def acr_total_loss(
     logits1: jnp.ndarray,
     logits2: jnp.ndarray,

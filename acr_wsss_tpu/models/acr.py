@@ -156,6 +156,8 @@ class ACR(nn.Module):
             "patch_logits": patch_logits,
             "probs": out.get("probs"),
             "probs_layers": out.get("probs_layers"),
+            "consistency_sums": out.get("consistency_sums"),
+            "n_tokens": out.get("n_tokens"),
             "taps": out["taps"],
             "grid": out["grid"],
         }

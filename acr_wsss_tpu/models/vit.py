@@ -57,6 +57,23 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
                        dtype=self.dtype, name="qkv")(x)
 
+        if export == "pair_l1":
+            # In-kernel consistency: the batch interleaves (view, mirror)
+            # pairs; the kernel returns the per-pair L1 partial sums and
+            # the head-mean probs never reach HBM.
+            if self.impl != "pallas" or probs_offset is not None:
+                raise ValueError(
+                    "export='pair_l1' requires attn_impl='pallas' and no "
+                    "probs_offset (training-only fused consistency)")
+            from acr_wsss_tpu.ops.attn_pallas import (
+                fused_attention_pair_consistency,
+            )
+
+            out, cls_s, aff_s = fused_attention_pair_consistency(
+                qkv, scale, self.num_heads)
+            out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+            return out, (cls_s, aff_s)
+
         if (self.impl == "pallas" and probs_offset is None
                 and export in ("mean", "none")):
             # Operand-aliased joint entry: the fused kernel reads q/k/v as
@@ -274,28 +291,55 @@ class VisionTransformer(nn.Module):
             # math, moved from L x O(N^2) fp32 tensors to one O(N) token
             # reshuffle. Logits are unaffected (CLS row + patch-mean are
             # permutation-invariant).
+            #
+            # True  — views stacked: rows [b:2b] are the mirrors of [0:b].
+            # "interleaved" — view pairs adjacent ([v1_0, v2_0, v1_1, ...],
+            # the layout the pair-consistency kernel consumes): odd rows
+            # are the mirrors.
             if x.shape[0] % 2:
                 raise ValueError(
                     "mirror_second_half expects views stacked on the batch "
                     f"axis (even batch), got {x.shape[0]}")
             b2 = x.shape[0] // 2
             start = self.num_prefix_tokens + int(self.with_bkg_token)
-            patches2 = x[b2:, start:].reshape(b2, gh, gw, self.embed_dim)
-            patches2 = jnp.flip(patches2, axis=2).reshape(b2, gh * gw,
-                                                          self.embed_dim)
-            x = jnp.concatenate(
-                [x[:b2], jnp.concatenate([x[b2:, :start], patches2], axis=1)],
-                axis=0)
+
+            def _unflip(p):
+                p = p.reshape(-1, gh, gw, self.embed_dim)
+                return jnp.flip(p, axis=2).reshape(-1, gh * gw,
+                                                   self.embed_dim)
+
+            if mirror_second_half == "interleaved":
+                xp = x.reshape(b2, 2, x.shape[1], self.embed_dim)
+                patches2 = _unflip(xp[:, 1, start:])
+                xp = jnp.concatenate(
+                    [xp[:, :1],
+                     jnp.concatenate([xp[:, 1, :start], patches2],
+                                     axis=1)[:, None]], axis=1)
+                x = xp.reshape(-1, x.shape[1], self.embed_dim)
+            else:
+                patches2 = _unflip(x[b2:, start:])
+                x = jnp.concatenate(
+                    [x[:b2],
+                     jnp.concatenate([x[b2:, :start], patches2], axis=1)],
+                    axis=0)
 
         taps: Dict[int, jnp.ndarray] = {}
         probs_list = []
+        pair_sums = None
         if self.scan_blocks:
             x, taps, probs_lm = self._scan_trunk(x, probs_offsets, export)
-            if probs_lm is not None:
-                # layer-major (L, B, ...) ys; per-layer entries are slices.
-                probs_list = [probs_lm[i] for i in range(self.depth)]
-            probs = (jnp.moveaxis(probs_lm, 0, 1)
-                     if probs_lm is not None else None)
+            if export == "pair_l1":
+                # ys = ((L, pairs) cls sums, (L, pairs) aff sums)
+                cls_lm, aff_lm = probs_lm
+                pair_sums = tuple(
+                    (cls_lm[i], aff_lm[i]) for i in range(self.depth))
+                probs = None
+            else:
+                if probs_lm is not None:
+                    # layer-major (L, B, ...) ys; per-layer entries are slices.
+                    probs_list = [probs_lm[i] for i in range(self.depth)]
+                probs = (jnp.moveaxis(probs_lm, 0, 1)
+                         if probs_lm is not None else None)
         else:
             for i in range(self.depth):
                 offset_i = None if probs_offsets is None else probs_offsets[i]
@@ -308,7 +352,11 @@ class VisionTransformer(nn.Module):
                     probs_list.append(probs_i)
                 if i in self.taps:
                     taps[i] = x
-            probs = jnp.stack(probs_list, axis=1) if probs_list else None
+            if export == "pair_l1":
+                pair_sums = tuple(probs_list)
+                probs = None
+            else:
+                probs = jnp.stack(probs_list, axis=1) if probs_list else None
 
         tokens = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(
             x.astype(jnp.float32)
@@ -320,7 +368,10 @@ class VisionTransformer(nn.Module):
             "taps": taps,
             "grid": (gh, gw),
             "stem_features": stem_features,
+            "n_tokens": x.shape[1],
         }
+        if pair_sums is not None:
+            out["consistency_sums"] = pair_sums
         if probs is not None:
             # (B, L, N, N) or (B, L, H, N, N)
             out["probs"] = probs

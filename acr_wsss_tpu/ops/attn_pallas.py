@@ -880,3 +880,265 @@ def fused_attention_qkv_cols(qkv, scale, num_heads, export: str = "mean",
     if export != "mean":
         return out, None
     return out, exported[:, :N, :N]
+
+
+# ---------------------------------------------------------------------------
+# Pair-consistency entry: the ACR L1 losses computed INSIDE the kernel
+# ---------------------------------------------------------------------------
+# Training never reads the exported probabilities except through the two L1
+# consistency terms between a view and its mirror (train_acr.py:143-168).
+# With the aligned-mirror token ordering the pairing is positional, so the
+# kernel can consume the exports where they are born: the batch interleaves
+# the two views ([v1_0, v2_0, v1_1, ...]), the grid runs over PAIRS with a
+# batch-block of 2, both views' head-mean prob tiles accumulate in VMEM
+# scratch, and at the last head chunk the kernel reduces
+#   cls_sum_i = sum(|p1 - p2|) over row 0, cols [1, N)
+#   aff_sum_i = sum(|p1 - p2|) over rows/cols [1, N)
+# writing only the two (b,) partial-sum vectors plus a (b, Np, Np) bf16
+# SIGN tensor for the backward — instead of L x (2b, Np, Np) fp32 exports
+# plus their loss-side reads and the de cotangent round trip (~4.7 GB/step
+# at the flagship shape). The backward reads the sign tile, scales row 0 by
+# the cls cotangent and rows >= 1 by the aff cotangent, and feeds +/-de to
+# the two views' standard softmax-gradient math. sign(0) = 0 matches the
+# XLA abs-gradient subdifferential, so gradients are identical to the
+# unfused path.
+
+def _pair_masks(shape, n_valid):
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    valid_col = (col >= 1) & (col < n_valid)
+    cls_mask = valid_col & (row == 0)
+    aff_mask = valid_col & (row >= 1) & (row < n_valid)
+    return cls_mask, aff_mask
+
+
+def _fwd_kernel_pair(q_ref, k_ref, v_ref, o_ref, cls_ref, aff_ref, sgn_ref,
+                     acc1, acc2, *, scale: float, n_valid: int,
+                     num_heads: int, heads_per_block: int, head_dim: int):
+    hc = pl.program_id(1)
+    D = head_dim
+    n_pad = q_ref.shape[1] - n_valid
+    for view, acc in ((0, acc1), (1, acc2)):
+        for h in range(heads_per_block):
+            q = q_ref[view, :, h * D:(h + 1) * D]
+            k = k_ref[view, :, h * D:(h + 1) * D]
+            v = v_ref[view, :, h * D:(h + 1) * D]
+            p, recip_z = _softmax_parts(q, k, scale, n_pad)
+            o_unnorm = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[view, :, h * D:(h + 1) * D] = (
+                o_unnorm * recip_z).astype(o_ref.dtype)
+            contrib = p * (recip_z * (1.0 / num_heads))
+            if h == 0 and view == 0:
+                @pl.when(hc == 0)
+                def _():
+                    acc1[...] = contrib
+                    acc2[...] = jnp.zeros_like(acc2)
+
+                @pl.when(hc > 0)
+                def _():
+                    acc[...] += contrib
+            else:
+                acc[...] += contrib
+
+    @pl.when(hc == num_heads // heads_per_block - 1)
+    def _():
+        diff = acc1[...] - acc2[...]
+        cls_mask, aff_mask = _pair_masks(diff.shape, n_valid)
+        absdiff = jnp.abs(diff)
+        # scalar sums ride in (8, 128) VMEM tiles (Mosaic's minimum
+        # store granularity); the wrapper reads [, 0, 0].
+        cls_ref[0] = jnp.full(cls_ref.shape[1:],
+                              jnp.sum(jnp.where(cls_mask, absdiff, 0.0)),
+                              cls_ref.dtype)
+        aff_ref[0] = jnp.full(aff_ref.shape[1:],
+                              jnp.sum(jnp.where(aff_mask, absdiff, 0.0)),
+                              aff_ref.dtype)
+        sgn_ref[0] = jnp.where(cls_mask | aff_mask, jnp.sign(diff),
+                               0.0).astype(sgn_ref.dtype)
+
+
+def _bwd_kernel_pair(q_ref, k_ref, v_ref, g_ref, sgn_ref, gcls_ref, gaff_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale: float, n_valid: int,
+                     num_heads: int, heads_per_block: int, head_dim: int):
+    D = head_dim
+    n_pad = q_ref.shape[1] - n_valid
+    row = jax.lax.broadcasted_iota(jnp.int32, sgn_ref.shape[1:], 0)
+    gc = gcls_ref[0, 0, 0]
+    ga = gaff_ref[0, 0, 0]
+    de_base = sgn_ref[0].astype(jnp.float32) * jnp.where(
+        row == 0, gc, ga) * (1.0 / num_heads)
+    for view in (0, 1):
+        de = de_base if view == 0 else -de_base
+        for h in range(heads_per_block):
+            q = q_ref[view, :, h * D:(h + 1) * D]
+            k = k_ref[view, :, h * D:(h + 1) * D]
+            v = v_ref[view, :, h * D:(h + 1) * D]
+            g = g_ref[view, :, h * D:(h + 1) * D].astype(jnp.float32)
+
+            p, recip_z = _softmax_parts(q, k, scale, n_pad)
+
+            gz = g * recip_z
+            dv_ref[view, :, h * D:(h + 1) * D] = jax.lax.dot_general(
+                p, gz, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+            dp = jax.lax.dot_general(
+                g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) + de
+            c = jnp.sum(dp * p, axis=-1, keepdims=True) * recip_z
+            ds = p * ((dp - c) * recip_z)
+
+            dq_ref[view, :, h * D:(h + 1) * D] = (jax.lax.dot_general(
+                ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+            dk_ref[view, :, h * D:(h + 1) * D] = (jax.lax.dot_general(
+                ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+
+
+def _pair_col_specs(Np: int, bw: int, stride: int):
+    return [
+        pl.BlockSpec((2, Np, bw), lambda i, h: (i, 0, h),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, Np, bw), lambda i, h, _s=stride: (i, 0, h + _s),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, Np, bw), lambda i, h, _s=stride: (i, 0, h + 2 * _s),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+# 2 heads per block: hb=4 needs 22 MB scoped VMEM (allowed by the raised
+# limit) but measures the same (113.3 vs 113.5 img/s) — keep the smaller
+# footprint.
+_PAIR_HEADS_PER_BLOCK = 2
+
+
+def _fwd_pair(qkv_p, scale, num_heads, n_valid):
+    B, Np, HD3 = qkv_p.shape
+    pairs = B // 2
+    HD = HD3 // 3
+    D = HD // num_heads
+    hb = _block_heads(num_heads, D, _PAIR_HEADS_PER_BLOCK)
+    bw = hb * D
+    stride = HD // bw
+    kernel = functools.partial(
+        _fwd_kernel_pair, scale=scale, n_valid=n_valid,
+        num_heads=num_heads, heads_per_block=hb, head_dim=D)
+    spec_o = pl.BlockSpec((2, Np, bw), lambda i, h: (i, 0, h),
+                          memory_space=pltpu.VMEM)
+    spec_scalar = pl.BlockSpec((1, 8, 128), lambda i, h: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    spec_sgn = pl.BlockSpec((1, Np, Np), lambda i, h: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out, cls_s, aff_s, sgn = pl.pallas_call(
+        kernel,
+        grid=(pairs, num_heads // hb),
+        in_specs=_pair_col_specs(Np, bw, stride),
+        out_specs=[spec_o, spec_scalar, spec_scalar, spec_sgn],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Np, HD), qkv_p.dtype),
+            jax.ShapeDtypeStruct((pairs, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((pairs, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((pairs, Np, Np), jnp.bfloat16),
+        ],
+        scratch_shapes=[pltpu.VMEM((Np, Np), jnp.float32),
+                        pltpu.VMEM((Np, Np), jnp.float32)],
+        # two views' blocks + two fp32 accumulators + the sign tile are
+        # live together: ~17 MB at hb=2 — raise the default 16 MB scoped
+        # limit (v5e VMEM is far larger; the default is conservative).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * num_heads * Np * Np * D,
+            bytes_accessed=B * Np * HD3 * 2 + pairs * Np * Np * 2,
+            transcendentals=B * num_heads * Np * Np,
+        ),
+    )(qkv_p, qkv_p, qkv_p)
+    return out, cls_s[:, 0, 0], aff_s[:, 0, 0], sgn
+
+
+def _bwd_pair(num_heads, n_valid, scale, residuals, cotangents):
+    qkv_p, sgn = residuals
+    g, g_cls, g_aff = cotangents
+    B, Np, HD3 = qkv_p.shape
+    pairs = B // 2
+    HD = HD3 // 3
+    D = HD // num_heads
+    gp = _pad_axis(g, 1, Np) if g.shape[1] != Np else g
+    if g_cls is None:
+        g_cls = jnp.zeros((pairs,), jnp.float32)
+    if g_aff is None:
+        g_aff = jnp.zeros((pairs,), jnp.float32)
+    g_cls = jnp.broadcast_to(g_cls.reshape(pairs, 1, 1), (pairs, 8, 128))
+    g_aff = jnp.broadcast_to(g_aff.reshape(pairs, 1, 1), (pairs, 8, 128))
+    hb = _block_heads(num_heads, D, _PAIR_HEADS_PER_BLOCK)
+    bw = hb * D
+    stride = HD // bw
+    kernel = functools.partial(
+        _bwd_kernel_pair, scale=scale, n_valid=n_valid,
+        num_heads=num_heads, heads_per_block=hb, head_dim=D)
+    spec_io = pl.BlockSpec((2, Np, bw), lambda i, h: (i, 0, h),
+                           memory_space=pltpu.VMEM)
+    spec_sgn = pl.BlockSpec((1, Np, Np), lambda i, h: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_scalar = pl.BlockSpec((1, 8, 128), lambda i, h: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(pairs, num_heads // hb),
+        in_specs=_pair_col_specs(Np, bw, stride) + [
+            spec_io, spec_sgn, spec_scalar, spec_scalar],
+        out_specs=[spec_io, spec_io, spec_io],
+        out_shape=[jax.ShapeDtypeStruct((B, Np, HD), qkv_p.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * num_heads * Np * Np * D,
+            bytes_accessed=B * Np * HD3 * 2 * 2 + pairs * Np * Np * 2,
+            transcendentals=B * num_heads * Np * Np,
+        ),
+    )(qkv_p, qkv_p, qkv_p, gp, sgn,
+      g_cls.astype(jnp.float32), g_aff.astype(jnp.float32))
+    return (jnp.concatenate([dq, dk, dv], axis=-1),)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _attention_pair_consistency(qkv_p, scale, num_heads, n_valid):
+    out, cls_s, aff_s, _ = _fwd_pair(qkv_p, scale, num_heads, n_valid)
+    return out, cls_s, aff_s
+
+
+def _fwd_rule_pair(qkv_p, scale, num_heads, n_valid):
+    out, cls_s, aff_s, sgn = _fwd_pair(qkv_p, scale, num_heads, n_valid)
+    return (out, cls_s, aff_s), (qkv_p, sgn)
+
+
+def _bwd_rule_pair(scale, num_heads, n_valid, residuals, cotangents):
+    return _bwd_pair(num_heads, n_valid, scale, residuals, cotangents)
+
+
+_attention_pair_consistency.defvjp(_fwd_rule_pair, _bwd_rule_pair)
+
+
+def fused_attention_pair_consistency(qkv, scale, num_heads):
+    """Attention over an INTERLEAVED-view joint projection output
+    (B = 2*pairs rows ordered [v1_0, v2_0, v1_1, v2_1, ...]) that computes
+    the ACR consistency L1 partial sums in-kernel.
+
+    Returns (out (B, N, H*D), cls_sums (pairs,), aff_sums (pairs,)): the
+    un-normalized per-pair sums of |p1 - p2| over the CLS row (cols [1, N))
+    and the affinity block (rows/cols [1, N)); divide by pairs*(N-1) and
+    pairs*(N-1)^2 respectively and average over layers to reproduce
+    ``losses.acr_consistency_losses_layers(aligned=True)`` exactly.
+    """
+    B, N, HD3 = qkv.shape
+    if B % 2:
+        raise ValueError("pair-consistency entry needs an even batch of "
+                         "interleaved view pairs")
+    Np = _round_up(N, LANE)
+    qkv_p = _pad_axis(qkv, 1, Np)
+    out, cls_s, aff_s = _attention_pair_consistency(qkv_p, scale, num_heads,
+                                                    N)
+    return out[:, :N], cls_s, aff_s

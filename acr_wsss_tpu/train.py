@@ -75,11 +75,24 @@ def make_train_step(model: ACR, cfg: TrainConfig, grid: Tuple[int, int]):
     alpha = cfg.alpha
 
     aligned = getattr(cfg, "aligned_mirror", True)
+    fused = (getattr(cfg.model, "fuse_consistency", False) and aligned
+             and cfg.model.attn_impl == "pallas")
 
     def loss_fn(params, batch):
         x1 = batch["image"]
         x2 = x1[:, :, ::-1, :]  # horizontal flip of view 1 (train_acr.py:135)
         b = x1.shape[0]
+        if fused:
+            # interleave (view, mirror) pairs: the layout the in-kernel
+            # consistency entry consumes (ops/attn_pallas.py pair entry).
+            xi = jnp.stack([x1, x2], axis=1).reshape((2 * b,) + x1.shape[1:])
+            out = model.apply(params, xi, method=model.forward_cls,
+                              export="pair_l1",
+                              mirror_second_half="interleaved")
+            return losses.acr_total_loss_fused(
+                out["logits"][0::2], out["logits"][1::2],
+                out["consistency_sums"], batch["label"],
+                out["n_tokens"], alpha)
         out = model.apply(params, jnp.concatenate([x1, x2], axis=0),
                           method=model.forward_cls,
                           mirror_second_half=aligned)

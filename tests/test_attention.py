@@ -193,3 +193,43 @@ def test_qkv_cols_entry_matches_split_entry(qkv):
     np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(e2), np.asarray(e1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-4)
+
+
+def test_pair_consistency_entry_matches_unfused(qkv):
+    """fused_attention_pair_consistency == split entry + explicit L1 sums,
+    for values AND gradients (incl. the in-kernel sign-based de path)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from acr_wsss_tpu.ops.attn_pallas import (
+        fused_attention_nhd, fused_attention_pair_consistency,
+    )
+
+    q, k, v = (t.transpose(0, 2, 1, 3).reshape(B, N, H * D) for t in qkv)
+    joint = jnp.concatenate([q, k, v], axis=-1)  # B=2 rows -> one pair
+
+    def unfused(x):
+        o, e = fused_attention_nhd(*jnp.split(x, 3, -1), SCALE, H)
+        diff = jnp.abs(e[0] - e[1])
+        cls_s = jnp.sum(diff[0, 1:])
+        aff_s = jnp.sum(diff[1:, 1:])
+        return o, cls_s, aff_s
+
+    def fused(x):
+        o, cls_s, aff_s = fused_attention_pair_consistency(x, SCALE, H)
+        return o, cls_s[0], aff_s[0]
+
+    def loss(f):
+        def g(x):
+            o, cls_s, aff_s = f(x)
+            return (o.sum() + 3.0 * cls_s + 0.5 * aff_s)
+        return g
+
+    with pltpu.force_tpu_interpret_mode():
+        o1, c1, a1 = unfused(joint)
+        o2, c2, a2 = fused(joint)
+        g1 = jax.grad(loss(unfused))(joint)
+        g2 = jax.grad(loss(fused))(joint)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=1e-5)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=1e-5)
+    np.testing.assert_allclose(float(a2), float(a1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-4)

@@ -150,3 +150,47 @@ def test_aligned_mirror_matches_legacy_unflip(tiny_voc, tmp_path):
     flat_a = jax.tree_util.tree_leaves(aligned_params)
     for la, aa in zip(flat_l, flat_a):
         np.testing.assert_allclose(aa, la, rtol=1e-4, atol=1e-6)
+
+
+def test_fused_consistency_matches_unfused(tiny_voc, tmp_path):
+    """fuse_consistency (in-kernel L1 sums + sign backward) must produce
+    the same loss and gradients as the unfused aligned path."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from acr_wsss_tpu.train import create_train_state, make_train_step
+
+    root, names = tiny_voc
+    base = _cfg(root, tmp_path)
+    rng = np.random.default_rng(5)
+    batch = {
+        "image": jnp.asarray(
+            rng.normal(size=(2, 32, 32, 3)).astype(np.float32)),
+        "label": jnp.asarray(
+            (rng.uniform(size=(2, 20)) > 0.7).astype(np.float32)),
+    }
+    grid = (2, 2)
+
+    outs = {}
+    for fused in (False, True):
+        cfg = dc.replace(
+            base,
+            model=dc.replace(base.model, attn_impl="pallas",
+                             fuse_consistency=fused))
+        with pltpu.force_tpu_interpret_mode():
+            model, state = create_train_state(
+                cfg, max_step=10, rng=jax.random.key(11), crop=cfg.crop_size)
+            step = make_train_step(model, cfg, grid)
+            new_state, parts = step(state, batch)
+        outs[fused] = (jax.device_get(parts), jax.device_get(new_state.params))
+
+    ref_parts, ref_params = outs[False]
+    f_parts, f_params = outs[True]
+    for k in ref_parts:
+        np.testing.assert_allclose(f_parts[k], ref_parts[k],
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+    for ra, fa in zip(jax.tree_util.tree_leaves(ref_params),
+                      jax.tree_util.tree_leaves(f_params)):
+        np.testing.assert_allclose(fa, ra, rtol=1e-4, atol=1e-6)
