@@ -136,8 +136,10 @@ class ACR(nn.Module):
         x_patch_cls = self.cls_head(jnp.mean(layer4[:, start:], axis=1))
         return x_cls, x_patch_cls
 
-    def __call__(self, x, probs_offsets=None, export="mean"):
-        return self.forward_cls(x, probs_offsets=probs_offsets, export=export)
+    def __call__(self, x, probs_offsets=None, export="mean",
+                 mirror_second_half=False):
+        return self.forward_cls(x, probs_offsets=probs_offsets, export=export,
+                                mirror_second_half=mirror_second_half)
 
     def forward_cls(self, x, probs_offsets=None, export="mean",
                     mirror_second_half=False) -> Dict[str, Any]:

@@ -115,3 +115,35 @@ def test_scan_takes_pallas_path(rng, monkeypatch):
                                np.asarray(out_x["logits"]), atol=2e-5)
     np.testing.assert_allclose(np.asarray(out_p["probs"]),
                                np.asarray(out_x["probs"]), atol=1e-5)
+
+
+def test_scan_supports_pair_consistency(rng):
+    """export='pair_l1' under scan_blocks: ys carry the per-layer (cls, aff)
+    sum tuples; values match the unrolled trunk on converted params."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from acr_wsss_tpu.models.convert import unrolled_to_scanned
+
+    kwargs = dict(backbone_name="vitb", dtype=jnp.float32,
+                  attn_impl="pallas")
+    m_scan = ACR(scan_blocks=True, **kwargs)
+    m_unroll = ACR(scan_blocks=False, **kwargs)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        params_u = m_unroll.init(jax.random.key(3), x)
+        out_u = m_unroll.apply(params_u, x, method=m_unroll.forward_cls,
+                               export="pair_l1",
+                               mirror_second_half="interleaved")
+        params_s = unrolled_to_scanned(params_u)
+        out_s = m_scan.apply(params_s, x, method=m_scan.forward_cls,
+                             export="pair_l1",
+                             mirror_second_half="interleaved")
+    assert len(out_s["consistency_sums"]) == 12
+    for (cs, as_), (cu, au) in zip(out_s["consistency_sums"],
+                                   out_u["consistency_sums"]):
+        np.testing.assert_allclose(np.asarray(cs), np.asarray(cu),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(as_), np.asarray(au),
+                                   rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_s["logits"]),
+                               np.asarray(out_u["logits"]), atol=5e-5)
