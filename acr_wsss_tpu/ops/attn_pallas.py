@@ -1011,7 +1011,10 @@ def _pair_col_specs(Np: int, bw: int, stride: int):
 
 # 2 heads per block: hb=4 needs 22 MB scoped VMEM (allowed by the raised
 # limit) but measures the same (113.3 vs 113.5 img/s) — keep the smaller
-# footprint.
+# footprint. Rectangular tiles (q rows padded to the sublane granularity
+# 584 instead of the lane-constrained 640, -8.75% tile elements) also
+# measured SLOWER (112.2): the odd sublane count defeats Mosaic's
+# scheduling more than the saved VPU work helps.
 _PAIR_HEADS_PER_BLOCK = 2
 
 
