@@ -25,7 +25,20 @@ from acr_wsss_tpu.configs import IMAGENET_MEAN, IMAGENET_STD
 
 
 def load_image_rgb(path: str) -> np.ndarray:
-    """uint8 HWC RGB."""
+    """uint8 HWC RGB.
+
+    cv2 decode (the reference's own loader, ``myTool.py:1168``) when
+    available: measurably faster than PIL and releases the GIL, so the
+    threaded prefetch pool actually scales (PIL decode serializes it —
+    measured 99 img/s at 8 workers vs 126 single-threaded)."""
+    try:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is not None:
+            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    except ImportError:
+        pass
     with Image.open(path) as im:
         return np.asarray(im.convert("RGB"))
 
