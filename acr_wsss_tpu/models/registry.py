@@ -65,10 +65,9 @@ _STUB_FAMILIES = ()
 def _make_stub(family: str):
     def stub(**kwargs):
         raise NotImplementedError(
-            f"backbone family {family!r} is registered for surface parity "
-            "with the reference zoo but not implemented; implemented "
-            "families: ViT (vitb/vitl/deit/deit_distilled), R50+ViT hybrid, "
-            "ResNetV2, Swin, PiT."
+            f"backbone family {family!r} is registered as a named stub "
+            "and not implemented; see list_models() for the implemented "
+            "zoo."
         )
 
     stub.__name__ = family
