@@ -30,7 +30,10 @@ def load_image_rgb(path: str) -> np.ndarray:
     cv2 decode (the reference's own loader, ``myTool.py:1168``) when
     available: measurably faster than PIL and releases the GIL, so the
     threaded prefetch pool actually scales (PIL decode serializes it —
-    measured 99 img/s at 8 workers vs 126 single-threaded)."""
+    measured 99 img/s at 8 workers vs 126 single-threaded). cv2.imread
+    applies EXIF orientation by default (as the reference's loader did);
+    the PIL fallback applies ``exif_transpose`` so both decoders return
+    the same raster for camera-rotated JPEGs."""
     try:
         import cv2
 
@@ -39,8 +42,10 @@ def load_image_rgb(path: str) -> np.ndarray:
             return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     except ImportError:
         pass
+    from PIL import ImageOps
+
     with Image.open(path) as im:
-        return np.asarray(im.convert("RGB"))
+        return np.asarray(ImageOps.exif_transpose(im).convert("RGB"))
 
 
 def resize_bilinear_np(img: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:

@@ -34,6 +34,7 @@ from flax import linen as nn
 
 from acr_wsss_tpu.models.cnn import ConvBN
 from acr_wsss_tpu.models.cnn_mobile import SqueezeExcite
+from acr_wsss_tpu.models.layers import classifier_head
 from acr_wsss_tpu.models.registry import register_model
 
 Dtype = Any
@@ -198,9 +199,7 @@ class ByobNet(nn.Module):
             taps[si] = x
         if self.head_chs:
             x = ConvBN(self.head_chs, 1, name="head_conv", **kw)(x, train)
-        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
-                          name="fc")(pooled)
+        logits = classifier_head(x, self.num_classes, name="fc")
         return {"logits": logits, "features": x,
                 "taps": {k: taps[k] for k in list(taps)[-4:]}}
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from acr_wsss_tpu.models.layers import max_pool_same
+from acr_wsss_tpu.models.layers import classifier_head
 from acr_wsss_tpu.models.registry import register_model
 
 Dtype = Any
@@ -130,9 +131,7 @@ class ResNet(nn.Module):
                           dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                           name=f"layer{si + 1}_{bi}")(x, train)
             taps[si] = x
-        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
-                          name="fc")(pooled)
+        logits = classifier_head(x, self.num_classes, name="fc")
         return {"logits": logits, "features": x, "taps": taps}
 
 
@@ -217,9 +216,7 @@ class DenseNet(nn.Module):
                            dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                            name=f"transition{si}")(x, train)
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
-                          name="classifier")(pooled)
+        logits = classifier_head(x, self.num_classes, name="classifier")
         return {"logits": logits, "features": x, "taps": taps}
 
 

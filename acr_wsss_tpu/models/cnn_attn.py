@@ -28,6 +28,7 @@ from flax import linen as nn
 
 from acr_wsss_tpu.models.cnn import ConvBN
 from acr_wsss_tpu.models.cnn_mobile import SqueezeExcite
+from acr_wsss_tpu.models.layers import classifier_head
 from acr_wsss_tpu.models.registry import register_model
 
 Dtype = Any
@@ -203,8 +204,7 @@ class SplitAttentionConv(nn.Module):
                              dtype=jnp.float32, name="fc1")(gap))
         att = nn.Dense(self.out_chs * r, dtype=jnp.float32, name="fc2")(z)
         att = nn.softmax(att.reshape(B, r, self.out_chs), axis=1)
-        att = jnp.transpose(att, (0, 2, 1))[:, None, None]  # (B,1,1,C,r)
-        att = jnp.moveaxis(att, -1, 3)                      # (B,1,1,r,C)
+        att = att[:, None, None]                            # (B,1,1,r,C)
         return jnp.sum(y * att.astype(y.dtype), axis=3).astype(self.dtype)
 
 
@@ -277,9 +277,7 @@ class AttnResNet(nn.Module):
                                bn_axis_name=self.bn_axis_name,
                                name=f"layer{si + 1}_{bi}")(x, train)
             taps[si] = x
-        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
-                          name="fc")(pooled)
+        logits = classifier_head(x, self.num_classes, name="fc")
         return {"logits": logits, "features": x, "taps": taps}
 
 

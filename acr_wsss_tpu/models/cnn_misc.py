@@ -45,9 +45,7 @@ from acr_wsss_tpu.models.registry import register_model
 Dtype = Any
 
 
-def _head(x, num_classes, name="fc"):
-    pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-    return nn.Dense(num_classes, dtype=jnp.float32, name=name)(pooled)
+from acr_wsss_tpu.models.layers import classifier_head as _head  # noqa: E402
 
 
 class DualPathBlock(nn.Module):
@@ -300,7 +298,7 @@ class GhostModule(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        init = self.out_chs // 2
+        init = (self.out_chs + 1) // 2  # ceil: odd widths still reach out_chs
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         primary = ConvBN(init, 1, apply_act=self.apply_act, name="primary",
                          **kw)(x, train)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from acr_wsss_tpu.models.cnn import ConvBN
+from acr_wsss_tpu.models.layers import classifier_head
 from acr_wsss_tpu.models.registry import register_model
 
 Dtype = Any
@@ -162,9 +163,7 @@ class EfficientNet(nn.Module):
                    dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                    name="head_conv")(x, train)
         x = nn.silu(x)
-        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
-                          name="classifier")(pooled)
+        logits = classifier_head(x, self.num_classes, name="classifier")
         return {"logits": logits, "features": x, "taps": taps}
 
 
@@ -290,9 +289,7 @@ class RegNet(nn.Module):
                     dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                     name=f"stage{si}_block{bi}")(x, train)
             taps[si] = x
-        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
-                          name="head")(pooled)
+        logits = classifier_head(x, self.num_classes, name="head")
         return {"logits": logits, "features": x, "taps": taps}
 
 

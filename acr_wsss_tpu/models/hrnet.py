@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from acr_wsss_tpu.models.cnn import ConvBN, ResNetBasicBlock, ResNetBottleneck
+from acr_wsss_tpu.models.layers import classifier_head
 from acr_wsss_tpu.models.registry import register_model
 
 Dtype = Any
@@ -134,9 +135,7 @@ class HRNet(nn.Module):
             inc = ConvBN(128 * 2 ** i, 1, name=f"incre{i}", **kw)(xs[i], train)
             y = ConvBN(128 * 2 ** i, 3, 2, name=f"downs{i}", **kw)(y, train) + inc
         y = ConvBN(2048, 1, name="final", **kw)(y, train)
-        pooled = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
-                          name="classifier")(pooled)
+        logits = classifier_head(y, self.num_classes, name="classifier")
         return {"logits": logits, "features": y, "taps": taps}
 
 

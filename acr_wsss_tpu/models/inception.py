@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from acr_wsss_tpu.models.cnn import ConvBN
+from acr_wsss_tpu.models.layers import classifier_head
 from acr_wsss_tpu.models.registry import register_model
 
 Dtype = Any
@@ -204,8 +205,7 @@ class InceptionV3(nn.Module):
         for i in range(2):
             x = InceptionC(name=f"mixed7{'bc'[i]}", **kw)(x, train)
         taps[3] = x
-        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(pooled)
+        logits = classifier_head(x, self.num_classes, name="fc")
         return {"logits": logits, "features": x, "taps": taps}
 
 
@@ -272,8 +272,7 @@ class InceptionV4(nn.Module):
         for i in range(3):
             x = InceptionC(name=f"c{i}", **kw)(x, train)
         taps[3] = x
-        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(pooled)
+        logits = classifier_head(x, self.num_classes, name="fc")
         return {"logits": logits, "features": x, "taps": taps}
 
 
@@ -354,8 +353,7 @@ class InceptionResNetV2(nn.Module):
                         name=f"rc{i}", **kw)(x, train)
         x = Conv2dBN(1536, (1, 1), name="conv7b", **kw)(x, train)
         taps[3] = x
-        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(pooled)
+        logits = classifier_head(x, self.num_classes, name="fc")
         return {"logits": logits, "features": x, "taps": taps}
 
 
@@ -439,8 +437,7 @@ class Xception(nn.Module):
         x = nn.relu(SeparableConvBN(1536, name="exit2", **kw)(x, train))
         x = nn.relu(SeparableConvBN(2048, name="exit3", **kw)(x, train))
         taps[3] = x
-        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(pooled)
+        logits = classifier_head(x, self.num_classes, name="fc")
         return {"logits": logits, "features": x, "taps": taps}
 
 
@@ -473,8 +470,7 @@ class XceptionAligned(nn.Module):
                 tap_i += 1
         x = nn.relu(SeparableConvBN(1536, name="head1", **kw)(x, train))
         x = nn.relu(SeparableConvBN(2048, name="head2", **kw)(x, train))
-        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(pooled)
+        logits = classifier_head(x, self.num_classes, name="fc")
         return {"logits": logits, "features": x, "taps": taps}
 
 

@@ -215,3 +215,10 @@ class FrozenBatchNorm(nn.Module):
                             lambda: jnp.ones(self.features)).value
         inv = jax.lax.rsqrt(var + self.eps) * scale
         return x * inv + (bias - mean * inv)
+
+
+def classifier_head(x, num_classes: int, name: str = "fc") -> jnp.ndarray:
+    """Global-average-pool + fp32 Dense — the classifier head every CNN
+    backbone family shares (pooling/dtype policy in one place)."""
+    pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+    return nn.Dense(num_classes, dtype=jnp.float32, name=name)(pooled)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from acr_wsss_tpu.models.cnn import ConvBN
+from acr_wsss_tpu.models.layers import classifier_head
 from acr_wsss_tpu.models.registry import register_model
 
 Dtype = Any
@@ -171,9 +172,7 @@ class NASNet(nn.Module):
             taps[stage + 1] = prev
             chs *= 2
         x = nn.relu(prev)
-        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
-                          name="fc")(pooled)
+        logits = classifier_head(x, self.num_classes, name="fc")
         return {"logits": logits, "features": x, "taps": taps}
 
 

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from acr_wsss_tpu.models.cnn_mobile import SqueezeExcite
+from acr_wsss_tpu.models.layers import classifier_head
 from acr_wsss_tpu.models.registry import register_model
 
 Dtype = Any
@@ -142,9 +143,7 @@ class NFNet(nn.Module):
             taps[si] = x
         x = ScaledStdConv(2 * self.widths[-1], 1, gamma=_RELU_GAMMA,
                           dtype=self.dtype, name="final_conv")(act(x))
-        pooled = jnp.mean(act(x).astype(jnp.float32), axis=(1, 2))
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
-                          name="fc")(pooled)
+        logits = classifier_head(act(x), self.num_classes, name="fc")
         return {"logits": logits, "features": x, "taps": taps}
 
 
