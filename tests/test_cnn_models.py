@@ -249,3 +249,15 @@ def test_registry_has_no_stubs_left():
                   "coat_lite_tiny", "botnet26t_256", "pnasnet5large",
                   "inception_v3", "xception", "dpn68", "ghostnet_100"):
         assert probe in list_models()
+
+
+def test_ghost_module_odd_width(rng):
+    """Odd out_chs must still produce out_chs channels (review regression:
+    floor-width primary + clamping slice silently returned out_chs-1)."""
+    from acr_wsss_tpu.models.cnn_misc import GhostModule
+
+    m = GhostModule(out_chs=13, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 6)).astype(np.float32))
+    variables = m.init(jax.random.key(0), x, train=True)
+    y, _ = m.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert y.shape == (1, 8, 8, 13)

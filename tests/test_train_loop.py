@@ -194,3 +194,39 @@ def test_fused_consistency_matches_unfused(tiny_voc, tmp_path):
     for ra, fa in zip(jax.tree_util.tree_leaves(ref_params),
                       jax.tree_util.tree_leaves(f_params)):
         np.testing.assert_allclose(fa, ra, rtol=1e-4, atol=1e-6)
+
+
+def test_fused_consistency_two_prefix_backbone(tiny_voc, tmp_path):
+    """fuse_consistency with deit_distilled (2 prefix tokens): the loss
+    count uses the TOTAL token count like the unfused path; values match."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from acr_wsss_tpu.train import create_train_state, make_train_step
+
+    root, names = tiny_voc
+    base = _cfg(root, tmp_path)
+    rng = np.random.default_rng(9)
+    batch = {
+        "image": jnp.asarray(
+            rng.normal(size=(2, 32, 32, 3)).astype(np.float32)),
+        "label": jnp.asarray(
+            (rng.uniform(size=(2, 20)) > 0.7).astype(np.float32)),
+    }
+    outs = {}
+    for fused in (False, True):
+        cfg = dc.replace(
+            base,
+            model=dc.replace(base.model, backbone="deit_distilled",
+                             attn_impl="pallas", fuse_consistency=fused))
+        with pltpu.force_tpu_interpret_mode():
+            model, state = create_train_state(
+                cfg, max_step=10, rng=jax.random.key(2), crop=cfg.crop_size)
+            step = make_train_step(model, cfg, (2, 2))
+            _, parts = step(state, batch)
+        outs[fused] = jax.device_get(parts)
+    for k in outs[False]:
+        np.testing.assert_allclose(outs[True][k], outs[False][k],
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
