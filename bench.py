@@ -37,12 +37,13 @@ def main() -> None:
     from acr_wsss_tpu.configs import ModelConfig, TrainConfig
     from acr_wsss_tpu.train import create_train_state, make_train_step
 
-    # Batch 24 is the measured single-chip sweet spot (fp32 export:
-    # 96.7 img/s vs 87.6 at batch 32, where XLA rematerializes under
-    # memory pressure; 8/12/16 measure 94-96). probs dtype defaults to the
-    # PARITY-default fp32 export — the number of record; bfloat16 export
-    # (documented ~0.4% relative error on the L1 regularizer inputs) is a
-    # faster opt-in.
+    # Batch 24 is the measured single-chip sweet spot (batch 32/48
+    # measure lower under remat/memory pressure, fused or not). The
+    # default configuration is the in-kernel pair-consistency loss
+    # (ModelConfig.fuse_consistency=True) — gradient-exact vs the fp32
+    # export path (tested) — on the operand-aliased joint-qkv kernels
+    # with max-skip softmax. BENCH_PROBS_DTYPE only affects the unfused
+    # fallback path.
     batch = int(os.environ.get("BENCH_BATCH", "24"))
     crop = int(os.environ.get("BENCH_CROP", "384"))
     attn_impl = os.environ.get("BENCH_ATTN", "pallas")
