@@ -142,3 +142,32 @@ def test_batched_inference_matches_single(tmp_path, rng):
             np.testing.assert_allclose(cam_b[c], cam_s[c], atol=1e-4,
                                        err_msg=f"{path} cls {c}")
             np.testing.assert_allclose(patch_b[c], patch_s[c], atol=1e-4)
+
+
+def test_multiscale_inference_sums_scales(fixture_dir):
+    """scales=(1.0, 1.5): per-scale CAMs are upsampled to native size and
+    summed before normalization — the two-scale result must differ from
+    single-scale but agree when the extra scale's contribution is the same
+    program run at its own fixed shape."""
+    root, names = fixture_dir
+    model = ACR(backbone_name="vitb", dtype=jnp.float32)
+    params = model.init(jax.random.key(4), jnp.zeros((1, CROP, CROP, 3)))
+    fns = {
+        1.0: build_infer_fn(model, params, CROP, 10, "grad", True, 20),
+        1.5: build_infer_fn(model, params, int(CROP * 1.5), 10, "grad",
+                            True, 20),
+    }
+    label = np.zeros(20, np.float32)
+    label[[2, 7]] = 1.0
+    img = str(root / "img" / f"{names[0]}.jpg")
+    cams_ms, _, rgb = process_image(fns[1.0], img, label, CROP,
+                                    scales=(1.0, 1.5),
+                                    infer_fns_by_scale=fns)
+    cams_ss, _, _ = process_image(fns[1.0], img, label, CROP)
+    assert sorted(cams_ms) == [2, 7]
+    for c in cams_ms:
+        assert cams_ms[c].shape == rgb.shape[:2]
+        assert np.isfinite(cams_ms[c]).all()
+        assert 0.0 <= cams_ms[c].min() and cams_ms[c].max() <= 1.0 + 1e-6
+    # the 1.5x scale genuinely contributes (not silently dropped)
+    assert any(not np.allclose(cams_ms[c], cams_ss[c]) for c in cams_ms)
