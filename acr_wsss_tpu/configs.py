@@ -111,6 +111,11 @@ class TrainConfig:
     reference_optimizer_quirk: bool = False
     # Global-norm gradient clipping (0 = off, reference behavior).
     clip_grad_norm: float = 0.0
+    # Gradient accumulation: parameters update every N train steps with
+    # the mean gradient (1 = off, reference behavior — it has no
+    # accumulation at all; SURVEY §2.7). max_epochs/steps count OPTIMIZER
+    # updates, so the poly LR schedule is unaffected.
+    accum_steps: int = 1
     # Un-mirror the flipped view's TOKEN ORDER once after the pos-embed
     # (the trunk is permutation-equivariant) instead of un-flipping every
     # layer's (B, N, N) attention export in the loss — identical math

@@ -64,6 +64,7 @@ def create_train_state(
         cfg.lr, max_step, cfg.weight_decay, cfg.momentum, cfg.poly_power,
         reference_quirk=cfg.reference_optimizer_quirk,
         clip_grad_norm=cfg.clip_grad_norm,
+        accum_steps=getattr(cfg, "accum_steps", 1),
     )
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     return model, state

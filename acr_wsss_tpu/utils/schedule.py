@@ -42,6 +42,7 @@ def make_optimizer(
     power: float = 0.9,
     reference_quirk: bool = False,
     clip_grad_norm: float = 0.0,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
     """SGD + poly decay, the reference training recipe.
 
@@ -49,7 +50,14 @@ def make_optimizer(
     momentum := weight_decay, weight_decay := 0. ``clip_grad_norm`` adds
     global-norm clipping (off by default — the reference has none; useful
     for from-scratch runs where the alpha-weighted consistency gradients
-    explode without ImageNet initialization).
+    explode without ImageNet initialization). ``accum_steps`` > 1 wraps the
+    whole chain in gradient accumulation (``optax.MultiSteps``): each call
+    contributes one micro-batch; parameters update every ``accum_steps``
+    calls with the mean gradient — a capability the reference lacks
+    entirely (its effective batch is fixed at 1/GPU x world size); lets a
+    single chip train at the reference's 4-GPU effective batch or beyond.
+    ``max_step`` counts OPTIMIZER updates, so the poly schedule is
+    unaffected by accumulation.
     """
     if reference_quirk:
         momentum, weight_decay = weight_decay, 0.0
@@ -61,4 +69,7 @@ def make_optimizer(
         parts.append(optax.add_decayed_weights(weight_decay))
     parts.append(optax.sgd(learning_rate=poly_schedule(lr, max_step, power),
                            momentum=momentum if momentum else None))
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
