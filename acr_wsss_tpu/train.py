@@ -365,6 +365,8 @@ def parse_args(argv=None) -> TrainConfig:
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed (multi-host pod)")
+    parser.add_argument("--accum_steps", default=1, type=int,
+                        help="gradient accumulation micro-steps per update")
     args = parser.parse_args(argv)
     return TrainConfig(
         model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl),
@@ -381,6 +383,7 @@ def parse_args(argv=None) -> TrainConfig:
         cls_labels_path=args.cls_labels,
         seed=args.seed,
         multihost=args.multihost,
+        accum_steps=args.accum_steps,
     )
 
 
