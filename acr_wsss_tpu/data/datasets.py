@@ -22,7 +22,7 @@ prefetcher in ``data/voc.py``):
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

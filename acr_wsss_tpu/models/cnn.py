@@ -18,7 +18,7 @@ averages.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

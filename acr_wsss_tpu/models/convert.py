@@ -195,7 +195,6 @@ def assert_trees_match(expected: Dict, converted: Dict) -> None:
 def unrolled_to_scanned(params: Dict) -> Dict:
     """Convert an unrolled trunk param tree (trunk/blocks_i/...) to the
     lax.scan layout (trunk/blocks_scan/block/... with leading layer dim)."""
-    import copy
 
     import jax
     import jax.numpy as jnp

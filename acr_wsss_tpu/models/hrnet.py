@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -20,7 +20,7 @@ pointwise -> BN, applied twice. Contract: ``{"logits", "features",
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -21,7 +21,7 @@ sync). Contract: ``{"logits", "features", "taps"}``.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ analogue), so the zoo keeps one developer surface. Contract:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -26,7 +26,6 @@ import argparse
 import os
 from typing import Dict, Optional
 
-import numpy as np
 
 # Upstream checkpoint URLs for the wired backbones (reference cfg tables).
 ZOO_URLS: Dict[str, str] = {

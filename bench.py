@@ -28,7 +28,6 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
-import numpy as np
 
 BASELINE_IMGS_PER_SEC_PER_CHIP = 20.0
 
