@@ -221,7 +221,15 @@ def train(cfg: TrainConfig) -> TrainState:
 
     names, val_names, labels = _dataset_setup(cfg)
     steps_per_epoch = len(names) // cfg.batch_size
+    # ``max_step`` counts OPTIMIZER updates (the poly-schedule horizon,
+    # matching the reference's ``max_step`` in ``train_acr.py:107``). With
+    # gradient accumulation each update consumes ``accum_steps``
+    # micro-batches, so the loop must run ``max_step * accum_steps``
+    # micro-steps — otherwise only max_step/accum updates would happen and
+    # the LR would never anneal past (1 - 1/accum)^power.
     max_step = steps_per_epoch * cfg.max_epochs
+    accum = max(getattr(cfg, "accum_steps", 1), 1)
+    total_micro_steps = max_step * accum
 
     model, state = create_train_state(
         cfg, max_step, jax.random.key(cfg.seed))
@@ -268,7 +276,7 @@ def train(cfg: TrainConfig) -> TrainState:
         if host_id == 0:
             print(f"resumed from checkpoint step {latest}", flush=True)
 
-    for step in range(start_step, max_step + 1):
+    for step in range(start_step, total_micro_steps + 1):
         # Profiler window (SURVEY.md §5.1 rebuild note): capture a trace of
         # steady-state steps when requested.
         if cfg.profile_dir and step == 10:
@@ -281,11 +289,11 @@ def train(cfg: TrainConfig) -> TrainState:
         meter.add({"loss": float(parts["loss"])})
 
         if step % cfg.log_every == 0 and host_id == 0:
-            timer.update_progress(max(step, 1) / max_step)
+            timer.update_progress(max(step, 1) / total_micro_steps)
             imps = (step + 1) * cfg.batch_size / max(timer.get_stage_elapsed(), 1e-9)
             loss_avg = meter.pop("loss")
             print(
-                f"Iter:{step:5d}/{max_step:5d}",
+                f"Iter:{step:5d}/{total_micro_steps:5d}",
                 "Loss:%.4f" % loss_avg,
                 "imps:%.1f" % imps,
                 "Fin:%s" % timer.str_est_finish(),

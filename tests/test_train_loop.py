@@ -79,6 +79,26 @@ def test_train_loop_runs_checkpoints_and_resumes(tiny_voc, tmp_path):
     assert int(state2.step) == 4
 
 
+def test_train_loop_accum_steps_runs_full_update_count(tiny_voc, tmp_path):
+    """accum_steps=k must still perform max_step OPTIMIZER updates (the
+    poly-schedule horizon): the loop runs max_step*k micro-steps, and the
+    MultiSteps gradient_step counter lands on max_step — so the LR anneals
+    over the documented horizon instead of stopping at (1-1/k)^0.9."""
+    import dataclasses as dc
+
+    from acr_wsss_tpu.train import train
+
+    root, names = tiny_voc
+    cfg = dc.replace(_cfg(root, tmp_path), accum_steps=2,
+                     checkpoint_every=10**6)
+    state = train(cfg)
+    # max_step = 8 imgs / 4 * 2 epochs = 4 updates; loop = 4*2 micro-steps
+    # (0..8 inclusive -> 9 apply_gradients calls).
+    assert int(state.step) == 9
+    # 9 micro-calls at every_k=2 -> 4 completed optimizer updates.
+    assert int(state.opt_state.gradient_step) == 4
+
+
 def test_validate_pads_remainder_single_compile(tiny_voc, tmp_path):
     """Remainder val batches are padded+masked to the steady-state shape:
     eval_step compiles exactly once (round-1 regression: one compile per
