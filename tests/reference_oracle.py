@@ -94,6 +94,22 @@ def install_timm_shim() -> None:
         sys.modules[name] = mod
 
 
+def install_tool_imutils_shim() -> None:
+    """``tool/torchutils.py:7`` imports ``tool.imutils`` at module scope,
+    which pulls in pydensecrf + torchvision (not installed here). The parity
+    tests only need ``tool.torchutils``'s PolyOptimizer, which never touches
+    imutils — an empty stub satisfies the import."""
+    if "tool.imutils" in sys.modules:
+        return
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import tool  # the reference's namespace package
+
+    stub = types.ModuleType("tool.imutils")
+    sys.modules["tool.imutils"] = stub
+    tool.imutils = stub
+
+
 def load_reference_acr(backbone_name: str, num_classes: int = 20):
     """Instantiate the reference torch ACR model with random weights."""
     install_timm_shim()
