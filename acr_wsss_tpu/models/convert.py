@@ -166,6 +166,148 @@ def _map_name(name: str, v: np.ndarray):
     return None
 
 
+def _map_block_inner(base: Tuple[str, ...], rest: str):
+    """Shared transformer-block leaf mapping (norm1/attn/norm2/mlp) used by
+    the ViT, Swin and PiT layouts."""
+    ident = lambda x: x
+    m = re.match(r"norm(\d)\.(weight|bias)$", rest)
+    if m:
+        leaf = "scale" if m.group(2) == "weight" else "bias"
+        return base + (f"norm{m.group(1)}", leaf), ident
+    m = re.match(r"attn\.(qkv|proj)\.(weight|bias)$", rest)
+    if m:
+        leaf = "kernel" if m.group(2) == "weight" else "bias"
+        return base + ("attn", m.group(1), leaf), (
+            _linear if leaf == "kernel" else ident)
+    m = re.match(r"mlp\.fc(\d)\.(weight|bias)$", rest)
+    if m:
+        leaf = "kernel" if m.group(2) == "weight" else "bias"
+        return base + ("mlp", f"fc{m.group(1)}", leaf), (
+            _linear if leaf == "kernel" else ident)
+    return None
+
+
+def swin_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm Swin checkpoint -> flax tree for ``models/swin.SwinTransformer``.
+
+    Source layout: the reference's vendored ``models/swin_transformer.py``
+    (timm 0.4.5; cfg/URL table :42-83). Buffers (``relative_position_index``,
+    ``attn_mask``) are recomputed by the flax model and skipped. The
+    ImageNet ``head`` IS converted — grafting drops it when the target
+    class count differs (timm classifier-filtering semantics,
+    reference ``models/helpers.py:24-49``).
+    """
+    params: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith(("relative_position_index", "attn_mask")):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_swin_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(params, ("params",) + leaf_path, transform(v))
+    return params
+
+
+def _map_swin_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"patch_embed\.proj\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("patch_embed", leaf), (_conv if leaf == "kernel" else ident)
+    m = re.match(r"patch_embed\.norm\.(weight|bias)$", name)
+    if m:
+        leaf = "scale" if m.group(1) == "weight" else "bias"
+        return ("embed_norm", leaf), ident
+    m = re.match(r"layers\.(\d+)\.blocks\.(\d+)\.(.+)$", name)
+    if m:
+        s, b, rest = m.group(1), m.group(2), m.group(3)
+        base = (f"stage{s}_block{b}",)
+        if rest == "attn.relative_position_bias_table":
+            return base + ("attn", "relative_position_bias_table"), ident
+        return _map_block_inner(base, rest)
+    m = re.match(r"layers\.(\d+)\.downsample\.norm\.(weight|bias)$", name)
+    if m:
+        leaf = "scale" if m.group(2) == "weight" else "bias"
+        return (f"merge{m.group(1)}", "norm", leaf), ident
+    m = re.match(r"layers\.(\d+)\.downsample\.reduction\.weight$", name)
+    if m:
+        return (f"merge{m.group(1)}", "reduction", "kernel"), _linear
+    m = re.match(r"norm\.(weight|bias)$", name)
+    if m:
+        leaf = "scale" if m.group(1) == "weight" else "bias"
+        return ("norm", leaf), ident
+    m = re.match(r"head\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("head", leaf), (_linear if leaf == "kernel" else ident)
+    return None
+
+
+def pit_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm PiT checkpoint -> flax tree for ``models/pit.py``.
+
+    Source layout: the reference's vendored ``models/pit.py`` (timm 0.4.5;
+    cfg/URL table :40-64). torch ``pos_embed`` is NCHW (1, C, gh, gw) ->
+    flax (1, gh, gw, C). The pool attached to torch stage s runs AFTER its
+    blocks; our ``pool{s}`` runs BEFORE stage s, so torch
+    ``transformers.s.pool`` maps to flax ``pool{s+1}``. ``head_dist`` is
+    dropped (distilled variants only); ``head`` converts like Swin's.
+    """
+    params: Dict = {}
+    for name, value in state_dict.items():
+        if name.startswith("head_dist."):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_pit_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(params, ("params",) + leaf_path, transform(v))
+    return params
+
+
+def _map_pit_name(name: str):
+    ident = lambda x: x
+    if name == "pos_embed":
+        return ("pos_embed",), lambda x: np.ascontiguousarray(
+            x.transpose(0, 2, 3, 1))
+    if name == "cls_token":
+        return ("cls_token",), ident
+    m = re.match(r"patch_embed\.conv\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("patch_embed", leaf), (_conv if leaf == "kernel" else ident)
+    m = re.match(r"transformers\.(\d+)\.blocks\.(\d+)\.(.+)$", name)
+    if m:
+        s, b, rest = m.group(1), m.group(2), m.group(3)
+        return _map_block_inner((f"stage{s}_block{b}",), rest)
+    m = re.match(r"transformers\.(\d+)\.pool\.conv\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(2) == "weight" else "bias"
+        return (f"pool{int(m.group(1)) + 1}", "conv", leaf), (
+            _conv if leaf == "kernel" else ident)
+    m = re.match(r"transformers\.(\d+)\.pool\.fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(2) == "weight" else "bias"
+        return (f"pool{int(m.group(1)) + 1}", "fc", leaf), (
+            _linear if leaf == "kernel" else ident)
+    m = re.match(r"norm\.(weight|bias)$", name)
+    if m:
+        leaf = "scale" if m.group(1) == "weight" else "bias"
+        return ("norm", leaf), ident
+    m = re.match(r"head\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("head", leaf), (_linear if leaf == "kernel" else ident)
+    return None
+
+
 def assert_trees_match(expected: Dict, converted: Dict) -> None:
     """Raise with a readable diff if the converted tree misses/extra leaves
     or shapes mismatch vs a freshly initialized model tree."""

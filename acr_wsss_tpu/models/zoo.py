@@ -27,13 +27,23 @@ import os
 from typing import Dict, Optional
 
 
-# Upstream checkpoint URLs for the wired backbones (reference cfg tables).
+# Upstream checkpoint URLs for the wired backbones (reference cfg tables:
+# ViT ``models/vision_transformer.py:49-132``; Swin
+# ``models/swin_transformer.py:42-83``; PiT ``models/pit.py:40-64``).
 ZOO_URLS: Dict[str, str] = {
     "vitb_hybrid": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_base_resnet50_384-9fd3c705.pth",
     "vitb": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_base_p16_384-83fb41ba.pth",
     "vitl": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_large_p16_384-b3be5167.pth",
     "deit": "https://dl.fbaipublicfiles.com/deit/deit_base_patch16_384-8de9b5d1.pth",
     "deit_distilled": "https://dl.fbaipublicfiles.com/deit/deit_base_distilled_patch16_384-d0272ac0.pth",
+    # Swin (ImageNet-22k -> 1k finetunes where available, the reference cfgs)
+    "swin_base_384": "https://github.com/SwinTransformer/storage/releases/download/v1.0.0/swin_base_patch4_window12_384_22kto1k.pth",
+    "swin_large_384": "https://github.com/SwinTransformer/storage/releases/download/v1.0.0/swin_large_patch4_window12_384_22kto1k.pth",
+    "swin_small": "https://github.com/SwinTransformer/storage/releases/download/v1.0.0/swin_small_patch4_window7_224.pth",
+    "swin_tiny": "https://github.com/SwinTransformer/storage/releases/download/v1.0.0/swin_tiny_patch4_window7_224.pth",
+    # PiT
+    "pit_b": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-pit-weights/pit_b_820.pth",
+    "pit_s": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-pit-weights/pit_s_809.pth",
 }
 
 
@@ -58,11 +68,8 @@ def fetch(backbone: str, directory: Optional[str] = None,
     import urllib.error
     import urllib.request
 
-    from acr_wsss_tpu.models.acr import resolve_backbone
-    from acr_wsss_tpu.models.convert import torch_state_dict_to_flax
     from acr_wsss_tpu.utils.checkpoint import save_params_npz
 
-    spec = resolve_backbone(backbone)
     url = url or ZOO_URLS.get(backbone)
     if not url:
         raise ValueError(f"no zoo URL for backbone {backbone!r}")
@@ -86,14 +93,35 @@ def fetch(backbone: str, directory: Optional[str] = None,
 
     state = torch.load(pth, map_location="cpu", weights_only=True)
     if isinstance(state, dict) and "model" in state:
-        state = state["model"]  # deit checkpoints nest under 'model'
-    # Raw timm checkpoints are unprefixed; the converter expects the
-    # reference ACR layout (``pretrained.model.<timm name>``).
-    state = {f"pretrained.model.{k}": v for k, v in state.items()}
-    params = torch_state_dict_to_flax(
-        state, num_prefix_tokens=spec.num_prefix_tokens)
+        state = state["model"]  # deit/swin checkpoints nest under 'model'
+    params = convert_state_dict(backbone, state)
     save_params_npz(out, params)
     return out
+
+
+def convert_state_dict(backbone: str, state: Dict):
+    """Dispatch a raw timm state dict to the right family converter.
+
+    ViT-family backbones go through the ACR converter (which expects the
+    reference ``pretrained.model.`` prefix and emits a ``trunk`` subtree);
+    Swin/PiT use their standalone converters (``models/convert.py``).
+    """
+    if backbone.startswith("swin"):
+        from acr_wsss_tpu.models.convert import swin_state_dict_to_flax
+
+        return swin_state_dict_to_flax(state)
+    if backbone.startswith("pit"):
+        from acr_wsss_tpu.models.convert import pit_state_dict_to_flax
+
+        return pit_state_dict_to_flax(state)
+
+    from acr_wsss_tpu.models.acr import resolve_backbone
+    from acr_wsss_tpu.models.convert import torch_state_dict_to_flax
+
+    spec = resolve_backbone(backbone)
+    state = {f"pretrained.model.{k}": v for k, v in state.items()}
+    return torch_state_dict_to_flax(
+        state, num_prefix_tokens=spec.num_prefix_tokens)
 
 
 def load_backbone_params(backbone: str, directory: Optional[str] = None):
@@ -120,6 +148,46 @@ def init_with_pretrained(model, rng, dummy_input,
     inner["trunk"] = pretrained["params"]["trunk"]
     params["params"] = inner
     return params
+
+
+def graft_standalone(params, pretrained, verbose: bool = True):
+    """Graft zoo weights onto a standalone (Swin/PiT) model's init tree.
+
+    timm classifier-filtering semantics (reference ``models/helpers.py:24-49``):
+    leaves whose shapes match are copied; the ImageNet ``head`` (and any
+    other shape-mismatched leaf) keeps its fresh initialization. PiT's
+    ``pos_embed`` is the one resolution-dependent leaf — it is bilinearly
+    resized over the grid axes when the training resolution differs from
+    the checkpoint's (the standalone analogue of the ViT
+    ``_resize_pos_embed``, reference ``models/vision_transformer.py``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    flat_init = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    flat_pre = jax.tree_util.tree_flatten_with_path(pretrained)[0]
+    out = dict(flat_init)
+    skipped = []
+    for path, leaf in flat_pre:
+        if path not in flat_init:
+            skipped.append((jax.tree_util.keystr(path), "no target"))
+            continue
+        target = flat_init[path]
+        if target.shape == leaf.shape:
+            out[path] = jnp.asarray(leaf, target.dtype)
+        elif jax.tree_util.keystr(path).endswith("['pos_embed']") and \
+                leaf.ndim == 4 and target.shape[-1] == leaf.shape[-1]:
+            out[path] = jax.image.resize(
+                jnp.asarray(leaf, jnp.float32),
+                target.shape, method="bilinear").astype(target.dtype)
+        else:
+            skipped.append((jax.tree_util.keystr(path),
+                            f"{leaf.shape} vs {target.shape}"))
+    if verbose and skipped:
+        print("zoo graft skipped:", skipped, flush=True)
+    leaves = [out[p] for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params), leaves)
 
 
 def main(argv=None) -> None:

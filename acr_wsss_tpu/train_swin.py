@@ -77,11 +77,20 @@ def make_swin_train_step(model, cfg: TrainConfig, crop_size: int):
 
 
 def create_swin_train_state(cfg: TrainConfig, max_step: int, rng,
-                            model_name: str = "swin_base_384"):
+                            model_name: str = "swin_base_384",
+                            pretrained: bool = False):
     model = create_model(model_name, num_classes=cfg.model.num_classes,
                          dtype=jnp.dtype(cfg.model.compute_dtype))
     dummy = jnp.zeros((1, cfg.crop_size, cfg.crop_size, 3), jnp.float32)
     params = model.init(rng, dummy)
+    if pretrained:
+        # ImageNet graft (reference create_model(..., pretrained=True),
+        # ``models/helpers.py:24-49``): trunk from the zoo npz, 20-class
+        # head keeps its fresh init (classifier filtering).
+        from acr_wsss_tpu.models import zoo
+
+        params = zoo.graft_standalone(
+            params, zoo.load_backbone_params(model_name))
     tx = make_optimizer(cfg.lr, max_step, cfg.weight_decay, cfg.momentum,
                         cfg.poly_power)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
@@ -105,6 +114,9 @@ def main(argv=None):
     parser.add_argument("--train_list", default="voc12/train_aug_id.txt")
     parser.add_argument("--cls_labels", default="voc12/cls_labels.npy")
     parser.add_argument("--session_name", default="acr_swin")
+    parser.add_argument("--pretrained", action="store_true",
+                        help="graft ImageNet weights from the zoo npz "
+                             "(python -m acr_wsss_tpu.models.zoo fetch ...)")
     args = parser.parse_args(argv)
 
     cfg = TrainConfig(
@@ -117,7 +129,8 @@ def main(argv=None):
     names = voc_data.read_file(cfg.train_list)
     max_step = len(names) // cfg.batch_size * cfg.max_epochs
     model, state = create_swin_train_state(cfg, max_step, jax.random.key(0),
-                                           args.model)
+                                           args.model,
+                                           pretrained=args.pretrained)
     mesh = make_mesh((-1,), ("data",))
     state = state.replace(params=jax.device_put(
         state.params, param_shardings(mesh, state.params)))

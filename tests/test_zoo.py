@@ -49,6 +49,103 @@ def test_fetch_convert_and_graft(tmp_path):
     assert out_j["logits"].shape == (1, 20)
 
 
+@requires_reference
+def test_fetch_swin_and_graft_into_train_state(tmp_path):
+    """Swin zoo path end to end: vendored timm checkpoint (file://) ->
+    family-dispatched conversion -> graft into the train_swin state with
+    classifier filtering (20-class head keeps fresh init) at a DIFFERENT
+    input resolution than the checkpoint's."""
+    import sys
+
+    import torch
+
+    from tests.reference_oracle import REFERENCE_ROOT, install_timm_shim
+
+    from acr_wsss_tpu.models import zoo
+
+    install_timm_shim()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from models.swin_transformer import SwinTransformer as RefSwin
+
+    torch.manual_seed(0)
+    # swin_tiny-shaped but thin: the mapping is config-independent.
+    ref = RefSwin(img_size=64, patch_size=4, num_classes=1000, embed_dim=24,
+                  depths=(2, 2, 6, 2), num_heads=(3, 3, 3, 3), window_size=4)
+    pth = tmp_path / "swin_fake.pth"
+    torch.save(ref.state_dict(), pth)
+
+    out = zoo.fetch("swin_tiny", directory=str(tmp_path / "zoo"),
+                    url=f"file://{pth}")
+    pretrained = zoo.load_backbone_params("swin_tiny",
+                                          directory=str(tmp_path / "zoo"))
+
+    from acr_wsss_tpu.models.swin import SwinTransformer
+
+    model = SwinTransformer(num_classes=20, embed_dim=24,
+                            depths=(2, 2, 6, 2), num_heads=(3, 3, 3, 3),
+                            window_size=4, dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    grafted = zoo.graft_standalone(params, pretrained, verbose=False)
+
+    # trunk copied exactly; the 20-class head kept its fresh init
+    np.testing.assert_allclose(
+        np.asarray(grafted["params"]["stage0_block0"]["attn"]["qkv"]["kernel"]),
+        ref.state_dict()["layers.0.blocks.0.attn.qkv.weight"].numpy().T,
+        atol=0)
+    np.testing.assert_allclose(
+        np.asarray(grafted["params"]["head"]["kernel"]),
+        np.asarray(params["params"]["head"]["kernel"]), atol=0)
+    out_j = model.apply(grafted, x)
+    assert out_j["logits"].shape == (1, 20)
+    assert out.endswith("swin_tiny_in21k.npz")
+
+
+@requires_reference
+def test_pit_pos_embed_resize_on_graft(tmp_path):
+    """PiT grafted at a resolution the checkpoint wasn't trained at: the
+    pos_embed table is bilinearly resized over the grid axes; everything
+    else copies exactly."""
+    import sys
+
+    import torch
+
+    from tests.reference_oracle import REFERENCE_ROOT, install_timm_shim
+
+    from acr_wsss_tpu.models import zoo
+    from acr_wsss_tpu.models.convert import pit_state_dict_to_flax
+    from acr_wsss_tpu.models.pit import PoolingVisionTransformer
+
+    install_timm_shim()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from models.pit import PoolingVisionTransformer as RefPiT
+
+    torch.manual_seed(1)
+    ref = RefPiT(img_size=56, patch_size=14, stride=7,
+                 base_dims=[16, 16, 16], depth=[1, 1, 1], heads=[2, 4, 8],
+                 mlp_ratio=4, num_classes=1000)
+    pretrained = pit_state_dict_to_flax(ref.state_dict())
+
+    model = PoolingVisionTransformer(
+        num_classes=20, patch_size=14, stride=7, base_dims=(16, 16, 16),
+        depths=(1, 1, 1), heads=(2, 4, 8), dtype=jnp.float32)
+    x = jnp.zeros((1, 112, 112, 3), jnp.float32)  # grid 15 vs ckpt grid 7
+    params = model.init(jax.random.key(0), x)
+    grafted = zoo.graft_standalone(params, pretrained, verbose=False)
+
+    assert grafted["params"]["pos_embed"].shape == \
+        params["params"]["pos_embed"].shape
+    # resized, not re-initialized: corners of a bilinear resize keep the
+    # source corner values.
+    np.testing.assert_allclose(
+        np.asarray(grafted["params"]["pos_embed"])[0, 0, 0],
+        np.asarray(pretrained["params"]["pos_embed"])[0, 0, 0], atol=1e-5)
+    out_j = model.apply(grafted, x)
+    assert out_j["logits"].shape == (1, 20)
+
+
 def test_missing_zoo_error_message(tmp_path):
     from acr_wsss_tpu.models import zoo
 
