@@ -131,6 +131,11 @@ class InferConfig:
     """CAM/GETAM inference (reference ``infer_cam.py:43-99``, ``train_acr.sh:26-37``)."""
 
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    # "voc12": names from infer_list + labels from the cls_labels npy.
+    # "coco": names from infer_list (or the image-dir listing) + labels
+    # parsed from bbox txts in cls_labels_path (reference COCO inference
+    # flow, ``infer_cam.py`` + ``myTool.py:1497-1514``).
+    dataset: str = "voc12"
     weights: str = "weight/acr_tpu_last"
     crop_size: int = 384
     start_layer: int = 10

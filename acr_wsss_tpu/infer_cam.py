@@ -276,8 +276,9 @@ def save_heatmaps(heatmap_dir: str, name: str, rgb: np.ndarray,
     for c, mask in cam_dict.items():
         heat = imops.apply_colormap_jet(np.uint8(255 * mask))[..., ::-1]  # RGB
         blend = (heat * 0.5 + rgb * 0.5).astype(np.uint8)
+        cls = VOC_CLASSES[c] if c < len(VOC_CLASSES) else f"class{c}"
         Image.fromarray(blend).save(
-            os.path.join(heatmap_dir, f"{name}_{VOC_CLASSES[c]}_getam.jpg"))
+            os.path.join(heatmap_dir, f"{name}_{cls}_getam.jpg"))
 
 
 def run(cfg: InferConfig) -> None:
@@ -311,14 +312,22 @@ def run(cfg: InferConfig) -> None:
     }
     infer_fn = infer_fns[cfg.scales[0]]
 
-    # Two list formats exist (SURVEY.md §2.4): bare ids, and VOC path-pair
-    # lines whose id lives at chars 12:23. Sniff by content instead of the
-    # reference's per-call-site convention.
-    with open(cfg.infer_list) as f:
-        first_line = f.readline()
-    names = (voc_data.read_file_2(cfg.infer_list) if first_line.startswith("/")
-             else voc_data.read_file(cfg.infer_list))
-    labels = voc_data.load_cls_labels(cfg.cls_labels_path)
+    if getattr(cfg, "dataset", "voc12") == "coco":
+        from acr_wsss_tpu.data import coco as coco_data
+
+        names = (voc_data.read_file(cfg.infer_list) if cfg.infer_list
+                 else coco_data.list_image_names(cfg.image_dir))
+        labels = coco_data.CocoLabelStore(cfg.cls_labels_path, names)
+    else:
+        # Two list formats exist (SURVEY.md §2.4): bare ids, and VOC
+        # path-pair lines whose id lives at chars 12:23. Sniff by content
+        # instead of the reference's per-call-site convention.
+        with open(cfg.infer_list) as f:
+            first_line = f.readline()
+        names = (voc_data.read_file_2(cfg.infer_list)
+                 if first_line.startswith("/")
+                 else voc_data.read_file(cfg.infer_list))
+        labels = voc_data.load_cls_labels(cfg.cls_labels_path)
 
     if cfg.out_cam:
         os.makedirs(cfg.out_cam, exist_ok=True)

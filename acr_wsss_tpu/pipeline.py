@@ -14,6 +14,12 @@ with start_layer 10 / getam_func grad / affinity refinement, then
 Stages can be skipped (``--stages infer,eval``) to resume a pipeline after
 a completed training run, mirroring how the reference script was edited in
 practice.
+
+``--dataset coco`` switches the whole chain to MS-COCO (the reference's
+``train_acr_coco.sh:1-13`` + the COCO branch of the toolbox): 80 classes,
+names from the train-image directory listing, labels parsed from bbox
+txts (``--bbox_dir``), separate ``--valpath`` validation images, 81-class
+mIoU eval. ``run_coco.sh`` wraps that configuration.
 """
 
 from __future__ import annotations
@@ -67,11 +73,21 @@ def parse_args(argv=None):
     # shared
     parser.add_argument("--session_name", default="acr_001")
     parser.add_argument("--backbone", default="vitb_hybrid")
+    parser.add_argument("--dataset", default="voc12",
+                        choices=["voc12", "coco"],
+                        help="coco: 80 classes, names from the image-dir "
+                             "listing, labels from --bbox_dir txts "
+                             "(reference train_acr_coco.sh)")
     parser.add_argument("--IMpath", required=True,
-                        help="VOC JPEGImages directory")
+                        help="VOC JPEGImages / COCO train2014 directory")
     parser.add_argument("--gt_dir", required=True,
-                        help="SegmentationClassAug ground-truth directory")
+                        help="segmentation ground-truth directory")
     parser.add_argument("--cls_labels", default="voc12/cls_labels.npy")
+    parser.add_argument("--bbox_dir", default=None,
+                        help="COCO per-image bbox txt directory (labels)")
+    parser.add_argument("--valpath", default=None,
+                        help="COCO val image directory (reference "
+                             "train_acr_coco.py --valpath)")
     parser.add_argument("--crop_size", default=384, type=int)
     parser.add_argument("--attn_impl", default="pallas",
                         choices=["xla", "pallas"])
@@ -87,7 +103,9 @@ def parse_args(argv=None):
     parser.add_argument("--max_epoches", default=10, type=int)
     parser.add_argument("--weight_dir", default="weight")
     # infer (train_acr.sh:26-37)
-    parser.add_argument("--infer_list", default="voc12/train_id.txt")
+    parser.add_argument("--infer_list", default=None,
+                        help="default: voc12/train_id.txt (VOC) or the "
+                             "image-dir listing (COCO)")
     parser.add_argument("--start_layer", default=10, type=int)
     parser.add_argument("--getam_func", default="grad",
                         choices=["grad", "grad_s", "cam_grad", "cam_grad_s"])
@@ -104,9 +122,33 @@ def parse_args(argv=None):
 def main(argv=None) -> None:
     args = parse_args(argv)
     stages = tuple(s.strip() for s in args.stages.split(",") if s.strip())
-    model_cfg = ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl)
+    coco = args.dataset == "coco"
+    if coco and not args.bbox_dir:
+        raise SystemExit("--dataset coco requires --bbox_dir")
+    num_classes = 80 if coco else 20
+    labels_path = args.bbox_dir if coco else args.cls_labels
+
+    infer_list = args.infer_list
+    if infer_list is None:
+        if coco:
+            # materialize the image-dir listing once so the infer and eval
+            # stages (and any rerun) iterate the same name set
+            from acr_wsss_tpu.data import coco as coco_data
+
+            os.makedirs(args.weight_dir, exist_ok=True)
+            infer_list = os.path.join(
+                args.weight_dir, f"{args.session_name}_infer_list.txt")
+            with open(infer_list, "w") as f:
+                f.write("\n".join(
+                    coco_data.list_image_names(args.IMpath)) + "\n")
+        else:
+            infer_list = "voc12/train_id.txt"
+
+    model_cfg = ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl,
+                            num_classes=num_classes)
     train_cfg = TrainConfig(
         model=model_cfg,
+        dataset=args.dataset,
         crop_size=args.crop_size,
         batch_size=args.batch_size,
         max_epochs=args.max_epoches,
@@ -117,11 +159,13 @@ def main(argv=None) -> None:
         image_dir=args.IMpath,
         train_list=args.train_list,
         val_list=args.val_list,
-        cls_labels_path=args.cls_labels,
+        val_image_dir=args.valpath,
+        cls_labels_path=labels_path,
     )
     infer_cfg = InferConfig(
         model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl,
-                          scan_blocks=True),
+                          num_classes=num_classes, scan_blocks=True),
+        dataset=args.dataset,
         weights=os.path.join(args.weight_dir, f"{args.session_name}_last.npz"),
         crop_size=args.crop_size,
         start_layer=args.start_layer,
@@ -130,18 +174,19 @@ def main(argv=None) -> None:
         out_cam=args.out_cam,
         heatmap=args.heatmap,
         image_dir=args.IMpath,
-        infer_list=args.infer_list,
-        cls_labels_path=args.cls_labels,
+        infer_list=infer_list,
+        cls_labels_path=labels_path,
     )
     eval_cfg = EvalConfig(
         predict_dir=args.out_cam,
         gt_dir=args.gt_dir,
-        name_list=args.infer_list,
+        name_list=infer_list,
         logfile=args.logfile,
         comment=args.comment if args.comment is not None else args.session_name,
         input_type="npy",
         threshold=args.eval_threshold,
         curve=args.eval_threshold is None,
+        num_classes=num_classes + 1,
     )
     run_pipeline(train_cfg, infer_cfg, eval_cfg, stages)
 

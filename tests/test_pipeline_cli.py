@@ -37,6 +37,76 @@ def tiny_voc(tmp_path_factory):
     return root, names
 
 
+@pytest.fixture(scope="module")
+def tiny_coco(tmp_path_factory):
+    """4 synthetic COCO-shaped images: names from the image dir, labels
+    from bbox txts whose third field is the (gappy) COCO category id."""
+    root = tmp_path_factory.mktemp("pipecoco")
+    (root / "img").mkdir()
+    (root / "val").mkdir()
+    (root / "bbox").mkdir()
+    (root / "gt").mkdir()
+    rng = np.random.default_rng(7)
+    names = []
+    for i in range(4):
+        name = f"COCO_train2014_{i:012d}"
+        names.append(name)
+        Image.fromarray(
+            rng.integers(0, 255, size=(48, 56, 3), dtype=np.uint8)
+        ).save(root / "img" / f"{name}.jpg")
+        # category ids 1 and 2 -> dense classes 0 and 1 -> gt labels 1, 2
+        cid = 1 + (i % 2)
+        (root / "bbox" / f"{name}.txt").write_text(f"10 10 {cid} 30 30\n")
+        Image.fromarray(
+            ((rng.uniform(size=(48, 56)) > 0.5) * cid).astype(np.uint8)
+        ).save(root / "gt" / f"{name}.png")
+    Image.fromarray(
+        rng.integers(0, 255, size=(48, 56, 3), dtype=np.uint8)
+    ).save(root / "val" / "COCO_val2014_000000000000.jpg")
+    (root / "bbox" / "COCO_val2014_000000000000.txt").write_text("0 0 3 5 5\n")
+    return root, names
+
+
+def test_pipeline_coco_all_stages(tiny_coco, tmp_path):
+    """--dataset coco end to end: 80-class train (bbox-txt labels, separate
+    val dir), CAM inference over the generated image-dir listing, 81-class
+    threshold eval (reference train_acr_coco.sh + the toolbox COCO branch)."""
+    from acr_wsss_tpu.pipeline import main
+
+    root, names = tiny_coco
+    out_cam = tmp_path / "cams"
+    logfile = tmp_path / "evallog.txt"
+    main([
+        "--dataset", "coco",
+        "--session_name", "pipe_coco",
+        "--backbone", "vitb",
+        "--attn_impl", "xla",
+        "--IMpath", str(root / "img"),
+        "--bbox_dir", str(root / "bbox"),
+        "--valpath", str(root / "val"),
+        "--gt_dir", str(root / "gt"),
+        "--crop_size", "32",
+        "--batch_size", "4",
+        "--max_epoches", "1",
+        "--lr", "0.001",
+        "--alpha", "1",
+        "--weight_dir", str(tmp_path / "weight"),
+        "--out_cam", str(out_cam),
+        "--logfile", str(logfile),
+        "--eval_threshold", "0.3",
+    ])
+    assert os.path.exists(tmp_path / "weight" / "pipe_coco_last.npz")
+    # the generated infer list covers the image-dir names
+    listed = (tmp_path / "weight" / "pipe_coco_infer_list.txt") \
+        .read_text().split()
+    assert listed == names
+    for i, name in enumerate(names):
+        cam = np.load(out_cam / f"{name}.npy", allow_pickle=True).item()
+        assert (i % 2) in cam  # dense class index of category id 1+(i%2)
+    text = logfile.read_text()
+    assert "pipe_coco" in text and "mIoU" in text
+
+
 def test_pipeline_all_stages(tiny_voc, tmp_path):
     from acr_wsss_tpu.pipeline import main
 
