@@ -1,4 +1,7 @@
-from acr_wsss_tpu.parallel.mesh import make_mesh  # noqa: F401
+from acr_wsss_tpu.parallel.mesh import (  # noqa: F401
+    make_data_mesh_for_batch,
+    make_mesh,
+)
 from acr_wsss_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
     param_shardings,

@@ -44,3 +44,16 @@ def make_mesh(
         raise ValueError(f"mesh shape {shape} != {n} devices")
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axis_names)
+
+
+def make_data_mesh_for_batch(batch_size: int) -> Mesh:
+    """1-D ``('data',)`` mesh whose extent divides ``batch_size``.
+
+    A global batch smaller than (or not divisible by) the device count
+    cannot be batch-sharded; use the largest divisor of ``batch_size``
+    that fits the available devices — the rest idle, matching how the
+    reference would simply run fewer DDP ranks."""
+    n = len(jax.devices())
+    data = max(d for d in range(1, min(n, batch_size) + 1)
+               if batch_size % d == 0)
+    return make_mesh((data,), ("data",), devices=jax.devices()[:data])

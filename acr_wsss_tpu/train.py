@@ -197,18 +197,14 @@ def _dataset_setup(cfg: TrainConfig):
 
 
 def _fit_data_mesh(cfg: TrainConfig):
-    """Mesh whose 'data' extent divides the global batch.
-
-    A batch smaller than the device count cannot be sharded; use the
-    largest divisor of batch_size that fits the available devices (the
-    remaining devices idle — matching how the reference would simply run
-    fewer DDP ranks)."""
+    """Mesh whose 'data' extent divides the global batch (see
+    ``parallel.make_data_mesh_for_batch``); explicit mesh configs pass
+    through unchanged."""
     if cfg.mesh_shape != (-1,) or cfg.mesh_axes != ("data",):
         return make_mesh(cfg.mesh_shape, cfg.mesh_axes)
-    n = len(jax.devices())
-    data = max(d for d in range(1, min(n, cfg.batch_size) + 1)
-               if cfg.batch_size % d == 0)
-    return make_mesh((data,), ("data",), devices=jax.devices()[:data])
+    from acr_wsss_tpu.parallel import make_data_mesh_for_batch
+
+    return make_data_mesh_for_batch(cfg.batch_size)
 
 
 def train(cfg: TrainConfig) -> TrainState:

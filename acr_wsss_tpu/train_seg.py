@@ -23,7 +23,11 @@ from acr_wsss_tpu import losses
 from acr_wsss_tpu.configs import TrainConfig, ModelConfig  # noqa: F401 (CLI builds both)
 from acr_wsss_tpu.data import transforms, voc as voc_data
 from acr_wsss_tpu.models.dpt import DPTSegmentationModel
-from acr_wsss_tpu.parallel import batch_sharding, make_mesh, param_shardings
+from acr_wsss_tpu.parallel import (
+    batch_sharding,
+    make_data_mesh_for_batch,
+    param_shardings,
+)
 from acr_wsss_tpu.train import TrainState, shard_batch
 from acr_wsss_tpu.utils.meters import AverageMeter, Timer
 from acr_wsss_tpu.utils.schedule import make_optimizer
@@ -87,6 +91,13 @@ def main(argv=None):
     parser.add_argument("--lr", default=0.01, type=float)
     parser.add_argument("--crop_size", default=384, type=int)
     parser.add_argument("--session_name", default="acr_seg")
+    parser.add_argument("--weight_dir", default="weight")
+    parser.add_argument("--val_list", default=None,
+                        help="run evaluate.seg_validation on these names "
+                             "after training (myTool.py:1826-1895)")
+    parser.add_argument("--gt_dir", default=None,
+                        help="ground-truth PNGs for --val_list")
+    parser.add_argument("--contrast_weight", default=0.0, type=float)
     args = parser.parse_args(argv)
 
     names = voc_data.read_file(args.train_list)
@@ -97,10 +108,11 @@ def main(argv=None):
     tx = make_optimizer(args.lr, max_step)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
-    mesh = make_mesh((-1,), ("data",))
+    mesh = make_data_mesh_for_batch(args.batch_size)
     state = state.replace(params=jax.device_put(
         state.params, param_shardings(mesh, state.params)))
-    step_fn = jax.jit(make_seg_train_step(model), donate_argnums=0)
+    step_fn = jax.jit(make_seg_train_step(model, args.contrast_weight),
+                      donate_argnums=0)
 
     class _Src:
         image_dir = args.IMpath
@@ -119,6 +131,30 @@ def main(argv=None):
             timer.update_progress(max(step, 1) / max_step)
             print(f"Iter:{step:5d}/{max_step}",
                   "Loss:%.4f" % meter.pop("loss"), flush=True)
+
+    from acr_wsss_tpu.utils.checkpoint import save_params_npz
+
+    os.makedirs(args.weight_dir, exist_ok=True)
+    ckpt_path = os.path.join(args.weight_dir, f"{args.session_name}_last.npz")
+    save_params_npz(ckpt_path, jax.device_get(state.params))
+    print("model saved!", flush=True)
+
+    if args.val_list and args.gt_dir:
+        from acr_wsss_tpu import evaluate
+
+        val_names = voc_data.read_file(args.val_list)
+        params = state.params
+
+        @jax.jit
+        def predict_fn(x):
+            return model.apply(params, x)["seg_logits"][0]
+
+        miou = evaluate.seg_validation(
+            predict_fn, val_names, args.IMpath, args.gt_dir,
+            crop_size=args.crop_size)
+        print("seg val mIoU: %.4f" % miou, flush=True)
+        return miou
+    return None
 
 
 if __name__ == "__main__":

@@ -99,7 +99,9 @@ def create_swin_train_state(cfg: TrainConfig, max_step: int, rng,
 
 def main(argv=None):
     from acr_wsss_tpu.data import voc as voc_data
-    from acr_wsss_tpu.parallel import batch_sharding, make_mesh, param_shardings
+    from acr_wsss_tpu.parallel import (
+        batch_sharding, make_data_mesh_for_batch, param_shardings,
+    )
     from acr_wsss_tpu.train import shard_batch
     from acr_wsss_tpu.utils.meters import AverageMeter, Timer
 
@@ -131,7 +133,7 @@ def main(argv=None):
     model, state = create_swin_train_state(cfg, max_step, jax.random.key(0),
                                            args.model,
                                            pretrained=args.pretrained)
-    mesh = make_mesh((-1,), ("data",))
+    mesh = make_data_mesh_for_batch(cfg.batch_size)
     state = state.replace(params=jax.device_put(
         state.params, param_shardings(mesh, state.params)))
     step_fn = jax.jit(make_swin_train_step(model, cfg, cfg.crop_size),

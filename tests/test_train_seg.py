@@ -1,0 +1,94 @@
+"""Two-step segmentation training (train_seg.py) integration: pseudo-mask
+PNGs -> DPT seg model training -> checkpoint + seg_validation mIoU.
+
+Reference semantics: the RRM-style second step the reference keeps pieces
+for (``myTool.py:825-857`` joint loss, ``myTool.py:1826-1895`` validation)
+but never wires end-to-end in-repo.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def tiny_seg(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tinyseg")
+    (root / "img").mkdir()
+    (root / "pseudo").mkdir()
+    (root / "gt").mkdir()
+    rng = np.random.default_rng(13)
+    names = []
+    for i in range(4):
+        name = f"s{i}"
+        names.append(name)
+        Image.fromarray(
+            rng.integers(0, 255, size=(48, 56, 3), dtype=np.uint8)
+        ).save(root / "img" / f"{name}.jpg")
+        # pseudo label with fg classes 1-2, 255 = ignore
+        mask = rng.integers(0, 3, size=(48, 56)).astype(np.uint8)
+        mask[0, 0] = 255
+        Image.fromarray(mask).save(root / "pseudo" / f"{name}.png")
+        Image.fromarray(
+            rng.integers(0, 3, size=(48, 56), dtype=np.uint8)
+        ).save(root / "gt" / f"{name}.png")
+    (root / "list.txt").write_text("\n".join(names) + "\n")
+    return root, names
+
+
+def test_train_seg_end_to_end(tiny_seg, tmp_path):
+    from acr_wsss_tpu.train_seg import main
+
+    root, names = tiny_seg
+    miou = main([
+        "--IMpath", str(root / "img"),
+        "--pseudo_dir", str(root / "pseudo"),
+        "--train_list", str(root / "list.txt"),
+        "--backbone", "vitb",
+        "--batch_size", "2",
+        "--max_epoches", "1",
+        "--lr", "0.001",
+        "--crop_size", "32",
+        "--session_name", "seg_test",
+        "--weight_dir", str(tmp_path / "weight"),
+        "--val_list", str(root / "list.txt"),
+        "--gt_dir", str(root / "gt"),
+    ])
+    assert os.path.exists(tmp_path / "weight" / "seg_test_last.npz")
+    assert miou is not None and 0.0 <= miou <= 1.0
+
+
+def test_seg_train_step_decreases_loss(tiny_seg, tmp_path):
+    """Deterministic fixed-batch sanity: repeated SGD steps on one batch
+    reduce the joint CE (bg/fg split + ignore handling wired correctly)."""
+    from acr_wsss_tpu.models.dpt import DPTSegmentationModel
+    from acr_wsss_tpu.train import TrainState
+    from acr_wsss_tpu.train_seg import make_seg_train_step
+    from acr_wsss_tpu.utils.schedule import make_optimizer
+
+    rng = np.random.default_rng(2)
+    batch = {
+        "image": jnp.asarray(
+            rng.normal(size=(2, 32, 32, 3)).astype(np.float32)),
+        "seg_label": jnp.asarray(
+            rng.integers(0, 3, size=(2, 32, 32)).astype(np.int32)),
+    }
+    model = DPTSegmentationModel(num_classes=21, backbone_name="vitb")
+    params = model.init(jax.random.key(1), jnp.zeros((1, 32, 32, 3)))
+    # lr 1e-4: small enough to be monotone from random init (recipe lr
+    # assumes ImageNet-initialized trunks)
+    tx = make_optimizer(1e-4, max_step=100)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    step_fn = jax.jit(make_seg_train_step(model))
+
+    losses_seq = []
+    for _ in range(5):
+        state, parts = step_fn(state, batch)
+        losses_seq.append(float(parts["loss"]))
+    assert np.isfinite(losses_seq).all()
+    assert losses_seq[-1] < losses_seq[0]
