@@ -59,6 +59,11 @@ BACKBONES: Dict[str, BackboneSpec] = {
     "deit": BackboneSpec(768, 12, 12, (2, 5, 8, 11)),
     "deit_distilled": BackboneSpec(768, 12, 12, (2, 5, 8, 11),
                                    num_prefix_tokens=2),
+    # ViT-S/16 (embed 384, 6 heads; the DeiT-S recipe — timm
+    # ``vit_deit_small_patch16_224``, reference models/vision_transformer.py
+    # cfg table)
+    "vit_small": BackboneSpec(384, 12, 6, (2, 5, 8, 11)),
+    "deit_small": BackboneSpec(384, 12, 6, (2, 5, 8, 11)),
 }
 BACKBONE_ALIASES = {
     "vit_base_resnet50_384": "vitb_hybrid",
@@ -72,6 +77,8 @@ BACKBONE_ALIASES = {
     "deitb16_384": "deit",
     "vit_deit_base_distilled_patch16_384": "deit_distilled",
     "deitb16_distil_384": "deit_distilled",
+    "vit_deit_small_patch16_224": "deit_small",
+    "vit_small_patch16_224": "vit_small",
 }
 
 

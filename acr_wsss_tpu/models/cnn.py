@@ -241,6 +241,11 @@ def resnet101(**kwargs):
 
 
 @register_model
+def resnet152(**kwargs):
+    return ResNet(layers=(3, 8, 36, 3), **kwargs)
+
+
+@register_model
 def vgg16(**kwargs):
     return VGG(cfg=(64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
                     512, 512, 512, "M", 512, 512, 512, "M"), **kwargs)

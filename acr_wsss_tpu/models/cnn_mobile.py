@@ -309,6 +309,16 @@ def efficientnet_b2(**kwargs):
 
 
 @register_model
+def efficientnet_b3(**kwargs):
+    return EfficientNet(width_mult=1.2, depth_mult=1.4, **kwargs)
+
+
+@register_model
+def efficientnet_b4(**kwargs):
+    return EfficientNet(width_mult=1.4, depth_mult=1.8, **kwargs)
+
+
+@register_model
 def mobilenetv3_large_100(**kwargs):
     return MobileNetV3(**kwargs)
 

@@ -153,3 +153,9 @@ def hrnet_w18(**kwargs):
 def hrnet_w32(**kwargs):
     kwargs.setdefault("stage_modules", (1, 4, 3))
     return HRNet(width=32, **kwargs)
+
+
+@register_model
+def hrnet_w48(**kwargs):
+    kwargs.setdefault("stage_modules", (1, 4, 3))
+    return HRNet(width=48, **kwargs)

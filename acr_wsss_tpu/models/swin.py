@@ -254,3 +254,10 @@ def swin_small(**kwargs):
 def swin_base_384(**kwargs):
     return SwinTransformer(embed_dim=128, depths=(2, 2, 18, 2),
                            num_heads=(4, 8, 16, 32), window_size=12, **kwargs)
+
+
+@register_model
+def swin_large_384(**kwargs):
+    kwargs.setdefault("window_size", 12)
+    return SwinTransformer(embed_dim=192, depths=(2, 2, 18, 2),
+                           num_heads=(6, 12, 24, 48), **kwargs)

@@ -251,6 +251,46 @@ def test_registry_has_no_stubs_left():
         assert probe in list_models()
 
 
+@pytest.mark.parametrize("name,kwargs", [
+    ("resnet152", {}),
+    ("efficientnet_b3", {}),
+    ("efficientnet_b4", {}),
+    ("hrnet_w48", {}),
+])
+def test_registry_variant_breadth_cnn(name, kwargs, rng):
+    """Common reference-registry variants added as configs of the existing
+    parameterized families (reference models/__init__.py registry)."""
+    model = create_model(name, num_classes=5, dtype=jnp.float32, **kwargs)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=True)
+    out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out["logits"].shape == (1, 5)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+def test_registry_variant_swin_large(rng):
+    model = create_model("swin_large_384", num_classes=5, dtype=jnp.float32,
+                         window_size=4)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    out = model.apply(variables, x)
+    assert out["logits"].shape == (1, 5)
+
+
+def test_backbone_variant_vit_small(rng):
+    """vit_small/deit_small backbone specs drive the full ACR model."""
+    from acr_wsss_tpu.models.acr import ACR, resolve_backbone
+
+    assert resolve_backbone("vit_deit_small_patch16_224").embed_dim == 384
+    model = ACR(backbone_name="vit_small", dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x, method=model.forward_cls)
+    assert out["logits"].shape == (1, 20)
+    # (B, depth, N, N) head-mean export; N = (32/16)^2 + 1 cls token
+    assert out["probs"].shape == (1, 12, 5, 5)
+
+
 def test_ghost_module_odd_width(rng):
     """Odd out_chs must still produce out_chs channels (review regression:
     floor-width primary + clamping slice silently returned out_chs-1)."""
