@@ -84,6 +84,17 @@ class Attention(nn.Module):
             # fused_attention_nhd) vs 77 (strided-4-D fused_attention_qkv).
             from acr_wsss_tpu.ops.attn_pallas import fused_attention_qkv_cols
 
+            import os as _os
+            if _os.environ.get("ACR_ATTN_DEBUG_CLAMP"):
+                # max-skip softmax clamps logits at +-60 silently
+                # (ops/attn_pallas._softmax_parts); this debug metric makes
+                # an approach to the clamp visible during unstable
+                # from-scratch runs.
+                from acr_wsss_tpu.ops.attn_pallas import debug_max_abs_logit
+
+                jax.debug.print(
+                    "attn max|logit| = {m} (kernel clamp at 60)",
+                    m=debug_max_abs_logit(qkv, scale, self.num_heads))
             out, probs = fused_attention_qkv_cols(
                 qkv, scale, self.num_heads, export=export,
                 probs_dtype=self.probs_dtype)

@@ -862,6 +862,75 @@ def _bwd_qkv_cols(num_heads, scale, probs_dtype, n_valid, residuals,
     return (jnp.concatenate([dq, dk, dv], axis=-1),)
 
 
+def _fwd_kernel_nhd_noexport(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                             n_valid: int, heads_per_block: int,
+                             head_dim: int):
+    """Forward body without the head-mean export: no (Np, Np) accumulator
+    scratch and no export HBM write — the eval/'none' path pays only for
+    the attention output (ADVICE r2: the mean-export kernel wrote the
+    (B, Np, Np) probs even when the caller discarded them)."""
+    D = head_dim
+    n_pad = q_ref.shape[1] - n_valid
+    for h in range(heads_per_block):
+        q = q_ref[0, :, h * D:(h + 1) * D]
+        k = k_ref[0, :, h * D:(h + 1) * D]
+        v = v_ref[0, :, h * D:(h + 1) * D]
+        p, recip_z = _softmax_parts(q, k, scale, n_pad)
+        o_unnorm = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, h * D:(h + 1) * D] = (o_unnorm * recip_z).astype(
+            o_ref.dtype)
+
+
+def _fwd_qkv_cols_noexport(qkv_p, scale, num_heads, n_valid):
+    B, Np, HD3 = qkv_p.shape
+    HD = HD3 // 3
+    D = HD // num_heads
+    hb = _block_heads(num_heads, D, _FWD_HEADS_PER_BLOCK)
+    bw = hb * D
+    stride = HD // bw
+    kernel = functools.partial(
+        _fwd_kernel_nhd_noexport, scale=scale, n_valid=n_valid,
+        heads_per_block=hb, head_dim=D)
+    spec_o = pl.BlockSpec((1, Np, bw), lambda b, h: (b, 0, h),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, stride),
+        in_specs=_qkv_col_specs(Np, bw, stride),
+        out_specs=spec_o,
+        out_shape=jax.ShapeDtypeStruct((B, Np, HD), qkv_p.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * num_heads * Np * Np * D,
+            bytes_accessed=B * Np * HD3 * 2,
+            transcendentals=B * num_heads * Np * Np,
+        ),
+    )(qkv_p, qkv_p, qkv_p)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _attention_qkv_cols_noexport(qkv_p, scale, num_heads, n_valid):
+    return _fwd_qkv_cols_noexport(qkv_p, scale, num_heads, n_valid)
+
+
+def _fwd_rule_qkv_cols_noexport(qkv_p, scale, num_heads, n_valid):
+    return (_fwd_qkv_cols_noexport(qkv_p, scale, num_heads, n_valid),
+            (qkv_p,))
+
+
+def _bwd_rule_qkv_cols_noexport(scale, num_heads, n_valid, residuals,
+                                cotangents):
+    # reuse the standard backward with a zero export cotangent
+    return _bwd_qkv_cols(num_heads, scale, jnp.float32, n_valid, residuals,
+                         (cotangents, None))
+
+
+_attention_qkv_cols_noexport.defvjp(_fwd_rule_qkv_cols_noexport,
+                                    _bwd_rule_qkv_cols_noexport)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def _attention_qkv_cols(qkv_p, scale, num_heads, probs_dtype, n_valid):
     return _fwd_qkv_cols(qkv_p, scale, num_heads, probs_dtype, n_valid)
@@ -881,6 +950,25 @@ def _bwd_rule_qkv_cols(scale, num_heads, probs_dtype, n_valid, residuals,
 _attention_qkv_cols.defvjp(_fwd_rule_qkv_cols, _bwd_rule_qkv_cols)
 
 
+def debug_max_abs_logit(qkv, scale, num_heads) -> jnp.ndarray:
+    """Scalar max |scale * q.k| over the joint (B, N, 3*H*D) projection.
+
+    Diagnostic for the max-skip softmax's +-60 clamp (see
+    ``_softmax_parts``): the kernels clamp silently, so from-scratch runs
+    with large alpha can drift from the exact softmax without a signal.
+    Wire-up: ``ACR_ATTN_DEBUG_CLAMP=1`` makes the ViT attention module
+    print this per layer (``models/vit.py``). XLA-path einsum — debug
+    cost only, never part of the kernels."""
+    B, N, HD3 = qkv.shape
+    HD = HD3 // 3
+    D = HD // num_heads
+    q = qkv[..., :HD].reshape(B, N, num_heads, D)
+    k = qkv[..., HD:2 * HD].reshape(B, N, num_heads, D)
+    s = jnp.einsum("bnhd,bmhd->bhnm", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    return jnp.max(jnp.abs(s))
+
+
 def fused_attention_qkv_cols(qkv, scale, num_heads, export: str = "mean",
                              probs_dtype=jnp.float32):
     """Attention over the JOINT (B, N, 3*H*D) projection output via column
@@ -889,12 +977,14 @@ def fused_attention_qkv_cols(qkv, scale, num_heads, export: str = "mean",
     B, N, HD3 = qkv.shape
     Np = _round_up(N, LANE)
     qkv_p = _pad_axis(qkv, 1, Np)
+    if export != "mean":
+        # eval/'none' path: kernel variant with no export accumulator and
+        # no (B, Np, Np) HBM write
+        out = _attention_qkv_cols_noexport(qkv_p, scale, num_heads, N)
+        return out[:, :N], None
     out, exported = _attention_qkv_cols(qkv_p, scale, num_heads,
                                         jnp.dtype(probs_dtype), N)
-    out = out[:, :N]
-    if export != "mean":
-        return out, None
-    return out, exported[:, :N, :N]
+    return out[:, :N], exported[:, :N, :N]
 
 
 # ---------------------------------------------------------------------------

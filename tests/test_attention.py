@@ -195,6 +195,32 @@ def test_qkv_cols_entry_matches_split_entry(qkv):
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-4)
 
 
+def test_qkv_cols_noexport_matches_export_path(qkv):
+    """export='none' routes to the no-export kernel (no (B, Np, Np) HBM
+    write — ADVICE r2): outputs and input gradients must equal the
+    mean-export entry's."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from acr_wsss_tpu.ops.attn_pallas import fused_attention_qkv_cols
+
+    q, k, v = (t.transpose(0, 2, 1, 3).reshape(B, N, H * D) for t in qkv)
+    joint = jnp.concatenate([q, k, v], axis=-1)
+
+    with pltpu.force_tpu_interpret_mode():
+        o_mean, e = fused_attention_qkv_cols(joint, SCALE, H, export="mean")
+        o_none, e_none = fused_attention_qkv_cols(joint, SCALE, H,
+                                                  export="none")
+        g_mean = jax.grad(lambda x: fused_attention_qkv_cols(
+            x, SCALE, H, export="mean")[0].sum())(joint)
+        g_none = jax.grad(lambda x: fused_attention_qkv_cols(
+            x, SCALE, H, export="none")[0].sum())(joint)
+    assert e_none is None and e is not None
+    np.testing.assert_allclose(np.asarray(o_none), np.asarray(o_mean),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_none), np.asarray(g_mean),
+                               atol=1e-5)
+
+
 def test_pair_consistency_entry_matches_unfused(qkv):
     """fused_attention_pair_consistency == split entry + explicit L1 sums,
     for values AND gradients (incl. the in-kernel sign-based de path)."""
@@ -233,3 +259,15 @@ def test_pair_consistency_entry_matches_unfused(qkv):
     np.testing.assert_allclose(float(c2), float(c1), rtol=1e-5)
     np.testing.assert_allclose(float(a2), float(a1), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-4)
+
+
+def test_debug_max_abs_logit_matches_manual(qkv):
+    """The clamp diagnostic (ACR_ATTN_DEBUG_CLAMP wiring) reports the true
+    max |scale * q.k| of the joint projection."""
+    from acr_wsss_tpu.ops.attn_pallas import debug_max_abs_logit
+
+    q, k, v = (t.transpose(0, 2, 1, 3).reshape(B, N, H * D) for t in qkv)
+    joint = jnp.concatenate([q, k, v], axis=-1)
+    got = float(debug_max_abs_logit(joint, SCALE, H))
+    s = jnp.einsum("bhnd,bhmd->bhnm", qkv[0], qkv[1]) * SCALE
+    np.testing.assert_allclose(got, float(jnp.max(jnp.abs(s))), rtol=1e-6)
