@@ -89,6 +89,7 @@ def fetch(backbone: str, directory: Optional[str] = None,
                 f"cannot download {url} (no egress?): {e}. Fetch the file "
                 f"on a connected machine and re-run with --url file://<path>."
             ) from e
+    _validate_checkpoint_file(pth)
 
     import torch
 
@@ -123,6 +124,34 @@ def convert_state_dict(backbone: str, state: Dict):
     state = {f"pretrained.model.{k}": v for k, v in state.items()}
     return torch_state_dict_to_flax(
         state, num_prefix_tokens=spec.num_prefix_tokens)
+
+
+def _validate_checkpoint_file(pth: str) -> None:
+    """Fail fast with a clear message on truncated/corrupt downloads,
+    instead of a shape error deep inside the converter.
+
+    timm-convention filenames carry the first 8 hex chars of the file's
+    sha256 after the last ``-`` (e.g. ``jx_vit_base_p16_384-83fb41ba.pth``);
+    when present, the digest is verified.
+    """
+    import hashlib
+    import re
+
+    size = os.path.getsize(pth)
+    if size < 1 << 20:
+        raise RuntimeError(
+            f"{pth} is only {size} bytes — truncated download or an error "
+            f"page. Delete it and re-fetch.")
+    m = re.search(r"-([0-9a-f]{8})\.pth$", os.path.basename(pth))
+    if m:
+        h = hashlib.sha256()
+        with open(pth, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        if not h.hexdigest().startswith(m.group(1)):
+            raise RuntimeError(
+                f"{pth}: sha256 {h.hexdigest()[:8]} != filename digest "
+                f"{m.group(1)} — corrupt download. Delete it and re-fetch.")
 
 
 def load_backbone_params(backbone: str, directory: Optional[str] = None):

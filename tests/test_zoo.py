@@ -151,3 +151,25 @@ def test_missing_zoo_error_message(tmp_path):
 
     with pytest.raises(FileNotFoundError, match="zoo fetch"):
         zoo.load_backbone_params("vitb", directory=str(tmp_path))
+
+
+def test_checkpoint_validation_rejects_truncated_and_corrupt(tmp_path):
+    """fetch() fails fast on bad downloads instead of erroring deep in the
+    converter: tiny files (error pages / truncation) and filename-digest
+    mismatches (timm sha256-prefix convention) are both caught."""
+    from acr_wsss_tpu.models.zoo import _validate_checkpoint_file
+
+    small = tmp_path / "model-83fb41ba.pth"
+    small.write_bytes(b"<html>error</html>")
+    with pytest.raises(RuntimeError, match="truncated"):
+        _validate_checkpoint_file(str(small))
+
+    big = tmp_path / "model2-00000000.pth"
+    big.write_bytes(b"x" * (2 << 20))
+    with pytest.raises(RuntimeError, match="sha256"):
+        _validate_checkpoint_file(str(big))
+
+    # no digest in the name: size check only
+    plain = tmp_path / "model3.pth"
+    plain.write_bytes(b"x" * (2 << 20))
+    _validate_checkpoint_file(str(plain))
