@@ -145,3 +145,33 @@ def test_shifted_window_attn_probs_match_after_unindexing(rng):
 def test_odd_window_shift_unindexing_raises():
     with pytest.raises(ValueError):
         hflip_window_permutations(4, 7, shift=3)
+
+
+def test_odd_window_shifted_mirror_has_no_window_permutation():
+    """Brute-force check of the docs/PARITY.md claim: for a shifted
+    partition (roll -s, s = ws//2), horizontal mirroring maps windows onto
+    windows iff ws | 2s — i.e. even ws works (the ws=12 flagship), odd ws
+    provably cannot be covered by any window re-indexing."""
+
+    def partition(W, ws, s):
+        # window k holds original columns (k*ws + j + s) mod W
+        return [frozenset((k * ws + j + s) % W for j in range(ws))
+                for k in range(W // ws)]
+
+    def mirror_maps_windows_to_windows(W, ws, s):
+        wins = partition(W, ws, s)
+        mirrored = [frozenset((W - 1 - c) % W for c in win) for win in wins]
+        return all(m in wins for m in mirrored)
+
+    # even ws: every shifted window's mirror is again a window
+    assert mirror_maps_windows_to_windows(32, 8, 4)
+    assert mirror_maps_windows_to_windows(48, 12, 6)  # swin_base_384 shape
+    # odd ws: NO mirrored window is a window (they all straddle)
+    wins7 = partition(28, 7, 3)
+    mirrored7 = [frozenset((28 - 1 - c) % 28 for c in w) for w in wins7]
+    assert all(m not in wins7 for m in mirrored7)
+    assert not mirror_maps_windows_to_windows(28, 7, 3)
+    # and the loss helper enforces exactly this boundary
+    hflip_window_permutations(4, 12, shift=6)  # fine
+    with pytest.raises(ValueError):
+        hflip_window_permutations(4, 7, shift=3)
