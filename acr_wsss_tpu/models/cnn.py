@@ -23,7 +23,6 @@ from typing import Any, Dict, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from acr_wsss_tpu.models.layers import max_pool_same
 from acr_wsss_tpu.models.layers import classifier_head
 from acr_wsss_tpu.models.registry import register_model
 
@@ -120,7 +119,10 @@ class ResNet(nn.Module):
         x = x.astype(self.dtype)
         x = ConvBN(64, 7, 2, dtype=self.dtype,
                    bn_axis_name=self.bn_axis_name, name="stem")(x, train)
-        x = max_pool_same(x, window=3, stride=2)
+        # torch MaxPool2d(3, 2, padding=1): symmetric pad, unlike the
+        # TF-'SAME' pool of the v2 hybrid stem (different window
+        # alignment on even inputs)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
 
         block = ResNetBottleneck if self.bottleneck else ResNetBasicBlock
         widths = (256, 512, 1024, 2048) if self.bottleneck else (64, 128, 256, 512)
@@ -203,7 +205,10 @@ class DenseNet(nn.Module):
         x = x.astype(self.dtype)
         x = ConvBN(2 * self.growth_rate, 7, 2, dtype=self.dtype,
                    bn_axis_name=self.bn_axis_name, name="stem")(x, train)
-        x = max_pool_same(x, window=3, stride=2)
+        # torch MaxPool2d(3, 2, padding=1): symmetric pad, unlike the
+        # TF-'SAME' pool of the v2 hybrid stem (different window
+        # alignment on even inputs)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
         taps: Dict[int, jnp.ndarray] = {}
         for si, depth in enumerate(self.block_config):
             for bi in range(depth):
@@ -222,27 +227,34 @@ class DenseNet(nn.Module):
 
 @register_model
 def resnet18(**kwargs):
-    return ResNet(layers=(2, 2, 2, 2), bottleneck=False, **kwargs)
+    kwargs.setdefault("layers", (2, 2, 2, 2))
+    kwargs.setdefault("bottleneck", False)
+    return ResNet(**kwargs)
 
 
 @register_model
 def resnet34(**kwargs):
-    return ResNet(layers=(3, 4, 6, 3), bottleneck=False, **kwargs)
+    kwargs.setdefault("layers", (3, 4, 6, 3))
+    kwargs.setdefault("bottleneck", False)
+    return ResNet(**kwargs)
 
 
 @register_model
 def resnet50(**kwargs):
-    return ResNet(layers=(3, 4, 6, 3), **kwargs)
+    kwargs.setdefault("layers", (3, 4, 6, 3))
+    return ResNet(**kwargs)
 
 
 @register_model
 def resnet101(**kwargs):
-    return ResNet(layers=(3, 4, 23, 3), **kwargs)
+    kwargs.setdefault("layers", (3, 4, 23, 3))
+    return ResNet(**kwargs)
 
 
 @register_model
 def resnet152(**kwargs):
-    return ResNet(layers=(3, 8, 36, 3), **kwargs)
+    kwargs.setdefault("layers", (3, 8, 36, 3))
+    return ResNet(**kwargs)
 
 
 @register_model

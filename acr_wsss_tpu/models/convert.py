@@ -308,6 +308,73 @@ def _map_pit_name(name: str):
     return None
 
 
+def resnet_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """torchvision/timm ResNet-v1 checkpoint -> flax variables for
+    ``models/cnn.ResNet``.
+
+    Source layout: the reference's vendored ``models/resnet.py`` (timm
+    0.4.5; URL/cfg table :35-110 — name-compatible with torchvision
+    checkpoints). Emits BOTH collections: BatchNorm scale/bias land in
+    ``params`` and running mean/var in ``batch_stats``;
+    ``num_batches_tracked`` buffers are dropped. The ImageNet ``fc`` head
+    converts; grafting drops it on class-count mismatch.
+    """
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_resnet_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+_BN_LEAVES = {"weight": ("params", "scale"), "bias": ("params", "bias"),
+              "running_mean": ("batch_stats", "mean"),
+              "running_var": ("batch_stats", "var")}
+
+
+def _map_resnet_name(name: str):
+    ident = lambda x: x
+    if name == "conv1.weight":
+        return ("params", "stem", "conv", "kernel"), _conv
+    m = re.match(r"bn1\.(weight|bias|running_mean|running_var)$", name)
+    if m:
+        coll, leaf = _BN_LEAVES[m.group(1)]
+        return (coll, "stem", "bn", leaf), ident
+    m = re.match(r"layer(\d+)\.(\d+)\.(.+)$", name)
+    if m:
+        s, b, rest = m.group(1), m.group(2), m.group(3)
+        base = f"layer{s}_{b}"
+        mm = re.match(r"conv(\d)\.weight$", rest)
+        if mm:
+            return ("params", base, f"conv{mm.group(1)}", "conv",
+                    "kernel"), _conv
+        mm = re.match(r"bn(\d)\.(weight|bias|running_mean|running_var)$",
+                      rest)
+        if mm:
+            coll, leaf = _BN_LEAVES[mm.group(2)]
+            return (coll, base, f"conv{mm.group(1)}", "bn", leaf), ident
+        if rest == "downsample.0.weight":
+            return ("params", base, "downsample", "conv", "kernel"), _conv
+        mm = re.match(
+            r"downsample\.1\.(weight|bias|running_mean|running_var)$", rest)
+        if mm:
+            coll, leaf = _BN_LEAVES[mm.group(1)]
+            return (coll, base, "downsample", "bn", leaf), ident
+        return None
+    m = re.match(r"fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "fc", leaf), (_linear if leaf == "kernel" else ident)
+    return None
+
+
 def assert_trees_match(expected: Dict, converted: Dict) -> None:
     """Raise with a readable diff if the converted tree misses/extra leaves
     or shapes mismatch vs a freshly initialized model tree."""

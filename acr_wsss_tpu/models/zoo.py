@@ -45,6 +45,13 @@ ZOO_URLS: Dict[str, str] = {
     # PiT
     "pit_b": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-pit-weights/pit_b_820.pth",
     "pit_s": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-pit-weights/pit_s_809.pth",
+    # ResNet (timm 'ram' recipe where the reference cfg has one, else the
+    # torchvision originals the empty-URL cfgs fall back to)
+    "resnet50": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/resnet50_ram-a26f946b.pth",
+    "resnet18": "https://download.pytorch.org/models/resnet18-5c106cde.pth",
+    "resnet34": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/resnet34-43635321.pth",
+    "resnet101": "https://download.pytorch.org/models/resnet101-5d3b4d8f.pth",
+    "resnet152": "https://download.pytorch.org/models/resnet152-b121ed2d.pth",
 }
 
 
@@ -116,6 +123,10 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import pit_state_dict_to_flax
 
         return pit_state_dict_to_flax(state)
+    if backbone.startswith("resnet"):
+        from acr_wsss_tpu.models.convert import resnet_state_dict_to_flax
+
+        return resnet_state_dict_to_flax(state)
 
     from acr_wsss_tpu.models.acr import resolve_backbone
     from acr_wsss_tpu.models.convert import torch_state_dict_to_flax

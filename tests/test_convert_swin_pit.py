@@ -100,6 +100,40 @@ def test_pit_converted_forward_parity():
 
 
 @requires_reference
+def test_resnet_converted_forward_parity():
+    """timm/torchvision ResNet checkpoint -> models/cnn.ResNet: eval-mode
+    logits parity, with BN running stats MOVED from init (a few torch
+    train-mode forwards) so the running mean/var mapping is exercised,
+    not just scale/bias."""
+    import torch
+
+    from acr_wsss_tpu.models.convert import resnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    resnet = _load_vendored("resnet")
+    torch.manual_seed(7)
+    ref = resnet.ResNet(resnet.Bottleneck, [1, 1, 1, 1], num_classes=1000)
+    rng = np.random.default_rng(4)
+    ref.train()
+    with torch.no_grad():
+        for _ in range(3):  # advance BN running stats away from (0, 1)
+            ref(torch.from_numpy(
+                rng.normal(size=(4, 3, 64, 64)).astype(np.float32)))
+    ref.eval()
+
+    variables = resnet_state_dict_to_flax(ref.state_dict())
+    model = create_model("resnet50", num_classes=1000, dtype=jnp.float32,
+                         layers=(1, 1, 1, 1))
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=5e-4, rtol=1e-4)
+
+
+@requires_reference
 def test_zoo_config_shapes_swin_base_384_and_pit_b():
     """The real zoo configs convert to exactly the flax trees our models
     initialize — verified shape-level via eval_shape (full forwards at
