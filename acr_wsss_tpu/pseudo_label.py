@@ -478,3 +478,89 @@ def compute_seg_label_rrm(
     crf_label[la_label == 0] = 255
     crf_label[ha_label == 0] = 0
     return crf_label.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# CLI: CAM npy dicts -> pseudo-mask PNGs (the missing link between
+# infer_cam --out_cam and train_seg --pseudo_dir)
+# ---------------------------------------------------------------------------
+
+def generate_pseudo_masks(cam_dir: str, image_dir: str, names, out_dir: str,
+                          num_classes: int = 20, recipe: str = "default",
+                          saliency_dir: Optional[str] = None,
+                          cut_threshold: float = 0.9) -> None:
+    """Materialize pseudo-mask PNGs for every name.
+
+    Inputs are ``infer_cam --out_cam`` artifacts ({class_id: (H, W) cam}
+    npy dicts). ``saliency_dir`` holds (H, W) PNGs where 0 = background
+    evidence (the reference consumes precomputed saliency maps via
+    hardcoded paths, ``myTool.py:203``); when absent, an all-foreground
+    map is used — the recipe then relies on the power-background score
+    and sure-region mining alone.
+    """
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in names:
+        img = np.asarray(
+            Image.open(os.path.join(image_dir, f"{name}.jpg")).convert("RGB"))
+        cam_dict = np.load(os.path.join(cam_dir, f"{name}.npy"),
+                           allow_pickle=True).item()
+        H, W = img.shape[:2]
+        norm_cam = np.zeros((num_classes, H, W), np.float32)
+        cam_label = np.zeros(num_classes, np.float32)
+        for c, cam in cam_dict.items():
+            if cam.shape != (H, W):
+                from acr_wsss_tpu.ops.imops import resize_bilinear_np
+
+                cam = resize_bilinear_np(cam[None], (H, W))[0]
+            norm_cam[int(c)] = cam
+            cam_label[int(c)] = 1.0
+        if saliency_dir:
+            sal = np.asarray(
+                Image.open(os.path.join(saliency_dir, f"{name}.png")))
+            sal = (sal > 0).astype(np.uint8)
+        else:
+            sal = np.ones((H, W), np.uint8)
+        if recipe == "two_step":
+            compute_seg_label_two_step(img, cam_label, norm_cam, sal,
+                                       cut=cut_threshold, out_dir=out_dir,
+                                       name=name)
+        elif recipe == "rrm":
+            mask = compute_seg_label_rrm(img, cam_label, norm_cam)
+            from PIL import Image as _I
+
+            _I.fromarray(mask).save(os.path.join(out_dir, f"{name}.png"))
+        else:
+            compute_seg_label(img, cam_label, norm_cam, sal,
+                              cut_threshold=cut_threshold, out_dir=out_dir,
+                              name=name)
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="CAM npy dicts -> pseudo-mask PNGs (feed train_seg)")
+    parser.add_argument("--cam_dir", required=True,
+                        help="infer_cam --out_cam directory")
+    parser.add_argument("--IMpath", required=True)
+    parser.add_argument("--list", dest="name_list", required=True)
+    parser.add_argument("--out_dir", required=True)
+    parser.add_argument("--num_classes", default=20, type=int)
+    parser.add_argument("--recipe", default="default",
+                        choices=["default", "two_step", "rrm"])
+    parser.add_argument("--saliency_dir", default=None)
+    parser.add_argument("--cut_threshold", default=0.9, type=float)
+    args = parser.parse_args(argv)
+
+    from acr_wsss_tpu.data.voc import read_file
+
+    generate_pseudo_masks(args.cam_dir, args.IMpath,
+                          read_file(args.name_list), args.out_dir,
+                          args.num_classes, args.recipe, args.saliency_dir,
+                          args.cut_threshold)
+
+
+if __name__ == "__main__":
+    main()

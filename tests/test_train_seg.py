@@ -92,3 +92,45 @@ def test_seg_train_step_decreases_loss(tiny_seg, tmp_path):
         losses_seq.append(float(parts["loss"]))
     assert np.isfinite(losses_seq).all()
     assert losses_seq[-1] < losses_seq[0]
+
+
+def test_pseudo_mask_cli_chains_cams_to_train_seg(tmp_path):
+    """The RRM two-step chain: CAM npy dicts -> pseudo_label CLI -> PNG
+    masks consumable by train_seg (labels only from present classes;
+    255 = ignore allowed)."""
+    from PIL import Image
+
+    from acr_wsss_tpu.pseudo_label import main as pseudo_main
+
+    rng = np.random.default_rng(5)
+    img_dir = tmp_path / "img"
+    cam_dir = tmp_path / "cams"
+    out_dir = tmp_path / "pseudo"
+    img_dir.mkdir()
+    cam_dir.mkdir()
+    names = []
+    for i in range(3):
+        name = f"q{i}"
+        names.append(name)
+        Image.fromarray(
+            rng.integers(0, 255, size=(40, 48, 3), dtype=np.uint8)
+        ).save(img_dir / f"{name}.jpg")
+        cls = i % 2
+        cam = np.zeros((40, 48), np.float32)
+        cam[8:30, 8:40] = 0.95  # confident blob
+        np.save(cam_dir / f"{name}.npy", {cls: cam})  # type: ignore[arg-type]
+    (tmp_path / "list.txt").write_text("\n".join(names) + "\n")
+
+    pseudo_main([
+        "--cam_dir", str(cam_dir),
+        "--IMpath", str(img_dir),
+        "--list", str(tmp_path / "list.txt"),
+        "--out_dir", str(out_dir),
+    ])
+    for i, name in enumerate(names):
+        mask = np.asarray(Image.open(out_dir / f"{name}.png"))
+        assert mask.shape == (40, 48)
+        vals = set(np.unique(mask)) - {0, 255}
+        # only the present class (+1 for background offset) may appear
+        assert vals <= {(i % 2) + 1}
+        assert (out_dir / f"{name}_color.png").exists()
