@@ -38,6 +38,7 @@ class SqueezeExcite(nn.Module):
 
     reduced_chs: int
     gate: str = "sigmoid"           # sigmoid (efficientnet) | hard (mbv3)
+    act: str = "relu"               # reduce activation: relu (mbv3) | silu (effnet)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -45,7 +46,7 @@ class SqueezeExcite(nn.Module):
         s = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
         s = nn.Conv(self.reduced_chs, (1, 1), dtype=jnp.float32,
                     name="reduce")(s)
-        s = nn.relu(s)
+        s = nn.silu(s) if self.act == "silu" else nn.relu(s)
         s = nn.Conv(x.shape[-1], (1, 1), dtype=jnp.float32, name="expand")(s)
         s = _hardsigmoid(s) if self.gate == "hard" else nn.sigmoid(s)
         return (x * s.astype(x.dtype)).astype(x.dtype)
@@ -64,8 +65,10 @@ class DepthwiseConvBN(nn.Module):
         x = nn.Conv(chs, (k, k), strides=(self.strides,) * 2,
                     padding=[(k // 2, k // 2)] * 2, feature_group_count=chs,
                     use_bias=False, dtype=self.dtype, name="conv")(x)
+        # torch BatchNorm2d default eps (timm's NON-tf variants; the tf_
+        # ports use 1e-3 + SAME padding and are out of scope)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-3, dtype=jnp.float32,
+                         epsilon=1e-5, dtype=jnp.float32,
                          axis_name=self.bn_axis_name if train else None,
                          name="bn")(x)
         return x.astype(self.dtype)
@@ -81,6 +84,7 @@ class MBConv(nn.Module):
     se_ratio: float = 0.25          # of the INPUT channels; 0 = no SE
     act: str = "silu"               # silu (effnet) | hardswish | relu (mbv3)
     se_gate: str = "sigmoid"
+    se_act: str = "relu"            # SE reduce activation
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -100,8 +104,8 @@ class MBConv(nn.Module):
         y = act(y)
         if self.se_ratio > 0:
             y = SqueezeExcite(max(1, int(in_chs * self.se_ratio)),
-                              gate=self.se_gate, dtype=self.dtype,
-                              name="se")(y)
+                              gate=self.se_gate, act=self.se_act,
+                              dtype=self.dtype, name="se")(y)
         y = ConvBN(self.out_chs, 1, apply_act=False, dtype=self.dtype,
                    bn_axis_name=self.bn_axis_name, name="project")(y, train)
         if self.stride == 1 and in_chs == self.out_chs:
@@ -153,7 +157,7 @@ class EfficientNet(nn.Module):
             reps = int(math.ceil(reps * self.depth_mult))
             for bi in range(reps):
                 x = MBConv(chs, k, s if bi == 0 else 1, expand_ratio=exp,
-                           se_ratio=0.25 / exp, act="silu",
+                           se_ratio=0.25, act="silu", se_act="silu",
                            dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                            name=f"stage{si}_block{bi}")(x, train)
             if si in (1, 2, 4, 6):   # stride 4/8/16/32 feature pyramid

@@ -375,6 +375,79 @@ def _map_resnet_name(name: str):
     return None
 
 
+def efficientnet_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm EfficientNet (non-tf b0-b4) -> flax variables for
+    ``models/cnn_mobile.EfficientNet``.
+
+    Source layout: the reference's vendored ``models/efficientnet.py``.
+    Stage 0 is a DepthwiseSeparable block (``conv_dw/bn1``, ``conv_pw/bn2``
+    = project); stages >= 1 are inverted-residual (``conv_pw/bn1`` =
+    expand, ``conv_dw/bn2``, ``conv_pwl/bn3`` = project). BN scale/bias
+    land in ``params``, running stats in ``batch_stats``.
+    """
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_efficientnet_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_efficientnet_name(name: str):
+    ident = lambda x: x
+    if name == "conv_stem.weight":
+        return ("params", "stem", "conv", "kernel"), _conv
+    m = re.match(r"bn1\.(weight|bias|running_mean|running_var)$", name)
+    if m:
+        coll, leaf = _BN_LEAVES[m.group(1)]
+        return (coll, "stem", "bn", leaf), ident
+    if name == "conv_head.weight":
+        return ("params", "head_conv", "conv", "kernel"), _conv
+    m = re.match(r"bn2\.(weight|bias|running_mean|running_var)$", name)
+    if m:
+        coll, leaf = _BN_LEAVES[m.group(1)]
+        return (coll, "head_conv", "bn", leaf), ident
+    m = re.match(r"classifier\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "classifier", leaf), (
+            _linear if leaf == "kernel" else ident)
+    m = re.match(r"blocks\.(\d+)\.(\d+)\.(.+)$", name)
+    if not m:
+        return None
+    s, b, rest = int(m.group(1)), m.group(2), m.group(3)
+    base = f"stage{s}_block{b}"
+    ds = s == 0  # depthwise-separable stage (expand ratio 1)
+    conv_of = {"conv_dw": "dw",
+               "conv_pw": ("project" if ds else "expand"),
+               "conv_pwl": "project"}
+    bn_of = {"bn1": ("dw" if ds else "expand"),
+             "bn2": ("project" if ds else "dw"),
+             "bn3": "project"}
+    mm = re.match(r"(conv_dw|conv_pwl|conv_pw)\.weight$", rest)
+    if mm:
+        return ("params", base, conv_of[mm.group(1)], "conv",
+                "kernel"), _conv
+    mm = re.match(r"(bn\d)\.(weight|bias|running_mean|running_var)$", rest)
+    if mm:
+        coll, leaf = _BN_LEAVES[mm.group(2)]
+        return (coll, base, bn_of[mm.group(1)], "bn", leaf), ident
+    mm = re.match(r"se\.conv_(reduce|expand)\.(weight|bias)$", rest)
+    if mm:
+        leaf = "kernel" if mm.group(2) == "weight" else "bias"
+        return ("params", base, "se", mm.group(1), leaf), (
+            _conv if leaf == "kernel" else ident)
+    return None
+
+
 def assert_trees_match(expected: Dict, converted: Dict) -> None:
     """Raise with a readable diff if the converted tree misses/extra leaves
     or shapes mismatch vs a freshly initialized model tree."""

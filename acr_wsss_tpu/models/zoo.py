@@ -52,6 +52,12 @@ ZOO_URLS: Dict[str, str] = {
     "resnet34": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/resnet34-43635321.pth",
     "resnet101": "https://download.pytorch.org/models/resnet101-5d3b4d8f.pth",
     "resnet152": "https://download.pytorch.org/models/resnet152-b121ed2d.pth",
+    # EfficientNet (timm RandAugment recipes, reference cfg table
+    # models/efficientnet.py:80-110)
+    "efficientnet_b0": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b0_ra-3dd342df.pth",
+    "efficientnet_b1": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b1-533bc792.pth",
+    "efficientnet_b2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b2_ra-bcdf34b7.pth",
+    "efficientnet_b3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b3_ra2-cf984f9c.pth",
 }
 
 
@@ -127,6 +133,12 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import resnet_state_dict_to_flax
 
         return resnet_state_dict_to_flax(state)
+    if backbone.startswith("efficientnet"):
+        from acr_wsss_tpu.models.convert import (
+            efficientnet_state_dict_to_flax,
+        )
+
+        return efficientnet_state_dict_to_flax(state)
 
     from acr_wsss_tpu.models.acr import resolve_backbone
     from acr_wsss_tpu.models.convert import torch_state_dict_to_flax
