@@ -85,6 +85,7 @@ class MBConv(nn.Module):
     act: str = "silu"               # silu (effnet) | hardswish | relu (mbv3)
     se_gate: str = "sigmoid"
     se_act: str = "relu"            # SE reduce activation
+    se_divisor: int = 1             # 8 for mbv3 (timm make_divisible widths)
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -103,8 +104,11 @@ class MBConv(nn.Module):
                             bn_axis_name=self.bn_axis_name, name="dw")(y, train)
         y = act(y)
         if self.se_ratio > 0:
-            y = SqueezeExcite(max(1, int(in_chs * self.se_ratio)),
-                              gate=self.se_gate, act=self.se_act,
+            reduced = (max(1, int(in_chs * self.se_ratio))
+                       if self.se_divisor == 1 else
+                       _round_chs(in_chs * self.se_ratio, 1.0,
+                                  self.se_divisor))
+            y = SqueezeExcite(reduced, gate=self.se_gate, act=self.se_act,
                               dtype=self.dtype, name="se")(y)
         y = ConvBN(self.out_chs, 1, apply_act=False, dtype=self.dtype,
                    bn_axis_name=self.bn_axis_name, name="project")(y, train)
@@ -211,6 +215,7 @@ class MobileNetV3(nn.Module):
             in_chs = x.shape[-1]
             x = MBConv(out, k, s, expand_ratio=mid / in_chs,
                        se_ratio=(0.25 * mid / in_chs) if se else 0.0,
+                       se_divisor=8,  # timm make_divisible(mid/4, 8)
                        act=act, se_gate="hard", dtype=self.dtype,
                        bn_axis_name=self.bn_axis_name,
                        name=f"block{bi}")(x, train)

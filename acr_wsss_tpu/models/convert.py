@@ -448,6 +448,92 @@ def _map_efficientnet_name(name: str):
     return None
 
 
+# timm mobilenetv3_large_100 stage sizes -> flat block offsets of
+# models/cnn_mobile.MobileNetV3 (its _MBV3_LARGE table is flat)
+_MBV3_STAGE_OFFSETS = (0, 1, 3, 6, 10, 12)
+
+
+def mobilenetv3_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm mobilenetv3_large_100 -> flax variables for
+    ``models/cnn_mobile.MobileNetV3``.
+
+    timm groups blocks by stage (``blocks.{s}.{j}``, stages (1,2,3,4,2,3));
+    ours are flat ``block{i}`` — mapped via the stage offsets. timm's
+    ``blocks.6.0`` ConvBnAct is our ``head_conv``; its post-pool
+    ``conv_head`` (1x1, bias, no BN) is our ``pre`` Dense.
+    """
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_mbv3_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_mbv3_name(name: str):
+    ident = lambda x: x
+    if name == "conv_stem.weight":
+        return ("params", "stem", "conv", "kernel"), _conv
+    m = re.match(r"bn1\.(weight|bias|running_mean|running_var)$", name)
+    if m:
+        coll, leaf = _BN_LEAVES[m.group(1)]
+        return (coll, "stem", "bn", leaf), ident
+    if name == "conv_head.weight":
+        # (1280, 960, 1, 1) conv applied after pooling == a Dense
+        return ("params", "pre", "kernel"), lambda x: np.ascontiguousarray(
+            x[:, :, 0, 0].T)
+    if name == "conv_head.bias":
+        return ("params", "pre", "bias"), ident
+    m = re.match(r"classifier\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "classifier", leaf), (
+            _linear if leaf == "kernel" else ident)
+    m = re.match(r"blocks\.(\d+)\.(\d+)\.(.+)$", name)
+    if not m:
+        return None
+    s, j, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+    if s == 6:  # ConvBnAct tail -> head_conv
+        mm = re.match(r"conv\.weight$", rest)
+        if mm:
+            return ("params", "head_conv", "conv", "kernel"), _conv
+        mm = re.match(r"bn1\.(weight|bias|running_mean|running_var)$", rest)
+        if mm:
+            coll, leaf = _BN_LEAVES[mm.group(1)]
+            return (coll, "head_conv", "bn", leaf), ident
+        return None
+    base = f"block{_MBV3_STAGE_OFFSETS[s] + j}"
+    ds = s == 0
+    conv_of = {"conv_dw": "dw",
+               "conv_pw": ("project" if ds else "expand"),
+               "conv_pwl": "project"}
+    bn_of = {"bn1": ("dw" if ds else "expand"),
+             "bn2": ("project" if ds else "dw"),
+             "bn3": "project"}
+    mm = re.match(r"(conv_dw|conv_pwl|conv_pw)\.weight$", rest)
+    if mm:
+        return ("params", base, conv_of[mm.group(1)], "conv",
+                "kernel"), _conv
+    mm = re.match(r"(bn\d)\.(weight|bias|running_mean|running_var)$", rest)
+    if mm:
+        coll, leaf = _BN_LEAVES[mm.group(2)]
+        return (coll, base, bn_of[mm.group(1)], "bn", leaf), ident
+    mm = re.match(r"se\.conv_(reduce|expand)\.(weight|bias)$", rest)
+    if mm:
+        leaf = "kernel" if mm.group(2) == "weight" else "bias"
+        return ("params", base, "se", mm.group(1), leaf), (
+            _conv if leaf == "kernel" else ident)
+    return None
+
+
 def assert_trees_match(expected: Dict, converted: Dict) -> None:
     """Raise with a readable diff if the converted tree misses/extra leaves
     or shapes mismatch vs a freshly initialized model tree."""

@@ -58,6 +58,7 @@ ZOO_URLS: Dict[str, str] = {
     "efficientnet_b1": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b1-533bc792.pth",
     "efficientnet_b2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b2_ra-bcdf34b7.pth",
     "efficientnet_b3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b3_ra2-cf984f9c.pth",
+    "mobilenetv3_large_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv3_large_100_ra-f55367f5.pth",
 }
 
 
@@ -139,6 +140,12 @@ def convert_state_dict(backbone: str, state: Dict):
         )
 
         return efficientnet_state_dict_to_flax(state)
+    if backbone.startswith("mobilenetv3"):
+        from acr_wsss_tpu.models.convert import (
+            mobilenetv3_state_dict_to_flax,
+        )
+
+        return mobilenetv3_state_dict_to_flax(state)
 
     from acr_wsss_tpu.models.acr import resolve_backbone
     from acr_wsss_tpu.models.convert import torch_state_dict_to_flax

@@ -172,6 +172,44 @@ def test_efficientnet_converted_forward_parity():
 
 
 @requires_reference
+def test_mobilenetv3_converted_forward_parity():
+    """timm mobilenetv3_large_100 -> models/cnn_mobile.MobileNetV3:
+    eval-mode logits parity (stage-grouped -> flat block mapping,
+    make_divisible SE widths, conv_head-as-Dense)."""
+    import torch
+
+    from acr_wsss_tpu.models.convert import mobilenetv3_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    mbv3 = _load_vendored("mobilenetv3")
+    torch.manual_seed(11)
+    ref = mbv3.mobilenetv3_large_100(pretrained=False)
+    rng = np.random.default_rng(8)
+    ref.train()
+    with torch.no_grad():
+        for _ in range(3):
+            ref(torch.from_numpy(
+                rng.normal(size=(4, 3, 64, 64)).astype(np.float32)))
+    ref.eval()
+
+    variables = mobilenetv3_state_dict_to_flax(ref.state_dict())
+    model = create_model("mobilenetv3_large_100", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=5e-4, rtol=1e-4)
+
+
+@requires_reference
 def test_zoo_config_shapes_swin_base_384_and_pit_b():
     """The real zoo configs convert to exactly the flax trees our models
     initialize — verified shape-level via eval_shape (full forwards at
