@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -352,13 +353,31 @@ class VisionTransformer(nn.Module):
                 probs = (jnp.moveaxis(probs_lm, 0, 1)
                          if probs_lm is not None else None)
         else:
+            import os as _os
+
+            # Optional block-level remat: save only matmul outputs per
+            # block and recompute the rest in the backward — trades FLOPs
+            # for HBM. MEASURED SLOWER at the flagship shape (v5e, fused
+            # pair-consistency): batch 32 -> 92.0 img/s, batch 48 -> 86.1,
+            # vs 114.4 at batch 24 without remat — recomputing the
+            # attention-kernel forwards costs more than the saved
+            # activation traffic buys. Kept (off by default) for
+            # larger-model configs where HBM, not FLOPs, is binding.
+            block_cls = Block
+            if _os.environ.get("ACR_BLOCK_REMAT"):
+                # static_argnums counts self: (self, x, offset, export)
+                block_cls = nn.remat(
+                    Block, static_argnums=(3,),
+                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
             for i in range(self.depth):
                 offset_i = None if probs_offsets is None else probs_offsets[i]
-                x, probs_i = Block(
+                # all-positional call: nn.remat's static_argnums addresses
+                # positional args only (export is arg 2 after x, offset)
+                x, probs_i = block_cls(
                     self.embed_dim, self.num_heads, self.mlp_ratio,
                     self.qkv_bias, self.dtype, attn_impl=self.attn_impl,
                     probs_dtype=self.probs_dtype, name=f"blocks_{i}",
-                )(x, probs_offset=offset_i, export=export)
+                )(x, offset_i, export)
                 if probs_i is not None:
                     probs_list.append(probs_i)
                 if i in self.taps:
