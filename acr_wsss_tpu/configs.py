@@ -116,6 +116,11 @@ class TrainConfig:
     # accumulation at all; SURVEY §2.7). max_epochs/steps count OPTIMIZER
     # updates, so the poly LR schedule is unaffected.
     accum_steps: int = 1
+    # Graft ImageNet-pretrained trunk weights from the zoo npz before
+    # training (the reference bakes this into its model constructor:
+    # ``DPT/ACR.py`` use_pretrain=True -> timm load_pretrained). Run
+    # ``python -m acr_wsss_tpu.models.zoo fetch <backbone>`` once first.
+    pretrained: bool = False
     # Un-mirror the flipped view's TOKEN ORDER once after the pos-embed
     # (the trunk is permutation-equivariant) instead of un-flipping every
     # layer's (B, N, N) attention export in the loss — identical math

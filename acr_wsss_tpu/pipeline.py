@@ -102,6 +102,9 @@ def parse_args(argv=None):
     parser.add_argument("--alpha", default=125.0, type=float)
     parser.add_argument("--max_epoches", default=10, type=int)
     parser.add_argument("--weight_dir", default="weight")
+    parser.add_argument("--pretrained", action="store_true",
+                        help="init the trunk from the ImageNet zoo npz "
+                             "(the reference's default initialization)")
     # infer (train_acr.sh:26-37)
     parser.add_argument("--infer_list", default=None,
                         help="default: voc12/train_id.txt (VOC) or the "
@@ -161,6 +164,7 @@ def main(argv=None) -> None:
         val_list=args.val_list,
         val_image_dir=args.valpath,
         cls_labels_path=labels_path,
+        pretrained=args.pretrained,
     )
     infer_cfg = InferConfig(
         model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl,

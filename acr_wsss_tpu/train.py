@@ -59,7 +59,14 @@ def create_train_state(
     model = build_model(cfg.model)
     crop = crop or cfg.crop_size
     dummy = jnp.zeros((1, crop, crop, 3), jnp.float32)
-    params = model.init(rng, dummy)
+    if getattr(cfg, "pretrained", False):
+        # ImageNet trunk from the zoo npz, classifier head fresh — the
+        # reference's default initialization (DPT/ACR.py use_pretrain=True)
+        from acr_wsss_tpu.models import zoo
+
+        params = zoo.init_with_pretrained(model, rng, dummy)
+    else:
+        params = model.init(rng, dummy)
     tx = make_optimizer(
         cfg.lr, max_step, cfg.weight_decay, cfg.momentum, cfg.poly_power,
         reference_quirk=cfg.reference_optimizer_quirk,
@@ -371,6 +378,9 @@ def parse_args(argv=None) -> TrainConfig:
                         help="initialize jax.distributed (multi-host pod)")
     parser.add_argument("--accum_steps", default=1, type=int,
                         help="gradient accumulation micro-steps per update")
+    parser.add_argument("--pretrained", action="store_true",
+                        help="init the trunk from the ImageNet zoo npz "
+                             "(python -m acr_wsss_tpu.models.zoo fetch ...)")
     args = parser.parse_args(argv)
     return TrainConfig(
         model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl),
@@ -388,6 +398,7 @@ def parse_args(argv=None) -> TrainConfig:
         seed=args.seed,
         multihost=args.multihost,
         accum_steps=args.accum_steps,
+        pretrained=args.pretrained,
     )
 
 

@@ -146,6 +146,46 @@ def test_pit_pos_embed_resize_on_graft(tmp_path):
     assert out_j["logits"].shape == (1, 20)
 
 
+@requires_reference
+def test_train_cli_pretrained_grafts_zoo_trunk(tmp_path, monkeypatch):
+    """TrainConfig.pretrained=True (train.py --pretrained) initializes the
+    trunk from the zoo npz — the reference's default initialization
+    (DPT/ACR.py use_pretrain=True)."""
+    import dataclasses as dc
+
+    import torch
+
+    from tests.reference_oracle import load_reference_acr
+
+    from acr_wsss_tpu.configs import ModelConfig, TrainConfig
+    from acr_wsss_tpu.models import zoo
+    from acr_wsss_tpu.train import create_train_state
+
+    ref = load_reference_acr("vitb")
+    pth = tmp_path / "vit_fake.pth"
+    torch.save(ref.pretrained.model.state_dict(), pth)
+    zoo.fetch("vitb", directory=str(tmp_path / "zoo"), url=f"file://{pth}")
+    monkeypatch.setenv("ACR_WSSS_ZOO", str(tmp_path / "zoo"))
+
+    cfg = TrainConfig(
+        model=ModelConfig(backbone="vitb", attn_impl="xla",
+                          compute_dtype="float32"),
+        pretrained=True)
+    _, state = create_train_state(cfg, max_step=10, rng=jax.random.key(0),
+                                  crop=32)
+    np.testing.assert_allclose(
+        np.asarray(state.params["params"]["trunk"]["cls_token"]).ravel(),
+        ref.pretrained.model.state_dict()["cls_token"].numpy().ravel(),
+        atol=0)
+    # without the flag: random init, different weights
+    cfg2 = dc.replace(cfg, pretrained=False)
+    _, state2 = create_train_state(cfg2, max_step=10, rng=jax.random.key(0),
+                                   crop=32)
+    assert not np.allclose(
+        np.asarray(state2.params["params"]["trunk"]["cls_token"]),
+        np.asarray(state.params["params"]["trunk"]["cls_token"]))
+
+
 def test_missing_zoo_error_message(tmp_path):
     from acr_wsss_tpu.models import zoo
 
