@@ -217,10 +217,24 @@ class DenseNet(nn.Module):
                                name=f"block{si}_layer{bi}")(x, train)
             taps[si] = x
             if si < len(self.block_config) - 1:
-                x = ConvBN(x.shape[-1] // 2, 1, apply_act=True,
-                           dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-                           name=f"transition{si}")(x, train)
+                # torchvision transition: BN -> relu -> 1x1 conv -> avgpool
+                # (pre-activation, unlike ConvBN's conv-then-BN order)
+                y = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9,
+                    epsilon=1e-5, dtype=jnp.float32,
+                    axis_name=self.bn_axis_name if train else None,
+                    name=f"transition{si}_norm")(x)
+                x = nn.Conv(x.shape[-1] // 2, (1, 1), use_bias=False,
+                            dtype=self.dtype,
+                            name=f"transition{si}_conv")(
+                                nn.relu(y).astype(self.dtype))
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        # final norm5 + relu before pooling (torchvision features.norm5)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="norm5")(x)
+        x = nn.relu(x).astype(self.dtype)
         logits = classifier_head(x, self.num_classes, name="classifier")
         return {"logits": logits, "features": x, "taps": taps}
 
@@ -272,9 +286,11 @@ def vgg19(**kwargs):
 
 @register_model
 def densenet121(**kwargs):
-    return DenseNet(block_config=(6, 12, 24, 16), **kwargs)
+    kwargs.setdefault("block_config", (6, 12, 24, 16))
+    return DenseNet(**kwargs)
 
 
 @register_model
 def densenet169(**kwargs):
-    return DenseNet(block_config=(6, 12, 32, 32), **kwargs)
+    kwargs.setdefault("block_config", (6, 12, 32, 32))
+    return DenseNet(**kwargs)

@@ -534,6 +534,70 @@ def _map_mbv3_name(name: str):
     return None
 
 
+def densenet_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """torchvision/timm DenseNet -> flax variables for
+    ``models/cnn.DenseNet`` (torch denseblock/denselayer indices are
+    1-based; ours are 0-based)."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        # legacy torchvision serialization ('denselayer1.norm.1.weight');
+        # torchvision applies the same fixup on load
+        name = re.sub(r"(denselayer\d+\.(?:norm|conv))\.(\d)", r"\1\2", name)
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_densenet_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_densenet_name(name: str):
+    ident = lambda x: x
+    if name == "features.conv0.weight":
+        return ("params", "stem", "conv", "kernel"), _conv
+    m = re.match(r"features\.norm0\.(weight|bias|running_mean|running_var)$",
+                 name)
+    if m:
+        coll, leaf = _BN_LEAVES[m.group(1)]
+        return (coll, "stem", "bn", leaf), ident
+    m = re.match(
+        r"features\.denseblock(\d+)\.denselayer(\d+)\.(norm\d|conv\d)"
+        r"\.(weight|bias|running_mean|running_var)$", name)
+    if m:
+        base = f"block{int(m.group(1)) - 1}_layer{int(m.group(2)) - 1}"
+        mod, leaf_t = m.group(3), m.group(4)
+        if mod.startswith("conv"):
+            return ("params", base, mod, "kernel"), _conv
+        coll, leaf = _BN_LEAVES[leaf_t]
+        return (coll, base, mod, leaf), ident
+    m = re.match(
+        r"features\.transition(\d+)\.(norm|conv)"
+        r"\.(weight|bias|running_mean|running_var)$", name)
+    if m:
+        t = f"transition{int(m.group(1)) - 1}"
+        if m.group(2) == "conv":
+            return ("params", f"{t}_conv", "kernel"), _conv
+        coll, leaf = _BN_LEAVES[m.group(3)]
+        return (coll, f"{t}_norm", leaf), ident
+    m = re.match(r"features\.norm5\.(weight|bias|running_mean|running_var)$",
+                 name)
+    if m:
+        coll, leaf = _BN_LEAVES[m.group(1)]
+        return (coll, "norm5", leaf), ident
+    m = re.match(r"classifier\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "classifier", leaf), (
+            _linear if leaf == "kernel" else ident)
+    return None
+
+
 def assert_trees_match(expected: Dict, converted: Dict) -> None:
     """Raise with a readable diff if the converted tree misses/extra leaves
     or shapes mismatch vs a freshly initialized model tree."""

@@ -59,6 +59,8 @@ ZOO_URLS: Dict[str, str] = {
     "efficientnet_b2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b2_ra-bcdf34b7.pth",
     "efficientnet_b3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b3_ra2-cf984f9c.pth",
     "mobilenetv3_large_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv3_large_100_ra-f55367f5.pth",
+    "densenet121": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/densenet121_ra-50efcf5c.pth",
+    "densenet169": "https://download.pytorch.org/models/densenet169-b2777c0a.pth",
 }
 
 
@@ -140,6 +142,10 @@ def convert_state_dict(backbone: str, state: Dict):
         )
 
         return efficientnet_state_dict_to_flax(state)
+    if backbone.startswith("densenet"):
+        from acr_wsss_tpu.models.convert import densenet_state_dict_to_flax
+
+        return densenet_state_dict_to_flax(state)
     if backbone.startswith("mobilenetv3"):
         from acr_wsss_tpu.models.convert import (
             mobilenetv3_state_dict_to_flax,

@@ -210,6 +210,45 @@ def test_mobilenetv3_converted_forward_parity():
 
 
 @requires_reference
+def test_densenet_converted_forward_parity():
+    """torchvision/timm densenet121 -> models/cnn.DenseNet: eval-mode
+    logits parity (pre-activation transitions, final norm5, 1-based to
+    0-based layer indices)."""
+    import torch
+
+    from acr_wsss_tpu.models.convert import densenet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    dn = _load_vendored("densenet")
+    torch.manual_seed(13)
+    ref = dn.DenseNet(growth_rate=32, block_config=(2, 2, 2, 2),
+                      num_classes=1000)
+    rng = np.random.default_rng(10)
+    ref.train()
+    with torch.no_grad():
+        for _ in range(3):
+            ref(torch.from_numpy(
+                rng.normal(size=(4, 3, 64, 64)).astype(np.float32)))
+    ref.eval()
+
+    variables = densenet_state_dict_to_flax(ref.state_dict())
+    model = create_model("densenet121", num_classes=1000,
+                         dtype=jnp.float32, block_config=(2, 2, 2, 2))
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=5e-4, rtol=1e-4)
+
+
+@requires_reference
 def test_zoo_config_shapes_swin_base_384_and_pit_b():
     """The real zoo configs convert to exactly the flax trees our models
     initialize — verified shape-level via eval_shape (full forwards at
