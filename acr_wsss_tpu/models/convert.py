@@ -598,6 +598,35 @@ def _map_densenet_name(name: str):
     return None
 
 
+def vgg_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """torchvision/timm VGG (no-BN variants) -> flax params for
+    ``models/cnn.VGG`` — CONV FEATURES ONLY.
+
+    torch conv layers live at sparse ``features.{idx}`` positions (pools
+    between them); they map onto our flat ``conv{i}`` order by rank. The
+    7x7-flatten classifier is NOT converted: our VGG pools globally (any
+    input resolution) so the 25088-wide fc weights have no counterpart —
+    grafting keeps the fresh head, exactly the usual backbone-transfer
+    use."""
+    conv_ids = sorted({
+        int(m.group(1)) for k in state_dict
+        if (m := re.match(r"features\.(\d+)\.weight$", k))
+    })
+    rank = {fid: i for i, fid in enumerate(conv_ids)}
+    params: Dict = {}
+    for name, value in state_dict.items():
+        m = re.match(r"features\.(\d+)\.(weight|bias)$", name)
+        if not m:
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        leaf = "kernel" if m.group(2) == "weight" else "bias"
+        _set(params, ("params", f"conv{rank[int(m.group(1))]}", leaf),
+             _conv(v) if leaf == "kernel" else v)
+    return params
+
+
 def assert_trees_match(expected: Dict, converted: Dict) -> None:
     """Raise with a readable diff if the converted tree misses/extra leaves
     or shapes mismatch vs a freshly initialized model tree."""

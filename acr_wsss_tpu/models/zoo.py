@@ -61,6 +61,8 @@ ZOO_URLS: Dict[str, str] = {
     "mobilenetv3_large_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv3_large_100_ra-f55367f5.pth",
     "densenet121": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/densenet121_ra-50efcf5c.pth",
     "densenet169": "https://download.pytorch.org/models/densenet169-b2777c0a.pth",
+    "vgg16": "https://download.pytorch.org/models/vgg16-397923af.pth",
+    "vgg19": "https://download.pytorch.org/models/vgg19-dcbb9e9d.pth",
 }
 
 
@@ -142,6 +144,10 @@ def convert_state_dict(backbone: str, state: Dict):
         )
 
         return efficientnet_state_dict_to_flax(state)
+    if backbone.startswith("vgg"):
+        from acr_wsss_tpu.models.convert import vgg_state_dict_to_flax
+
+        return vgg_state_dict_to_flax(state)
     if backbone.startswith("densenet"):
         from acr_wsss_tpu.models.convert import densenet_state_dict_to_flax
 

@@ -279,3 +279,37 @@ def test_zoo_config_shapes_swin_base_384_and_pit_b():
     x = jnp.zeros((1, 224, 224, 3))
     expected = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
     assert_trees_match(expected, params)
+
+
+@requires_reference
+def test_vgg_converted_feature_parity():
+    """torchvision/timm vgg16 conv features -> models/cnn.VGG: the conv
+    stack output matches torch's `features` module (the flatten classifier
+    is deliberately not converted — our head pools globally)."""
+    import torch
+
+    from acr_wsss_tpu.models.convert import vgg_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    vgg = _load_vendored("vgg")
+    torch.manual_seed(15)
+    ref = vgg.vgg16(pretrained=False)
+    ref.eval()
+
+    converted = vgg_state_dict_to_flax(ref.state_dict())
+    model = create_model("vgg16", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.key(0), x)
+    # graft convs; heads keep their init
+    from acr_wsss_tpu.models import zoo
+
+    grafted = zoo.graft_standalone(params, converted, verbose=False)
+
+    rng = np.random.default_rng(12)
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        feats_t = ref.features(torch.from_numpy(img)).numpy()
+    out = model.apply(grafted, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(out["features"]).transpose(0, 3, 1, 2), feats_t,
+        atol=5e-4, rtol=1e-4)
