@@ -37,6 +37,7 @@ class ConvBN(nn.Module):
     kernel_size: int
     strides: int = 1
     apply_act: bool = True
+    groups: int = 1
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -45,6 +46,7 @@ class ConvBN(nn.Module):
         k = self.kernel_size
         x = nn.Conv(self.features, (k, k), strides=(self.strides,) * 2,
                     padding=[(k // 2, k // 2)] * 2, use_bias=False,
+                    feature_group_count=self.groups,
                     dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -57,16 +59,22 @@ class ConvBN(nn.Module):
 
 class ResNetBottleneck(nn.Module):
     """torch-style v1 bottleneck (1x1 reduce -> 3x3 -> 1x1 expand, post-BN
-    residual; stride on the 3x3 per torchvision/timm)."""
+    residual; stride on the 3x3 per torchvision/timm). ``cardinality`` /
+    ``base_width`` give the ResNeXt / wide-ResNet variants (reference
+    ``models/resnet.py:349-365``: mid width = floor(planes *
+    base_width/64) * cardinality, grouped 3x3)."""
 
     out_chs: int
     stride: int = 1
+    cardinality: int = 1
+    base_width: int = 64
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        mid = self.out_chs // 4
+        mid = int((self.out_chs // 4) * self.base_width / 64.0
+                  ) * self.cardinality
         shortcut = x
         if self.stride != 1 or x.shape[-1] != self.out_chs:
             shortcut = ConvBN(self.out_chs, 1, self.stride, apply_act=False,
@@ -75,7 +83,8 @@ class ResNetBottleneck(nn.Module):
                               name="downsample")(x, train)
         y = ConvBN(mid, 1, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                    name="conv1")(x, train)
-        y = ConvBN(mid, 3, self.stride, dtype=self.dtype,
+        y = ConvBN(mid, 3, self.stride, groups=self.cardinality,
+                   dtype=self.dtype,
                    bn_axis_name=self.bn_axis_name, name="conv2")(y, train)
         y = ConvBN(self.out_chs, 1, apply_act=False, dtype=self.dtype,
                    bn_axis_name=self.bn_axis_name, name="conv3")(y, train)
@@ -111,6 +120,8 @@ class ResNet(nn.Module):
     num_classes: int = 1000
     layers: Sequence[int] = (3, 4, 6, 3)
     bottleneck: bool = True
+    cardinality: int = 1
+    base_width: int = 64
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -126,12 +137,15 @@ class ResNet(nn.Module):
 
         block = ResNetBottleneck if self.bottleneck else ResNetBasicBlock
         widths = (256, 512, 1024, 2048) if self.bottleneck else (64, 128, 256, 512)
+        extra = (dict(cardinality=self.cardinality,
+                      base_width=self.base_width)
+                 if self.bottleneck else {})
         taps: Dict[int, jnp.ndarray] = {}
         for si, (depth, width) in enumerate(zip(self.layers, widths)):
             for bi in range(depth):
                 x = block(width, stride=2 if bi == 0 and si > 0 else 1,
                           dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-                          name=f"layer{si + 1}_{bi}")(x, train)
+                          name=f"layer{si + 1}_{bi}", **extra)(x, train)
             taps[si] = x
         logits = classifier_head(x, self.num_classes, name="fc")
         return {"logits": logits, "features": x, "taps": taps}
@@ -268,6 +282,29 @@ def resnet101(**kwargs):
 @register_model
 def resnet152(**kwargs):
     kwargs.setdefault("layers", (3, 8, 36, 3))
+    return ResNet(**kwargs)
+
+
+@register_model
+def resnext50_32x4d(**kwargs):
+    kwargs.setdefault("layers", (3, 4, 6, 3))
+    kwargs.setdefault("cardinality", 32)
+    kwargs.setdefault("base_width", 4)
+    return ResNet(**kwargs)
+
+
+@register_model
+def resnext101_32x8d(**kwargs):
+    kwargs.setdefault("layers", (3, 4, 23, 3))
+    kwargs.setdefault("cardinality", 32)
+    kwargs.setdefault("base_width", 8)
+    return ResNet(**kwargs)
+
+
+@register_model
+def wide_resnet50_2(**kwargs):
+    kwargs.setdefault("layers", (3, 4, 6, 3))
+    kwargs.setdefault("base_width", 128)
     return ResNet(**kwargs)
 
 

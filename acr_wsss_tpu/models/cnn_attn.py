@@ -129,45 +129,50 @@ class SKBottleneck(nn.Module):
 
 
 class Res2NetBottleneck(nn.Module):
-    """Res2Net bottleneck (reference ``models/res2net.py``): the middle 3x3
-    runs as a hierarchical cascade over ``scale`` channel splits — split i
-    sees its own channels plus the previous split's output."""
+    """Res2Net bottleneck (reference ``models/res2net.py:47-127``
+    ``Bottle2neck``, timm-exact so res2net50_26w_4s checkpoints load): the
+    middle 3x3 runs as a hierarchical cascade over ``scale`` channel
+    splits of width ``floor(planes * base_width/64)``. ``is_first`` blocks
+    (strided OR carrying a downsample, i.e. the first block of every
+    stage) reset the cascade each split and blur-pool the passthrough
+    split (``AvgPool2d(3, stride, padding=1)``, count_include_pad=True —
+    the reference keeps the original-weights behavior)."""
 
     out_chs: int
     stride: int = 1
     scale: int = 4
+    base_width: int = 26
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        mid = self.out_chs // 4
-        width = mid // self.scale
-        mid = width * self.scale
+        planes = self.out_chs // 4
+        width = int(planes * self.base_width / 64.0)
+        is_first = self.stride > 1 or x.shape[-1] != self.out_chs
         shortcut = x
-        if self.stride != 1 or x.shape[-1] != self.out_chs:
+        if is_first:
             shortcut = ConvBN(self.out_chs, 1, self.stride, apply_act=False,
                               dtype=self.dtype,
                               bn_axis_name=self.bn_axis_name,
                               name="downsample")(x, train)
-        y = ConvBN(mid, 1, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-                   name="conv1")(x, train)
+        y = ConvBN(width * self.scale, 1, dtype=self.dtype,
+                   bn_axis_name=self.bn_axis_name, name="conv1")(x, train)
         splits = [y[..., i * width:(i + 1) * width] for i in range(self.scale)]
         outs = []
-        prev = None
-        for i in range(self.scale - 1):
-            inp = splits[i] if prev is None else splits[i] + prev
-            prev = ConvBN(width, 3, self.stride, dtype=self.dtype,
-                          bn_axis_name=self.bn_axis_name,
-                          name=f"conv2_{i}")(inp, train)
-            outs.append(prev)
-            if self.stride != 1:
-                prev = None  # strided blocks can't add mismatched maps
-        last = splits[-1]
-        if self.stride != 1:
-            last = nn.avg_pool(last, (3, 3), strides=(self.stride,) * 2,
-                               padding=[(1, 1)] * 2)
-        outs.append(last)
+        sp = None
+        for i in range(max(1, self.scale - 1)):
+            sp = splits[i] if (i == 0 or is_first) else sp + splits[i]
+            sp = ConvBN(width, 3, self.stride, dtype=self.dtype,
+                        bn_axis_name=self.bn_axis_name,
+                        name=f"convs_{i}")(sp, train)
+            outs.append(sp)
+        if self.scale > 1:
+            last = splits[-1]
+            if is_first:
+                last = nn.avg_pool(last, (3, 3), strides=(self.stride,) * 2,
+                                   padding=[(1, 1)] * 2)
+            outs.append(last)
         y = jnp.concatenate(outs, axis=-1)
         y = ConvBN(self.out_chs, 1, apply_act=False, dtype=self.dtype,
                    bn_axis_name=self.bn_axis_name, name="conv3")(y, train)
@@ -176,8 +181,12 @@ class Res2NetBottleneck(nn.Module):
 
 class SplitAttentionConv(nn.Module):
     """ResNeSt split-attention conv (reference ``models/resnest.py`` /
-    ``models/layers/split_attn.py``): radix grouped 3x3 branches combined
-    by per-channel softmax over the radix axis."""
+    ``models/layers/split_attn.py:31-90`` ``SplitAttnConv2d``, timm-exact
+    so resnest50d checkpoints load): ``radix`` grouped 3x3 branches
+    (one grouped conv with ``groups = cardinality*radix``, radix-major
+    channel layout) combined by a per-channel softmax over the radix
+    axis. The attention MLP is fc1 -> BN -> relu -> fc2 with
+    ``attn_chs = max(in_chs*radix//reduction, 32)``."""
 
     out_chs: int
     stride: int = 1
@@ -189,20 +198,25 @@ class SplitAttentionConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         r = self.radix
+        attn_chs = max(x.shape[-1] * r // self.reduction, 32)
         y = nn.Conv(self.out_chs * r, (3, 3), strides=(self.stride,) * 2,
-                    padding=[(1, 1)] * 2, use_bias=False, dtype=self.dtype,
-                    name="conv")(x)
+                    padding=[(1, 1)] * 2, feature_group_count=r,
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32,
                          axis_name=self.bn_axis_name if train else None,
-                         name="bn")(y)
+                         name="bn0")(y)
         y = nn.relu(y)
         B, H, W, _ = y.shape
         y = y.reshape(B, H, W, r, self.out_chs)
         gap = jnp.mean(jnp.sum(y, axis=3).astype(jnp.float32), axis=(1, 2))
-        z = nn.relu(nn.Dense(max(32, self.out_chs // self.reduction),
-                             dtype=jnp.float32, name="fc1")(gap))
-        att = nn.Dense(self.out_chs * r, dtype=jnp.float32, name="fc2")(z)
+        z = nn.Dense(attn_chs, dtype=jnp.float32, name="fc1")(gap)
+        z = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="bn1")(z)
+        att = nn.Dense(self.out_chs * r, dtype=jnp.float32,
+                       name="fc2")(nn.relu(z))
         att = nn.softmax(att.reshape(B, r, self.out_chs), axis=1)
         att = att[:, None, None]                            # (B,1,1,r,C)
         return jnp.sum(y * att.astype(y.dtype), axis=3).astype(self.dtype)

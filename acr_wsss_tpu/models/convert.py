@@ -627,6 +627,265 @@ def vgg_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
     return params
 
 
+def _conv1x1_to_dense(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w[:, :, 0, 0].T)
+
+
+def attn_resnet_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm attention-ResNet checkpoint (seresnet / res2net / resnest)
+    -> flax variables for ``models/cnn_attn.AttnResNet``.
+
+    Source layouts (reference vendored timm 0.4.5): ``models/resnet.py``
+    Bottleneck+SEModule (``se.fc1/fc2``), ``models/res2net.py:47-131``
+    Bottle2neck (``convs.i/bns.i`` cascade), ``models/resnest.py:55-135``
+    ResNestBottleneck + ``models/layers/split_attn.py:31-90`` SplAtConv2d
+    (``conv2.{conv,bn0,fc1,bn1,fc2}``). One mapper covers all three: their
+    key namespaces are disjoint. Deep-stem (``conv1.0...``, resnest-d) and
+    7x7-stem checkpoints are both handled; avg-down downsamples
+    (``downsample.{1,2}`` after a param-free pool) are told apart from
+    conv downsamples (``downsample.{0,1}``) by tensor rank. The 1x1 attn
+    convs become Dense kernels (``_conv1x1_to_dense``)."""
+    deep_stem = "conv1.0.weight" in state_dict
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_attn_resnet_name(name, v.ndim, deep_stem)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_attn_resnet_name(name: str, ndim: int, deep_stem: bool):
+    ident = lambda x: x
+    # --- stem ---
+    if deep_stem:
+        m = re.match(r"conv1\.(0|3|6)\.weight$", name)
+        if m:
+            stem = {"0": "stem0", "3": "stem1", "6": "stem2"}[m.group(1)]
+            return ("params", stem, "conv", "kernel"), _conv
+        m = re.match(r"conv1\.(1|4)\.(weight|bias|running_mean|running_var)$",
+                     name)
+        if m:
+            coll, leaf = _BN_LEAVES[m.group(2)]
+            stem = {"1": "stem0", "4": "stem1"}[m.group(1)]
+            return (coll, stem, "bn", leaf), ident
+        m = re.match(r"bn1\.(weight|bias|running_mean|running_var)$", name)
+        if m:
+            coll, leaf = _BN_LEAVES[m.group(1)]
+            return (coll, "stem2", "bn", leaf), ident
+    else:
+        if name == "conv1.weight":
+            return ("params", "stem", "conv", "kernel"), _conv
+        m = re.match(r"bn1\.(weight|bias|running_mean|running_var)$", name)
+        if m:
+            coll, leaf = _BN_LEAVES[m.group(1)]
+            return (coll, "stem", "bn", leaf), ident
+    # --- blocks ---
+    m = re.match(r"layer(\d+)\.(\d+)\.(.+)$", name)
+    if m:
+        base = f"layer{m.group(1)}_{m.group(2)}"
+        rest = m.group(3)
+        mm = re.match(r"conv(\d)\.weight$", rest)
+        if mm:
+            return ("params", base, f"conv{mm.group(1)}", "conv",
+                    "kernel"), _conv
+        mm = re.match(r"bn(\d)\.(weight|bias|running_mean|running_var)$",
+                      rest)
+        if mm:
+            coll, leaf = _BN_LEAVES[mm.group(2)]
+            return (coll, base, f"conv{mm.group(1)}", "bn", leaf), ident
+        mm = re.match(r"convs\.(\d+)\.weight$", rest)          # res2net
+        if mm:
+            return ("params", base, f"convs_{mm.group(1)}", "conv",
+                    "kernel"), _conv
+        mm = re.match(r"bns\.(\d+)\.(weight|bias|running_mean|running_var)$",
+                      rest)
+        if mm:
+            coll, leaf = _BN_LEAVES[mm.group(2)]
+            return (coll, base, f"convs_{mm.group(1)}", "bn", leaf), ident
+        mm = re.match(r"se\.fc(1|2)\.(weight|bias)$", rest)    # seresnet
+        if mm:
+            sub = "reduce" if mm.group(1) == "1" else "expand"
+            leaf = "kernel" if mm.group(2) == "weight" else "bias"
+            return ("params", base, "se", sub, leaf), (
+                _conv if leaf == "kernel" else ident)
+        if rest == "conv2.conv.weight":                        # resnest splat
+            return ("params", base, "splat", "conv", "kernel"), _conv
+        mm = re.match(
+            r"conv2\.bn(0|1)\.(weight|bias|running_mean|running_var)$", rest)
+        if mm:
+            coll, leaf = _BN_LEAVES[mm.group(2)]
+            return (coll, base, "splat", f"bn{mm.group(1)}", leaf), ident
+        mm = re.match(r"conv2\.fc(1|2)\.(weight|bias)$", rest)
+        if mm:
+            leaf = "kernel" if mm.group(2) == "weight" else "bias"
+            return ("params", base, "splat", f"fc{mm.group(1)}", leaf), (
+                _conv1x1_to_dense if leaf == "kernel" else ident)
+        if rest == "downsample.0.weight":                      # conv-style
+            return ("params", base, "downsample", "conv", "kernel"), _conv
+        if rest == "downsample.1.weight" and ndim == 4:        # avg-down
+            return ("params", base, "downsample", "conv", "kernel"), _conv
+        mm = re.match(
+            r"downsample\.(1|2)\.(weight|bias|running_mean|running_var)$",
+            rest)
+        if mm:
+            coll, leaf = _BN_LEAVES[mm.group(2)]
+            return (coll, base, "downsample", "bn", leaf), ident
+        return None
+    m = re.match(r"fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "fc", leaf), (_linear if leaf == "kernel" else ident)
+    return None
+
+
+def hrnet_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm HRNet checkpoint (hrnetv2 weights, reference
+    ``models/hrnet.py:40-60`` cfg table) -> flax variables for
+    ``models/hrnet.HRNet``.
+
+    Source layout (``hrnet.py:509-731``): stem ``conv1/bn1, conv2/bn2``;
+    ``layer1.{b}`` Bottlenecks; ``transition{t}.{i}`` either a
+    ``Sequential(conv,bn,relu)`` (width change; keys ``.0/.1``) or a
+    nested chain (``.{k}.0/.{k}.1``); ``stage{s}.{m}.branches.{b}.{k}``
+    BasicBlocks; ``stage{s}.{m}.fuse_layers.{i}.{j}`` 1x1 (keys
+    ``.0/.1``) or strided chains (``.{k}.0/.{k}.1``);
+    ``incre_modules.{i}.0`` Bottlenecks, ``downsamp_modules.{i}`` and
+    ``final_layer`` BIASED conv+bn, ``classifier`` linear."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_hrnet_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_resblock_inner(prefix: Tuple[str, ...], rest: str):
+    """conv{n}/bn{n}/downsample.{0,1} -> the ConvBN subtree names shared
+    by ResNetBottleneck/ResNetBasicBlock."""
+    ident = lambda x: x
+    m = re.match(r"conv(\d)\.weight$", rest)
+    if m:
+        return ("params",) + prefix + (f"conv{m.group(1)}", "conv",
+                                       "kernel"), _conv
+    m = re.match(r"bn(\d)\.(weight|bias|running_mean|running_var)$", rest)
+    if m:
+        coll, leaf = _BN_LEAVES[m.group(2)]
+        return (coll,) + prefix + (f"conv{m.group(1)}", "bn", leaf), ident
+    if rest == "downsample.0.weight":
+        return ("params",) + prefix + ("downsample", "conv", "kernel"), _conv
+    m = re.match(r"downsample\.1\.(weight|bias|running_mean|running_var)$",
+                 rest)
+    if m:
+        coll, leaf = _BN_LEAVES[m.group(1)]
+        return (coll,) + prefix + ("downsample", "bn", leaf), ident
+    return None
+
+
+def _map_hrnet_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"conv(1|2)\.weight$", name)
+    if m:
+        return ("params", f"conv{m.group(1)}", "conv", "kernel"), _conv
+    m = re.match(r"bn(1|2)\.(weight|bias|running_mean|running_var)$", name)
+    if m:
+        coll, leaf = _BN_LEAVES[m.group(2)]
+        return (coll, f"conv{m.group(1)}", "bn", leaf), ident
+    m = re.match(r"layer1\.(\d+)\.(.+)$", name)
+    if m:
+        return _map_resblock_inner((f"layer1_{m.group(1)}",), m.group(2))
+    m = re.match(r"transition(\d)\.(\d)\.0\.weight$", name)
+    if m:
+        return ("params", f"t{m.group(1)}_{m.group(2)}", "conv",
+                "kernel"), _conv
+    m = re.match(
+        r"transition(\d)\.(\d)\.1\.(weight|bias|running_mean|running_var)$",
+        name)
+    if m:
+        coll, leaf = _BN_LEAVES[m.group(3)]
+        return (coll, f"t{m.group(1)}_{m.group(2)}", "bn", leaf), ident
+    m = re.match(r"transition(\d)\.(\d)\.(\d)\.0\.weight$", name)
+    if m:
+        return ("params", f"t{m.group(1)}_{m.group(2)}_{m.group(3)}", "conv",
+                "kernel"), _conv
+    m = re.match(r"transition(\d)\.(\d)\.(\d)\.1\."
+                 r"(weight|bias|running_mean|running_var)$", name)
+    if m:
+        coll, leaf = _BN_LEAVES[m.group(4)]
+        return (coll, f"t{m.group(1)}_{m.group(2)}_{m.group(3)}", "bn",
+                leaf), ident
+    m = re.match(r"stage(\d)\.(\d+)\.branches\.(\d)\.(\d+)\.(.+)$", name)
+    if m:
+        return _map_resblock_inner(
+            (f"stage{m.group(1)}_{m.group(2)}",
+             f"branch{m.group(3)}_{m.group(4)}"), m.group(5))
+    m = re.match(r"stage(\d)\.(\d+)\.fuse_layers\.(\d)\.(\d)\.(.+)$", name)
+    if m:
+        stage = f"stage{m.group(1)}_{m.group(2)}"
+        i, j, rest = m.group(3), m.group(4), m.group(5)
+        if rest == "0.weight":                      # 1x1 up-fuse conv
+            return ("params", stage, f"fuse{i}_{j}", "conv", "kernel"), _conv
+        mm = re.match(r"1\.(weight|bias|running_mean|running_var)$", rest)
+        if mm:
+            coll, leaf = _BN_LEAVES[mm.group(1)]
+            return (coll, stage, f"fuse{i}_{j}", "bn", leaf), ident
+        mm = re.match(r"(\d)\.0\.weight$", rest)    # strided chain step
+        if mm:
+            return ("params", stage, f"fuse{i}_{j}_{mm.group(1)}", "conv",
+                    "kernel"), _conv
+        mm = re.match(r"(\d)\.1\.(weight|bias|running_mean|running_var)$",
+                      rest)
+        if mm:
+            coll, leaf = _BN_LEAVES[mm.group(2)]
+            return (coll, stage, f"fuse{i}_{j}_{mm.group(1)}", "bn",
+                    leaf), ident
+        return None
+    m = re.match(r"incre_modules\.(\d)\.0\.(.+)$", name)
+    if m:
+        return _map_resblock_inner((f"incre{m.group(1)}",), m.group(2))
+    m = re.match(r"downsamp_modules\.(\d)\.0\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(2) == "weight" else "bias"
+        return ("params", f"downsamp{m.group(1)}", "conv", leaf), (
+            _conv if leaf == "kernel" else ident)
+    m = re.match(
+        r"downsamp_modules\.(\d)\.1\.(weight|bias|running_mean|running_var)$",
+        name)
+    if m:
+        coll, leaf = _BN_LEAVES[m.group(2)]
+        return (coll, f"downsamp{m.group(1)}", "bn", leaf), ident
+    m = re.match(r"final_layer\.0\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "final", "conv", leaf), (
+            _conv if leaf == "kernel" else ident)
+    m = re.match(
+        r"final_layer\.1\.(weight|bias|running_mean|running_var)$", name)
+    if m:
+        coll, leaf = _BN_LEAVES[m.group(1)]
+        return (coll, "final", "bn", leaf), ident
+    m = re.match(r"classifier\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "classifier", leaf), (
+            _linear if leaf == "kernel" else ident)
+    return None
+
+
 def assert_trees_match(expected: Dict, converted: Dict) -> None:
     """Raise with a readable diff if the converted tree misses/extra leaves
     or shapes mismatch vs a freshly initialized model tree."""

@@ -1,16 +1,30 @@
 """HRNet — parallel multi-resolution branches with exchange fusion.
 
 Clean-room flax counterpart of the reference zoo's HRNet (vendored timm
-0.4.5 ``models/hrnet.py:1-836``), graduating it from a registry stub. The
-defining mechanism is kept intact: the network holds several branches at
-different strides SIMULTANEOUSLY; after every stage an exchange unit fuses
-every branch into every other (1x1 conv + nearest upsample for
-low-to-high, strided 3x3 chains for high-to-low), so high-resolution
-features stay high-resolution end to end.
+0.4.5 ``models/hrnet.py:1-836``), structured timm-exact so the published
+hrnetv2 checkpoints convert 1:1 (``models/convert.py``
+``hrnet_state_dict_to_flax``). The defining mechanism: the network holds
+several branches at different strides SIMULTANEOUSLY; after every module
+a fuse layer sums every branch into every other (1x1 conv + nearest
+upsample for low-to-high, strided-3x3 chains for high-to-low,
+``hrnet.py:443-479``), so high-resolution features stay high-resolution
+end to end.
 
-``hrnet_w18_small`` uses the small-v1 module counts; ``hrnet_w18`` the
-full ones. Output contract: ``{"logits", "features", "taps"}`` where the
-taps are the four final branch maps (strides 4/8/16/32).
+Structure of record (``hrnet.py:509-556,575-631``):
+
+* stem: two 3x3/2 ConvBNs;
+* stage1 ``layer1``: ``stage1_blocks`` ResNet Bottlenecks at
+  ``stage1_chs`` planes (x4 expansion);
+* transitions: a 3x3 ConvBN+relu where the incoming width differs
+  (stage1->2 only, for the standard cfgs), a strided 3x3 chain from the
+  LAST branch for each new branch;
+* stages 2-4: ``num_modules[s]`` HighResolutionModules of
+  ``num_blocks[s]`` BasicBlocks per branch + full fuse;
+* classification head: per-branch Bottleneck ``incre`` (to 128*2^i),
+  biased-conv ``downsamp`` add-chain, biased 1x1 ``final`` to 2048.
+
+Output contract: ``{"logits", "features", "taps"}`` where the taps are
+the four final branch maps (strides 4/8/16/32).
 """
 
 from __future__ import annotations
@@ -34,128 +48,153 @@ def _upsample_nearest(x, factor: int):
     return x.reshape(B, H * factor, W * factor, C)
 
 
-class ExchangeUnit(nn.Module):
-    """Fuse every branch into every branch (HRNet exchange)."""
+class BiasedConvBN(nn.Module):
+    """Conv WITH bias + BN + relu — the head's downsamp/final layers
+    (``hrnet.py:593-609``) keep the conv bias, unlike every other
+    conv-bn in the network."""
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel_size
+        x = nn.Conv(self.features, (k, k), strides=(self.strides,) * 2,
+                    padding=[(k // 2, k // 2)] * 2, use_bias=True,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, axis_name=self.bn_axis_name if train else None,
+            name="bn")(x)
+        return nn.relu(x).astype(self.dtype)
+
+
+class HRModule(nn.Module):
+    """One HighResolutionModule (``hrnet.py:388-501``): per-branch
+    BasicBlock stacks, then the all-pairs fuse (sum + relu)."""
 
     widths: Sequence[int]
+    blocks: int = 4
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
-        n = len(xs)
+        ys = []
+        for bi, (x, w) in enumerate(zip(xs, self.widths)):
+            for k in range(self.blocks):
+                x = ResNetBasicBlock(w, name=f"branch{bi}_{k}",
+                                     **kw)(x, train)
+            ys.append(x)
         outs = []
+        n = len(ys)
         for i in range(n):
             acc = None
             for j in range(n):
-                y = xs[j]
-                if j > i:      # lower res -> upsample
+                y = ys[j]
+                if j > i:      # lower res: 1x1 (no act) + nearest upsample
                     y = ConvBN(self.widths[i], 1, apply_act=False,
-                               name=f"up{j}to{i}", **kw)(y, train)
+                               name=f"fuse{i}_{j}", **kw)(y, train)
                     y = _upsample_nearest(y, 2 ** (j - i))
-                elif j < i:    # higher res -> strided conv chain
-                    for s in range(i - j):
-                        last = s == i - j - 1
+                elif j < i:    # higher res: strided-3x3 chain, last no act
+                    for k in range(i - j):
+                        last = k == i - j - 1
                         y = ConvBN(self.widths[i] if last else self.widths[j],
                                    3, 2, apply_act=not last,
-                                   name=f"down{j}to{i}_{s}", **kw)(y, train)
+                                   name=f"fuse{i}_{j}_{k}", **kw)(y, train)
                 acc = y if acc is None else acc + y
             outs.append(nn.relu(acc).astype(self.dtype))
         return outs
 
 
-class HRStage(nn.Module):
-    """One HR module: per-branch basic blocks then an exchange unit."""
-
-    widths: Sequence[int]
-    blocks: int = 2
-    dtype: Dtype = jnp.bfloat16
-    bn_axis_name: Optional[str] = None
-
-    @nn.compact
-    def __call__(self, xs, train: bool = False):
-        ys = []
-        for bi, (x, w) in enumerate(zip(xs, self.widths)):
-            for k in range(self.blocks):
-                x = ResNetBasicBlock(w, dtype=self.dtype,
-                                     bn_axis_name=self.bn_axis_name,
-                                     name=f"branch{bi}_block{k}")(x, train)
-            ys.append(x)
-        return ExchangeUnit(self.widths, dtype=self.dtype,
-                            bn_axis_name=self.bn_axis_name,
-                            name="exchange")(ys, train)
-
-
 class HRNet(nn.Module):
-    """HRNet classifier (reference ``models/hrnet.py:836``)."""
+    """HRNet classifier (reference ``models/hrnet.py:509-731``)."""
 
     num_classes: int = 1000
-    width: int = 18
-    stage_modules: Sequence[int] = (1, 1, 1)   # small-v1; w18 full = (1, 4, 3)
-    stage_blocks: int = 2
+    channels: Sequence[int] = (18, 36, 72, 144)   # branch widths
+    stage1_chs: int = 64                          # bottleneck planes
+    stage1_blocks: int = 4
+    num_modules: Sequence[int] = (1, 4, 3)        # stages 2-4
+    num_blocks: Sequence[int] = (4, 4, 4)         # per-branch, stages 2-4
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
-        w = self.width
-        widths = [w, 2 * w, 4 * w, 8 * w]
+        widths = list(self.channels)
         x = x.astype(self.dtype)
-        x = ConvBN(64, 3, 2, name="stem1", **kw)(x, train)
-        x = ConvBN(64, 3, 2, name="stem2", **kw)(x, train)
-        for i in range(2):
-            x = ResNetBottleneck(256, dtype=self.dtype,
-                                 bn_axis_name=self.bn_axis_name,
-                                 name=f"layer1_{i}")(x, train)
+        x = ConvBN(64, 3, 2, name="conv1", **kw)(x, train)
+        x = ConvBN(64, 3, 2, name="conv2", **kw)(x, train)
+        for i in range(self.stage1_blocks):
+            x = ResNetBottleneck(self.stage1_chs * 4,
+                                 name=f"layer1_{i}", **kw)(x, train)
 
-        # transitions grow the branch list one stride at a time
+        # transition1: both branches from the stage-1 map (width always
+        # differs from 256, so both are real convs — hrnet.py:614-637,692)
         xs = [ConvBN(widths[0], 3, 1, name="t1_0", **kw)(x, train),
-              ConvBN(widths[1], 3, 2, name="t1_1", **kw)(x, train)]
-        for mi in range(self.stage_modules[0]):
-            xs = HRStage(widths[:2], self.stage_blocks, name=f"stage2_{mi}",
-                         **kw)(xs, train)
+              ConvBN(widths[1], 3, 2, name="t1_1_0", **kw)(x, train)]
+        for mi in range(self.num_modules[0]):
+            xs = HRModule(widths[:2], self.num_blocks[0],
+                          name=f"stage2_{mi}", **kw)(xs, train)
 
-        xs = xs + [ConvBN(widths[2], 3, 2, name="t2", **kw)(xs[-1], train)]
-        for mi in range(self.stage_modules[1]):
-            xs = HRStage(widths[:3], self.stage_blocks, name=f"stage3_{mi}",
-                         **kw)(xs, train)
+        # transitions 2/3: existing branches pass through (widths match ->
+        # Identity), the new branch is a strided conv off the LAST branch
+        xs = xs + [ConvBN(widths[2], 3, 2, name="t2_2_0",
+                          **kw)(xs[-1], train)]
+        for mi in range(self.num_modules[1]):
+            xs = HRModule(widths[:3], self.num_blocks[1],
+                          name=f"stage3_{mi}", **kw)(xs, train)
 
-        xs = xs + [ConvBN(widths[3], 3, 2, name="t3", **kw)(xs[-1], train)]
-        for mi in range(self.stage_modules[2]):
-            xs = HRStage(widths, self.stage_blocks, name=f"stage4_{mi}",
-                         **kw)(xs, train)
+        xs = xs + [ConvBN(widths[3], 3, 2, name="t3_3_0",
+                          **kw)(xs[-1], train)]
+        for mi in range(self.num_modules[2]):
+            xs = HRModule(widths, self.num_blocks[2],
+                          name=f"stage4_{mi}", **kw)(xs, train)
 
         taps = {i: b for i, b in enumerate(xs)}
-        # classification head: incre 1x1 per branch, downsample-add chain
-        y = ConvBN(128, 1, name="incre0", **kw)(xs[0], train)
+        # classification head (hrnet.py:575-609,716-720): Bottleneck incre
+        # per branch (to 128*2^i), biased downsamp add-chain, 1x1 final
+        head_chs = (128, 256, 512, 1024)
+        y = ResNetBottleneck(head_chs[0], name="incre0", **kw)(xs[0], train)
         for i in range(1, 4):
-            inc = ConvBN(128 * 2 ** i, 1, name=f"incre{i}", **kw)(xs[i], train)
-            y = ConvBN(128 * 2 ** i, 3, 2, name=f"downs{i}", **kw)(y, train) + inc
-        y = ConvBN(2048, 1, name="final", **kw)(y, train)
+            inc = ResNetBottleneck(head_chs[i], name=f"incre{i}",
+                                   **kw)(xs[i], train)
+            y = inc + BiasedConvBN(head_chs[i], 3, 2, name=f"downsamp{i - 1}",
+                                   **kw)(y, train)
+        y = BiasedConvBN(2048, 1, name="final", **kw)(y, train)
         logits = classifier_head(y, self.num_classes, name="classifier")
         return {"logits": logits, "features": y, "taps": taps}
 
 
 @register_model
 def hrnet_w18_small(**kwargs):
-    return HRNet(width=18, stage_modules=(1, 1, 1), **kwargs)
+    # small-v1 cfg: hrnet.py:63-99
+    kwargs.setdefault("channels", (16, 32, 64, 128))
+    kwargs.setdefault("stage1_chs", 32)
+    kwargs.setdefault("stage1_blocks", 1)
+    kwargs.setdefault("num_modules", (1, 1, 1))
+    kwargs.setdefault("num_blocks", (2, 2, 2))
+    return HRNet(**kwargs)
 
 
 @register_model
 def hrnet_w18(**kwargs):
-    kwargs.setdefault("stage_modules", (1, 4, 3))
-    return HRNet(width=18, **kwargs)
+    kwargs.setdefault("channels", (18, 36, 72, 144))
+    return HRNet(**kwargs)
 
 
 @register_model
 def hrnet_w32(**kwargs):
-    kwargs.setdefault("stage_modules", (1, 4, 3))
-    return HRNet(width=32, **kwargs)
+    kwargs.setdefault("channels", (32, 64, 128, 256))
+    return HRNet(**kwargs)
 
 
 @register_model
 def hrnet_w48(**kwargs):
-    kwargs.setdefault("stage_modules", (1, 4, 3))
-    return HRNet(width=48, **kwargs)
+    kwargs.setdefault("channels", (48, 96, 192, 384))
+    return HRNet(**kwargs)

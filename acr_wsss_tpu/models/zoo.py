@@ -52,6 +52,11 @@ ZOO_URLS: Dict[str, str] = {
     "resnet34": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/resnet34-43635321.pth",
     "resnet101": "https://download.pytorch.org/models/resnet101-5d3b4d8f.pth",
     "resnet152": "https://download.pytorch.org/models/resnet152-b121ed2d.pth",
+    # ResNeXt / wide-ResNet (same checkpoint layout; cfgs
+    # models/resnet.py:80-96)
+    "resnext50_32x4d": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/resnext50_32x4d_ra-d733960d.pth",
+    "resnext101_32x8d": "https://download.pytorch.org/models/resnext101_32x8d-8ba56ff5.pth",
+    "wide_resnet50_2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/wide_resnet50_racm-8234f177.pth",
     # EfficientNet (timm RandAugment recipes, reference cfg table
     # models/efficientnet.py:80-110)
     "efficientnet_b0": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b0_ra-3dd342df.pth",
@@ -59,6 +64,17 @@ ZOO_URLS: Dict[str, str] = {
     "efficientnet_b2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b2_ra-bcdf34b7.pth",
     "efficientnet_b3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b3_ra2-cf984f9c.pth",
     "mobilenetv3_large_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv3_large_100_ra-f55367f5.pth",
+    # HRNet (hrnetv2 weights; reference cfg table models/hrnet.py:40-60)
+    "hrnet_w18_small": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-hrnet/hrnet_w18_small_v1-f460c6bc.pth",
+    "hrnet_w18": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-hrnet/hrnetv2_w18-8cb57bb9.pth",
+    "hrnet_w32": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-hrnet/hrnetv2_w32-90d8c5fb.pth",
+    "hrnet_w48": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-hrnet/hrnetv2_w48-abd2e6ab.pth",
+    # Attention-ResNets (reference cfg tables: models/resnet.py:143-151,
+    # models/res2net.py:25-44, models/resnest.py:29-52). sknet50 has NO
+    # pretrained URL upstream either (models/sknet.py:38) — parity.
+    "seresnet50": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/seresnet50_ra_224-8efdb4bb.pth",
+    "res2net50": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-res2net/res2net50_26w_4s-06e79181.pth",
+    "resnest50d": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-resnest/resnest50-528c19ca.pth",
     "densenet121": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/densenet121_ra-50efcf5c.pth",
     "densenet169": "https://download.pytorch.org/models/densenet169-b2777c0a.pth",
     "vgg16": "https://download.pytorch.org/models/vgg16-397923af.pth",
@@ -134,10 +150,20 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import pit_state_dict_to_flax
 
         return pit_state_dict_to_flax(state)
-    if backbone.startswith("resnet"):
+    if backbone.startswith(("resnet", "resnext", "wide_resnet")):
         from acr_wsss_tpu.models.convert import resnet_state_dict_to_flax
 
         return resnet_state_dict_to_flax(state)
+    if backbone.startswith("hrnet"):
+        from acr_wsss_tpu.models.convert import hrnet_state_dict_to_flax
+
+        return hrnet_state_dict_to_flax(state)
+    if backbone.startswith(("seresnet", "res2net", "resnest")):
+        from acr_wsss_tpu.models.convert import (
+            attn_resnet_state_dict_to_flax,
+        )
+
+        return attn_resnet_state_dict_to_flax(state)
     if backbone.startswith("efficientnet"):
         from acr_wsss_tpu.models.convert import (
             efficientnet_state_dict_to_flax,

@@ -176,9 +176,10 @@ def test_hrnet_parallel_branches(rng):
     variables = model.init(jax.random.key(0), x, train=True)
     out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
     assert out["logits"].shape == (1, 8)
-    # four branches at strides 4/8/16/32
+    # four branches at strides 4/8/16/32 (small-v1 widths,
+    # reference hrnet.py:63-99)
     assert [out["taps"][i].shape[1] for i in range(4)] == [16, 8, 4, 2]
-    assert [out["taps"][i].shape[-1] for i in range(4)] == [18, 36, 72, 144]
+    assert [out["taps"][i].shape[-1] for i in range(4)] == [16, 32, 64, 128]
 
 
 def test_nfnet_no_batch_stats(rng):

@@ -313,3 +313,166 @@ def test_vgg_converted_feature_parity():
     np.testing.assert_allclose(
         np.asarray(out["features"]).transpose(0, 3, 1, 2), feats_t,
         atol=5e-4, rtol=1e-4)
+
+
+def _advance_bn_and_eval(ref, rng, steps=3, size=64):
+    """Run a few torch train-mode forwards so BN running stats move away
+    from (0, 1), then switch to eval — exercises the mean/var mapping."""
+    import torch
+
+    ref.train()
+    with torch.no_grad():
+        for _ in range(steps):
+            ref(torch.from_numpy(
+                rng.normal(size=(4, 3, size, size)).astype(np.float32)))
+    ref.eval()
+
+
+def _attn_resnet_parity(ref, flax_name, rng, **model_kwargs):
+    import torch
+
+    from acr_wsss_tpu.models.convert import attn_resnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = attn_resnet_state_dict_to_flax(ref.state_dict())
+    model = create_model(flax_name, num_classes=1000, dtype=jnp.float32,
+                         layers=(1, 1, 1, 1), **model_kwargs)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=5e-4, rtol=1e-4)
+
+
+@requires_reference
+def test_seresnet_converted_forward_parity():
+    """timm seresnet50 layout (resnet.py Bottleneck + SEModule,
+    cfg resnet.py:143-145) -> models/cnn_attn.AttnResNet[SEBottleneck]:
+    eval-mode logits parity with moved BN stats."""
+    import torch
+
+    resnet = _load_vendored("resnet")
+    torch.manual_seed(21)
+    ref = resnet.ResNet(resnet.Bottleneck, [1, 1, 1, 1], num_classes=1000,
+                        block_args=dict(attn_layer="se"))
+    rng = np.random.default_rng(21)
+    _advance_bn_and_eval(ref, rng)
+    _attn_resnet_parity(ref, "seresnet50", rng)
+
+
+@requires_reference
+def test_res2net_converted_forward_parity():
+    """timm res2net50_26w_4s layout (res2net.py:47-131 Bottle2neck,
+    base_width=26 scale=4) -> AttnResNet[Res2NetBottleneck]: exercises the
+    is_first cascade reset, the blur-pooled passthrough split
+    (count_include_pad=True on both sides), and the convs_i naming."""
+    import torch
+
+    resnet = _load_vendored("resnet")
+    res2net = _load_vendored("res2net")
+    torch.manual_seed(22)
+    ref = resnet.ResNet(res2net.Bottle2neck, [1, 1, 1, 1], num_classes=1000,
+                        base_width=26, block_args=dict(scale=4))
+    rng = np.random.default_rng(22)
+    _advance_bn_and_eval(ref, rng)
+    _attn_resnet_parity(ref, "res2net50", rng)
+
+
+@requires_reference
+def test_resnest_converted_forward_parity():
+    """timm resnest50d layout (resnest.py:55-135 + split_attn.py:31-90;
+    deep stem, avg-down, radix=2 avd_last) ->
+    AttnResNet[ResNeStBottleneck]: exercises the grouped splat conv, the
+    fc1->bn1->fc2 attention MLP, radix-major softmax, and the param-free
+    pool slot in downsample.{1,2}."""
+    import torch
+
+    resnet = _load_vendored("resnet")
+    resnest = _load_vendored("resnest")
+    torch.manual_seed(23)
+    ref = resnet.ResNet(
+        resnest.ResNestBottleneck, [1, 1, 1, 1], num_classes=1000,
+        stem_type="deep", stem_width=32, avg_down=True, base_width=64,
+        cardinality=1, block_args=dict(radix=2, avd=True, avd_first=False))
+    rng = np.random.default_rng(23)
+    _advance_bn_and_eval(ref, rng)
+    _attn_resnet_parity(ref, "resnest50d", rng)
+
+
+@requires_reference
+def test_resnext_converted_forward_parity():
+    """timm resnext50_32x4d layout (resnet.py:866-870: cardinality=32,
+    base_width=4, grouped 3x3) through the UNCHANGED resnet converter ->
+    models/cnn.ResNet with cardinality/base_width: eval-mode logits
+    parity — proves the grouped-conv kernel layout maps 1:1."""
+    import torch
+
+    from acr_wsss_tpu.models.convert import resnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    resnet = _load_vendored("resnet")
+    torch.manual_seed(24)
+    ref = resnet.ResNet(resnet.Bottleneck, [1, 1, 1, 1], num_classes=1000,
+                        cardinality=32, base_width=4)
+    rng = np.random.default_rng(24)
+    _advance_bn_and_eval(ref, rng)
+
+    variables = resnet_state_dict_to_flax(ref.state_dict())
+    model = create_model("resnext50_32x4d", num_classes=1000,
+                         dtype=jnp.float32, layers=(1, 1, 1, 1))
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=5e-4, rtol=1e-4)
+
+
+@requires_reference
+def test_hrnet_converted_forward_parity():
+    """timm hrnet_w18_small (hrnet.py:63-99 cfg; the smallest real
+    variant) -> models/hrnet.HRNet: eval-mode logits parity. Covers the
+    stem, the stage-1 bottlenecks, BOTH transition forms (width-change
+    conv and new-branch chain), branch BasicBlocks, both fuse forms
+    (1x1+nearest-up and strided chain), the Bottleneck incre head, and
+    the biased downsamp/final convs."""
+    import torch
+
+    hrnet = _load_vendored("hrnet")
+    torch.manual_seed(25)
+    ref = hrnet.HighResolutionNet(hrnet.cfg_cls["hrnet_w18_small"],
+                                  num_classes=1000)
+    rng = np.random.default_rng(25)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import hrnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = hrnet_state_dict_to_flax(ref.state_dict())
+    model = create_model("hrnet_w18_small", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=5e-4, rtol=1e-4)
