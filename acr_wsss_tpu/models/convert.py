@@ -976,6 +976,95 @@ def main(argv=None) -> None:
     print(f"wrote {args.out_npz}: {n / 1e6:.1f}M params")
 
 
+# Branch-name maps per inception-v3 mixed-block type: torch checkpoint
+# names (reference ``models/inception_v3.py:50-290``, torchvision layout)
+# -> our short branch names (``models/inception.py`` InceptionA/B/C +
+# ReductionA/B).
+_INC3_BRANCHES_A = {
+    "branch1x1": "b1", "branch5x5_1": "b2_1", "branch5x5_2": "b2_2",
+    "branch3x3dbl_1": "b3_1", "branch3x3dbl_2": "b3_2",
+    "branch3x3dbl_3": "b3_3", "branch_pool": "b4",
+}
+_INC3_BRANCHES_RA = {
+    "branch3x3": "b1", "branch3x3dbl_1": "b2_1",
+    "branch3x3dbl_2": "b2_2", "branch3x3dbl_3": "b2_3",
+}
+_INC3_BRANCHES_B = {
+    "branch1x1": "b1", "branch7x7_1": "b2_1", "branch7x7_2": "b2_2",
+    "branch7x7_3": "b2_3", "branch7x7dbl_1": "b3_1",
+    "branch7x7dbl_2": "b3_2", "branch7x7dbl_3": "b3_3",
+    "branch7x7dbl_4": "b3_4", "branch7x7dbl_5": "b3_5",
+    "branch_pool": "b4",
+}
+_INC3_BRANCHES_RB = {
+    "branch3x3_1": "b1_1", "branch3x3_2": "b1_2", "branch7x7x3_1": "b2_1",
+    "branch7x7x3_2": "b2_2", "branch7x7x3_3": "b2_3",
+    "branch7x7x3_4": "b2_4",
+}
+_INC3_BRANCHES_C = {
+    "branch1x1": "b1", "branch3x3_1": "b2_1", "branch3x3_2a": "b2_2a",
+    "branch3x3_2b": "b2_2b", "branch3x3dbl_1": "b3_1",
+    "branch3x3dbl_2": "b3_2", "branch3x3dbl_3a": "b3_3a",
+    "branch3x3dbl_3b": "b3_3b", "branch_pool": "b4",
+}
+_INC3_STEM = {
+    "Conv2d_1a_3x3": "s1", "Conv2d_2a_3x3": "s2", "Conv2d_2b_3x3": "s3",
+    "Conv2d_3b_1x1": "s4", "Conv2d_4a_3x3": "s5",
+}
+
+
+def _inc3_branch_map(block: str) -> Mapping[str, str]:
+    if block in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
+        return _INC3_BRANCHES_A
+    if block == "Mixed_6a":
+        return _INC3_BRANCHES_RA
+    if block in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
+        return _INC3_BRANCHES_B
+    if block == "Mixed_7a":
+        return _INC3_BRANCHES_RB
+    return _INC3_BRANCHES_C  # Mixed_7b / Mixed_7c
+
+
+def inception_v3_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """torchvision/timm inception_v3 checkpoint (reference
+    ``models/inception_v3.py``) -> flax variables for
+    ``models/inception.InceptionV3``. ``AuxLogits.*`` (training-only side
+    head, absent from our model) is dropped."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked") or name.startswith(
+                "AuxLogits."):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        m = re.match(r"fc\.(weight|bias)$", name)
+        if m:
+            leaf = "kernel" if m.group(1) == "weight" else "bias"
+            _set(variables, ("params", "fc", leaf),
+                 _linear(v) if leaf == "kernel" else v)
+            continue
+        m = re.match(
+            r"(Conv2d_\w+|Mixed_\w+?)(?:\.(\w+?))?\.(conv|bn)"
+            r"\.(weight|bias|running_mean|running_var)$", name)
+        if m is None:
+            continue
+        block, branch, unit, leaf_t = m.groups()
+        if block in _INC3_STEM:
+            path_head = (_INC3_STEM[block],)
+        else:
+            ours_block = block.replace("Mixed_", "mixed").lower()
+            path_head = (ours_block, _inc3_branch_map(block)[branch])
+        if unit == "conv":
+            _set(variables, ("params",) + path_head + ("conv", "kernel"),
+                 _conv(v))
+        else:
+            coll, leaf = _BN_LEAVES[leaf_t]
+            _set(variables, (coll,) + path_head + ("bn", leaf), v)
+    return variables
+
+
 def _iter_leaves(tree):
     if isinstance(tree, dict):
         for v in tree.values():

@@ -75,6 +75,9 @@ ZOO_URLS: Dict[str, str] = {
     "seresnet50": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/seresnet50_ra_224-8efdb4bb.pth",
     "res2net50": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-res2net/res2net50_26w_4s-06e79181.pth",
     "resnest50d": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-resnest/resnest50-528c19ca.pth",
+    # Inception v3 (torchvision weights; reference cfg
+    # models/inception_v3.py:27-46)
+    "inception_v3": "https://download.pytorch.org/models/inception_v3_google-1a9a5a14.pth",
     "densenet121": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/densenet121_ra-50efcf5c.pth",
     "densenet169": "https://download.pytorch.org/models/densenet169-b2777c0a.pth",
     "vgg16": "https://download.pytorch.org/models/vgg16-397923af.pth",
@@ -164,6 +167,12 @@ def convert_state_dict(backbone: str, state: Dict):
         )
 
         return attn_resnet_state_dict_to_flax(state)
+    if backbone.startswith("inception_v3"):
+        from acr_wsss_tpu.models.convert import (
+            inception_v3_state_dict_to_flax,
+        )
+
+        return inception_v3_state_dict_to_flax(state)
     if backbone.startswith("efficientnet"):
         from acr_wsss_tpu.models.convert import (
             efficientnet_state_dict_to_flax,

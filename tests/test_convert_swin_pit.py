@@ -476,3 +476,42 @@ def test_hrnet_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=5e-4, rtol=1e-4)
+
+
+@requires_reference
+def test_inception_v3_converted_forward_parity():
+    """timm/torchvision inception_v3 (inception_v3.py:287-345, no
+    AuxLogits) -> models/inception.InceptionV3: eval-mode logits parity.
+    Covers the VALID-conv stem, all five mixed-block types (A 5x5 / RA /
+    B factorized-7x7 / RB / C expanded-split), the avg-pool branch
+    (count_include_pad semantics), and the fc head. 128px input keeps
+    every VALID conv grid positive (13 -> 6 -> 2)."""
+    import torch
+
+    inc = _load_vendored("inception_v3")
+    torch.manual_seed(26)
+    ref = inc.InceptionV3(num_classes=1000)
+    rng = np.random.default_rng(26)
+    # 25 settling steps: with near-init running stats the 48-conv-deep
+    # VALID stack amplifies activations to |logits| ~ 5e6 where fp32
+    # accumulation-order noise swamps any sane tolerance.
+    _advance_bn_and_eval(ref, rng, steps=25, size=128)
+
+    from acr_wsss_tpu.models.convert import inception_v3_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = inception_v3_state_dict_to_flax(ref.state_dict())
+    model = create_model("inception_v3", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 128, 128, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
