@@ -1065,6 +1065,98 @@ def inception_v3_state_dict_to_flax(
     return variables
 
 
+def xception_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """Cadene/timm xception checkpoint (reference
+    ``models/xception.py:109-214``) -> flax variables for
+    ``models/inception.Xception``.
+
+    torch packs each Block's ReLU/SeparableConv/BN/MaxPool into one
+    ``rep`` Sequential, so checkpoint indices are layout-dependent
+    (``rep.0`` is a sepconv in block1 but a ReLU elsewhere). Mapping is
+    therefore by RANK: the j-th separable conv (keys with ``.conv1`` /
+    ``.pointwise``) and the j-th BN (bare ``rep.{i}.weight`` etc.) in a
+    block both land on our ``sep{j}``."""
+    # rep.{i} positions that hold sepconvs vs BNs, per block, by rank
+    sep_rank: Dict[str, Dict[int, int]] = {}
+    bn_rank: Dict[str, Dict[int, int]] = {}
+    for name in state_dict:
+        m = re.match(r"(block\d+)\.rep\.(\d+)\.(conv1|pointwise)\.weight$",
+                     name)
+        if m:
+            sep_rank.setdefault(m.group(1), {})[int(m.group(2))] = -1
+        m = re.match(r"(block\d+)\.rep\.(\d+)\.weight$", name)
+        if m:
+            bn_rank.setdefault(m.group(1), {})[int(m.group(2))] = -1
+    for table in (sep_rank, bn_rank):
+        for block, idxs in table.items():
+            for j, i in enumerate(sorted(idxs)):
+                idxs[i] = j
+
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        m = re.match(r"(conv|bn)([12])\.(weight|bias|running_mean|"
+                     r"running_var)$", name)
+        if m:  # stem pair
+            stem = f"stem{m.group(2)}"
+            if m.group(1) == "conv":
+                _set(variables, ("params", stem, "conv", "kernel"), _conv(v))
+            else:
+                coll, leaf = _BN_LEAVES[m.group(3)]
+                _set(variables, (coll, stem, "bn", leaf), v)
+            continue
+        m = re.match(r"(conv|bn)([34])\.(?:(conv1|pointwise)\.)?"
+                     r"(weight|bias|running_mean|running_var)$", name)
+        if m:  # sepconv head: conv3/bn3 and conv4/bn4 -> conv3 / conv4
+            head = f"conv{m.group(2)}"
+            if m.group(1) == "conv":
+                unit = "dw" if m.group(3) == "conv1" else "pw"
+                _set(variables, ("params", head, unit, "kernel"), _conv(v))
+            else:
+                coll, leaf = _BN_LEAVES[m.group(4)]
+                _set(variables, (coll, head, "bn", leaf), v)
+            continue
+        m = re.match(r"(block\d+)\.skip(bn)?\.(weight|bias|running_mean|"
+                     r"running_var)$", name)
+        if m:
+            block = m.group(1)
+            if m.group(2) is None:
+                _set(variables, ("params", block, "skip", "conv", "kernel"),
+                     _conv(v))
+            else:
+                coll, leaf = _BN_LEAVES[m.group(3)]
+                _set(variables, (coll, block, "skip", "bn", leaf), v)
+            continue
+        m = re.match(r"(block\d+)\.rep\.(\d+)\.(conv1|pointwise)\.weight$",
+                     name)
+        if m:
+            block, i = m.group(1), int(m.group(2))
+            unit = "dw" if m.group(3) == "conv1" else "pw"
+            _set(variables,
+                 ("params", block, f"sep{sep_rank[block][i]}", unit,
+                  "kernel"), _conv(v))
+            continue
+        m = re.match(r"(block\d+)\.rep\.(\d+)\.(weight|bias|running_mean|"
+                     r"running_var)$", name)
+        if m:
+            block, i = m.group(1), int(m.group(2))
+            coll, leaf = _BN_LEAVES[m.group(3)]
+            _set(variables,
+                 (coll, block, f"sep{bn_rank[block][i]}", "bn", leaf), v)
+            continue
+        m = re.match(r"fc\.(weight|bias)$", name)
+        if m:
+            leaf = "kernel" if m.group(1) == "weight" else "bias"
+            _set(variables, ("params", "fc", leaf),
+                 _linear(v) if leaf == "kernel" else v)
+    return variables
+
+
 def _iter_leaves(tree):
     if isinstance(tree, dict):
         for v in tree.values():

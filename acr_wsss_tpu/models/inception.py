@@ -47,6 +47,7 @@ class Conv2dBN(nn.Module):
     stride: int = 1
     padding: Optional[Sequence[int]] = None   # (ph, pw); None = same-ish
     apply_act: bool = True
+    eps: float = 1e-3
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -58,7 +59,7 @@ class Conv2dBN(nn.Module):
                     padding=[(ph, ph), (pw, pw)], use_bias=False,
                     dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-3, dtype=jnp.float32,
+                         epsilon=self.eps, dtype=jnp.float32,
                          axis_name=self.bn_axis_name if train else None,
                          name="bn")(x)
         if self.apply_act:
@@ -358,10 +359,12 @@ class InceptionResNetV2(nn.Module):
 
 
 class SeparableConvBN(nn.Module):
-    """Depthwise 3x3 + pointwise 1x1, each BN'd (Xception building block)."""
+    """Depthwise 3x3 + pointwise 1x1 + BN (Xception building block;
+    reference ``models/xception.py:51-62`` SeparableConv2d + the rep BN)."""
 
     features: int
     stride: int = 1
+    eps: float = 1e-3
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -374,7 +377,7 @@ class SeparableConvBN(nn.Module):
         x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="pw")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-3, dtype=jnp.float32,
+                         epsilon=self.eps, dtype=jnp.float32,
                          axis_name=self.bn_axis_name if train else None,
                          name="bn")(x)
         return x.astype(self.dtype)
@@ -407,8 +410,51 @@ class XceptionBlock(nn.Module):
         return (y + shortcut).astype(self.dtype)
 
 
+class XceptionTorchBlock(nn.Module):
+    """Cadene/timm Xception Block, torch-exact (reference
+    ``models/xception.py:65-106``): all separable convs stride 1, a
+    3x3/s2 max-pool at the block tail when downsampling, ``grow_first``
+    width ordering, and a 1x1-conv+BN skip — the structure the published
+    xception checkpoint expects (vs the Chollet-style strided-sepconv
+    :class:`XceptionBlock` kept for the aligned variants)."""
+
+    out_chs: int
+    reps: int = 2
+    stride: int = 1
+    start_with_relu: bool = True
+    grow_first: bool = True
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        in_chs = x.shape[-1]
+        shortcut = x
+        if self.stride != 1 or in_chs != self.out_chs:
+            shortcut = ConvBN(self.out_chs, 1, self.stride, apply_act=False,
+                              name="skip", **kw)(x, train)
+        y = x
+        for i in range(self.reps):
+            if self.grow_first:
+                outc = self.out_chs
+            else:
+                outc = in_chs if i < self.reps - 1 else self.out_chs
+            if i > 0 or self.start_with_relu:
+                y = nn.relu(y)
+            y = SeparableConvBN(outc, eps=1e-5, name=f"sep{i}",
+                                **kw)(y, train)
+        if self.stride != 1:
+            y = nn.max_pool(y, (3, 3), strides=(self.stride,) * 2,
+                            padding=[(1, 1)] * 2)
+        return (y + shortcut).astype(self.dtype)
+
+
 class Xception(nn.Module):
-    """Xception classifier (reference ``models/xception.py:232``);
+    """Xception classifier, torch-exact against the reference layout
+    (``models/xception.py:109-214``: VALID 3x3 stem pair, 12 Blocks with
+    max-pool downsampling, sepconv3/4 head) so the published checkpoint
+    converts 1:1 (``convert.xception_state_dict_to_flax``);
     ``middle_blocks=16`` gives the gluon xception65 depth (reference
     ``models/gluon_xception.py:246``)."""
 
@@ -421,21 +467,28 @@ class Xception(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = x.astype(self.dtype)
-        x = ConvBN(32, 3, 2, name="stem1", **kw)(x, train)
-        x = ConvBN(64, 3, 1, name="stem2", **kw)(x, train)
+        x = Conv2dBN(32, (3, 3), stride=2, padding=(0, 0), eps=1e-5,
+                     name="stem1", **kw)(x, train)
+        x = Conv2dBN(64, (3, 3), padding=(0, 0), eps=1e-5,
+                     name="stem2", **kw)(x, train)
         taps: Dict[int, jnp.ndarray] = {}
-        x = XceptionBlock(128, stride=2, first_relu=False, name="entry1",
-                          **kw)(x, train)
+        x = XceptionTorchBlock(128, 2, 2, start_with_relu=False,
+                               name="block1", **kw)(x, train)
         taps[0] = x
-        x = XceptionBlock(256, stride=2, name="entry2", **kw)(x, train)
+        x = XceptionTorchBlock(256, 2, 2, name="block2", **kw)(x, train)
         taps[1] = x
-        x = XceptionBlock(728, stride=2, name="entry3", **kw)(x, train)
+        x = XceptionTorchBlock(728, 2, 2, name="block3", **kw)(x, train)
         for i in range(self.middle_blocks):
-            x = XceptionBlock(728, reps=3, name=f"mid{i}", **kw)(x, train)
+            x = XceptionTorchBlock(728, 3, 1, name=f"block{4 + i}",
+                                   **kw)(x, train)
         taps[2] = x
-        x = XceptionBlock(1024, stride=2, name="exit1", **kw)(x, train)
-        x = nn.relu(SeparableConvBN(1536, name="exit2", **kw)(x, train))
-        x = nn.relu(SeparableConvBN(2048, name="exit3", **kw)(x, train))
+        x = XceptionTorchBlock(1024, 2, 2, grow_first=False,
+                               name=f"block{4 + self.middle_blocks}",
+                               **kw)(x, train)
+        x = nn.relu(SeparableConvBN(1536, eps=1e-5, name="conv3",
+                                    **kw)(x, train))
+        x = nn.relu(SeparableConvBN(2048, eps=1e-5, name="conv4",
+                                    **kw)(x, train))
         taps[3] = x
         logits = classifier_head(x, self.num_classes, name="fc")
         return {"logits": logits, "features": x, "taps": taps}

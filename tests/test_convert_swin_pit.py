@@ -515,3 +515,38 @@ def test_inception_v3_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_xception_converted_forward_parity():
+    """Cadene/timm xception (xception.py:109-214) ->
+    models/inception.Xception: eval-mode logits parity. Covers the VALID
+    stem pair, rank-based rep mapping across all three Sequential
+    layouts (no-first-relu block1, grow_first entry/middle, block12's
+    grow_first=False widths), max-pool downsampling + conv/BN skips, and
+    the sepconv3/4 head."""
+    import torch
+
+    xc = _load_vendored("xception")
+    torch.manual_seed(27)
+    ref = xc.Xception(num_classes=1000)
+    rng = np.random.default_rng(27)
+    _advance_bn_and_eval(ref, rng, steps=25, size=96)
+
+    from acr_wsss_tpu.models.convert import xception_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = xception_state_dict_to_flax(ref.state_dict())
+    model = create_model("xception", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 96, 96, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 96, 96)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
