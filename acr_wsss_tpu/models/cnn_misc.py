@@ -38,7 +38,7 @@ from flax import linen as nn
 
 from acr_wsss_tpu.models.cnn import ConvBN, ResNetBottleneck
 from acr_wsss_tpu.models.cnn_mobile import (
-    DepthwiseConvBN, MBConv, SqueezeExcite, _hardswish,
+    DepthwiseConvBN, MBConv, SqueezeExcite, _hardswish, _round_chs,
 )
 from acr_wsss_tpu.models.registry import register_model
 
@@ -332,20 +332,26 @@ class GhostBottleneck(nn.Module):
             y = DepthwiseConvBN(self.kernel, self.stride, name="dw",
                                 **kw)(y, train)
         if self.se_ratio > 0:
-            y = SqueezeExcite(max(1, int(self.mid_chs * self.se_ratio)),
+            # timm width rule: make_divisible(mid * ratio, 4)
+            # (ghostnet.py:95 -> efficientnet_blocks.SqueezeExcite)
+            y = SqueezeExcite(_round_chs(self.mid_chs * self.se_ratio,
+                                         1.0, 4),
                               gate="hard", dtype=self.dtype, name="se")(y)
         y = GhostModule(self.out_chs, apply_act=False, name="ghost2",
                         **kw)(y, train)
         return (y + shortcut).astype(self.dtype)
 
 
-# GhostNet-1.0 table: (kernel, mid, out, se_ratio, stride)
+# GhostNet-1.0 table: (kernel, mid, out, se_ratio, stride) — the 16
+# bottlenecks of the reference cfg (``models/ghostnet.py:219-243``,
+# flattened; its stage grouping is [1,1,1,1,1,1,5,1,4]).
 _GHOSTNET = (
     (3, 16, 16, 0.0, 1), (3, 48, 24, 0.0, 2), (3, 72, 24, 0.0, 1),
     (5, 72, 40, 0.25, 2), (5, 120, 40, 0.25, 1), (3, 240, 80, 0.0, 2),
     (3, 200, 80, 0.0, 1), (3, 184, 80, 0.0, 1), (3, 184, 80, 0.0, 1),
     (3, 480, 112, 0.25, 1), (3, 672, 112, 0.25, 1), (5, 672, 160, 0.25, 2),
-    (5, 960, 160, 0.0, 1), (5, 960, 160, 0.25, 1),
+    (5, 960, 160, 0.0, 1), (5, 960, 160, 0.25, 1), (5, 960, 160, 0.0, 1),
+    (5, 960, 160, 0.25, 1),
 )
 
 
@@ -366,12 +372,18 @@ class GhostNet(nn.Module):
         for bi, (k, mid, out, se, s) in enumerate(_GHOSTNET):
             x = GhostBottleneck(mid, out, k, s, se_ratio=se,
                                 name=f"b{bi}", **kw)(x, train)
-            if bi in (2, 4, 10, 13):
+            if bi in (2, 4, 10, 15):
                 taps[tap_i] = x
                 tap_i += 1
         x = ConvBN(960, 1, name="head_conv", **kw)(x, train)
-        return {"logits": _head(x, self.num_classes), "features": x,
-                "taps": taps}
+        # timm head: pool -> 1x1 conv_head (bias) -> relu -> classifier
+        # (ghostnet.py:181-208); 1x1 conv on pooled 1x1 == Dense
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        pooled = nn.relu(nn.Dense(1280, dtype=jnp.float32,
+                                  name="conv_head")(pooled))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          name="classifier")(pooled)
+        return {"logits": logits, "features": x, "taps": taps}
 
 
 class ReXNet(nn.Module):

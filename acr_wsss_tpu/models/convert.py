@@ -1157,6 +1157,101 @@ def xception_state_dict_to_flax(
     return variables
 
 
+# timm ghostnet stage sizes (models/ghostnet.py:219-243 cfg groups) ->
+# flat block offsets of models/cnn_misc.GhostNet (its _GHOSTNET is flat)
+_GHOSTNET_STAGE_OFFSETS = (0, 1, 2, 3, 4, 5, 6, 11, 12)
+
+
+def ghostnet_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm ghostnet_100 checkpoint (reference ``models/ghostnet.py``) ->
+    flax variables for ``models/cnn_misc.GhostNet``.
+
+    timm groups the 16 bottlenecks into 9 cfg stages (``blocks.{s}.{j}``);
+    ours are flat ``b{i}`` — mapped via the stage offsets. ``blocks.9.0``
+    is the ConvBnAct tail -> our ``head_conv``; the post-pool ``conv_head``
+    (1x1, bias, no BN — ``ghostnet.py:183``) is our ``conv_head`` Dense.
+    GhostModule Sequentials: ``primary_conv.{0,1}`` / ``cheap_operation.
+    {0,1}`` = conv/bn of our ``primary`` / ``cheap``; shortcut Sequential
+    ``.{0,1,2,3}`` = dw-conv/bn/pw-conv/bn of our ``skip_dw``/``skip_pw``."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_ghostnet_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_ghostnet_name(name: str):
+    ident = lambda x: x
+    if name == "conv_stem.weight":
+        return ("params", "stem", "conv", "kernel"), _conv
+    m = re.match(r"bn1\.(weight|bias|running_mean|running_var)$", name)
+    if m:
+        coll, leaf = _BN_LEAVES[m.group(1)]
+        return (coll, "stem", "bn", leaf), ident
+    if name == "conv_head.weight":
+        return ("params", "conv_head", "kernel"), _conv1x1_to_dense
+    if name == "conv_head.bias":
+        return ("params", "conv_head", "bias"), ident
+    m = re.match(r"classifier\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "classifier", leaf), (
+            _linear if leaf == "kernel" else ident)
+    m = re.match(r"blocks\.(\d+)\.(\d+)\.(.+)$", name)
+    if not m:
+        return None
+    s, j, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+    if s == 9:  # ConvBnAct tail (conv / bn1) -> head_conv
+        if rest == "conv.weight":
+            return ("params", "head_conv", "conv", "kernel"), _conv
+        mm = re.match(r"bn1\.(weight|bias|running_mean|running_var)$", rest)
+        if mm:
+            coll, leaf = _BN_LEAVES[mm.group(1)]
+            return (coll, "head_conv", "bn", leaf), ident
+        return None
+    base = f"b{_GHOSTNET_STAGE_OFFSETS[s] + j}"
+    mm = re.match(r"(ghost1|ghost2)\.(primary_conv|cheap_operation)"
+                  r"\.(0|1)\.(weight|bias|running_mean|running_var)$", rest)
+    if mm:
+        ghost = mm.group(1)
+        sub = "primary" if mm.group(2) == "primary_conv" else "cheap"
+        if mm.group(3) == "0":
+            return ("params", base, ghost, sub, "conv", "kernel"), _conv
+        coll, leaf = _BN_LEAVES[mm.group(4)]
+        return (coll, base, ghost, sub, "bn", leaf), ident
+    if rest == "conv_dw.weight":
+        return ("params", base, "dw", "conv", "kernel"), _conv
+    mm = re.match(r"bn_dw\.(weight|bias|running_mean|running_var)$", rest)
+    if mm:
+        coll, leaf = _BN_LEAVES[mm.group(1)]
+        return (coll, base, "dw", "bn", leaf), ident
+    mm = re.match(r"se\.conv_(reduce|expand)\.(weight|bias)$", rest)
+    if mm:
+        leaf = "kernel" if mm.group(2) == "weight" else "bias"
+        return ("params", base, "se", mm.group(1), leaf), (
+            _conv if leaf == "kernel" else ident)
+    mm = re.match(r"shortcut\.(0|2)\.weight$", rest)
+    if mm:
+        sub = "skip_dw" if mm.group(1) == "0" else "skip_pw"
+        return ("params", base, sub, "conv", "kernel"), _conv
+    mm = re.match(r"shortcut\.(1|3)\.(weight|bias|running_mean|"
+                  r"running_var)$", rest)
+    if mm:
+        sub = "skip_dw" if mm.group(1) == "1" else "skip_pw"
+        coll, leaf = _BN_LEAVES[mm.group(2)]
+        return (coll, base, sub, "bn", leaf), ident
+    return None
+
+
 def _iter_leaves(tree):
     if isinstance(tree, dict):
         for v in tree.values():

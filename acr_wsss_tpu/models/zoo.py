@@ -80,6 +80,8 @@ ZOO_URLS: Dict[str, str] = {
     "inception_v3": "https://download.pytorch.org/models/inception_v3_google-1a9a5a14.pth",
     # Xception (Cadene weights; reference cfg models/xception.py:30-48)
     "xception": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/xception-43020ad28.pth",
+    # GhostNet (huawei-noah weights; reference cfg models/ghostnet.py:35-40)
+    "ghostnet_100": "https://github.com/huawei-noah/CV-backbones/releases/download/ghostnet_pth/ghostnet_1x.pth",
     "densenet121": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/densenet121_ra-50efcf5c.pth",
     "densenet169": "https://download.pytorch.org/models/densenet169-b2777c0a.pth",
     "vgg16": "https://download.pytorch.org/models/vgg16-397923af.pth",
@@ -173,6 +175,10 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import xception_state_dict_to_flax
 
         return xception_state_dict_to_flax(state)
+    if backbone.startswith("ghostnet"):
+        from acr_wsss_tpu.models.convert import ghostnet_state_dict_to_flax
+
+        return ghostnet_state_dict_to_flax(state)
     if backbone.startswith("inception_v3"):
         from acr_wsss_tpu.models.convert import (
             inception_v3_state_dict_to_flax,

@@ -550,3 +550,37 @@ def test_xception_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_ghostnet_converted_forward_parity():
+    """timm ghostnet_100 (ghostnet.py:46-208) -> models/cnn_misc.GhostNet:
+    eval-mode logits parity. Covers the GhostModule primary/cheap
+    Sequentials, the stride-2 conv_dw/bn_dw slot, divisor-4 SE widths,
+    the 4-element shortcut Sequential, the ConvBnAct tail stage
+    (blocks.9.0), and the post-pool 1x1 conv_head -> Dense mapping."""
+    import torch
+
+    gn = _load_vendored("ghostnet")
+    torch.manual_seed(29)
+    ref = gn.ghostnet_100(pretrained=False)
+    rng = np.random.default_rng(29)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import ghostnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = ghostnet_state_dict_to_flax(ref.state_dict())
+    model = create_model("ghostnet_100", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-4)
