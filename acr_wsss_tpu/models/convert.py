@@ -1252,6 +1252,83 @@ def _map_ghostnet_name(name: str):
     return None
 
 
+def regnet_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm RegNet checkpoint (reference ``models/regnet.py``; URL cfg
+    table :71-96) -> flax variables for ``models/cnn_mobile.RegNet``.
+
+    The structures are 1:1 (bottle_ratio=1, SE after conv2 with
+    reduction width from the block INPUT channels, 1x1 conv+BN
+    downsample): ``s{i}.b{j}`` -> ``stage{i-1}_block{j-1}``; ConvBnAct
+    ``conv1``/``conv3`` -> our ConvBN; the bare grouped ``conv2.conv`` +
+    ``conv2.bn`` -> our ``conv2`` + ``bn2``; SEModule ``fc1``/``fc2``
+    (1x1 bias convs) -> SqueezeExcite ``reduce``/``expand``; ``head.fc``
+    -> the shared fp32 Dense head."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_regnet_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_regnet_name(name: str):
+    ident = lambda x: x
+    if name == "stem.conv.weight":
+        return ("params", "stem", "conv", "kernel"), _conv
+    m = re.match(r"stem\.bn\.(weight|bias|running_mean|running_var)$", name)
+    if m:
+        coll, leaf = _BN_LEAVES[m.group(1)]
+        return (coll, "stem", "bn", leaf), ident
+    m = re.match(r"head\.fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "head", leaf), (
+            _linear if leaf == "kernel" else ident)
+    m = re.match(r"s(\d+)\.b(\d+)\.(.+)$", name)
+    if not m:
+        return None
+    base = f"stage{int(m.group(1)) - 1}_block{int(m.group(2)) - 1}"
+    rest = m.group(3)
+    mm = re.match(r"conv(1|3)\.conv\.weight$", rest)
+    if mm:
+        return ("params", base, f"conv{mm.group(1)}", "conv",
+                "kernel"), _conv
+    mm = re.match(r"conv(1|3)\.bn\.(weight|bias|running_mean|"
+                  r"running_var)$", rest)
+    if mm:
+        coll, leaf = _BN_LEAVES[mm.group(2)]
+        return (coll, base, f"conv{mm.group(1)}", "bn", leaf), ident
+    if rest == "conv2.conv.weight":
+        return ("params", base, "conv2", "kernel"), _conv
+    mm = re.match(r"conv2\.bn\.(weight|bias|running_mean|running_var)$",
+                  rest)
+    if mm:
+        coll, leaf = _BN_LEAVES[mm.group(1)]
+        return (coll, base, "bn2", leaf), ident
+    mm = re.match(r"se\.fc(1|2)\.(weight|bias)$", rest)
+    if mm:
+        sub = "reduce" if mm.group(1) == "1" else "expand"
+        leaf = "kernel" if mm.group(2) == "weight" else "bias"
+        return ("params", base, "se", sub, leaf), (
+            _conv if leaf == "kernel" else ident)
+    if rest == "downsample.conv.weight":
+        return ("params", base, "downsample", "conv", "kernel"), _conv
+    mm = re.match(r"downsample\.bn\.(weight|bias|running_mean|"
+                  r"running_var)$", rest)
+    if mm:
+        coll, leaf = _BN_LEAVES[mm.group(1)]
+        return (coll, base, "downsample", "bn", leaf), ident
+    return None
+
+
 def _iter_leaves(tree):
     if isinstance(tree, dict):
         for v in tree.values():

@@ -80,6 +80,10 @@ ZOO_URLS: Dict[str, str] = {
     "inception_v3": "https://download.pytorch.org/models/inception_v3_google-1a9a5a14.pth",
     # Xception (Cadene weights; reference cfg models/xception.py:30-48)
     "xception": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/xception-43020ad28.pth",
+    # RegNet (reference cfg models/regnet.py:71-96)
+    "regnetx_002": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-regnet/regnetx_002-e7e85e5c.pth",
+    "regnety_002": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-regnet/regnety_002-e68ca334.pth",
+    "regnetx_032": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-regnet/regnetx_032-ed0c7f7e.pth",
     # GhostNet (huawei-noah weights; reference cfg models/ghostnet.py:35-40)
     "ghostnet_100": "https://github.com/huawei-noah/CV-backbones/releases/download/ghostnet_pth/ghostnet_1x.pth",
     "densenet121": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/densenet121_ra-50efcf5c.pth",
@@ -199,6 +203,10 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import densenet_state_dict_to_flax
 
         return densenet_state_dict_to_flax(state)
+    if backbone.startswith("regnet"):
+        from acr_wsss_tpu.models.convert import regnet_state_dict_to_flax
+
+        return regnet_state_dict_to_flax(state)
     if backbone.startswith("mobilenetv3"):
         from acr_wsss_tpu.models.convert import (
             mobilenetv3_state_dict_to_flax,

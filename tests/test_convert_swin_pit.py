@@ -584,3 +584,48 @@ def test_ghostnet_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=1e-3, rtol=1e-4)
+
+
+def _regnet_parity(variant: str, seed: int):
+    import torch
+
+    rg = _load_vendored("regnet")
+    torch.manual_seed(seed)
+    ref = getattr(rg, variant)(pretrained=False)
+    rng = np.random.default_rng(seed)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import regnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = regnet_state_dict_to_flax(ref.state_dict())
+    model = create_model(variant, num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-4)
+
+
+@requires_reference
+def test_regnetx_converted_forward_parity():
+    """timm regnetx_002 (regnet.py:128-177 Bottleneck, generator cfg
+    :33 -> depths (1,1,4,7) widths (24,56,152,368) gw=8) ->
+    models/cnn_mobile.RegNet: the SE-free X branch, grouped conv2,
+    1x1 conv+BN downsample, head.fc -> Dense."""
+    _regnet_parity("regnetx_002", 31)
+
+
+@requires_reference
+def test_regnety_converted_forward_parity():
+    """timm regnety_002 (se_ratio=0.25, reduction width from block INPUT
+    channels — regnet.py:147-149) -> RegNet: adds the SEModule
+    fc1/fc2 -> SqueezeExcite reduce/expand mapping."""
+    _regnet_parity("regnety_002", 37)
