@@ -182,6 +182,8 @@ class ByobNet(nn.Module):
     num_classes: int = 1000
     blocks: Sequence[BlockCfg] = ()
     stem_chs: int = 32
+    stem_type: str = "conv"            # conv (ConvBN) | rep (RepVGG block,
+                                       # reference byobnet.py:565 'rep' stem)
     head_chs: int = 0                  # 0 = no final 1x1
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
@@ -190,7 +192,11 @@ class ByobNet(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = x.astype(self.dtype)
-        x = ConvBN(self.stem_chs, 3, 2, name="stem", **kw)(x, train)
+        if self.stem_type == "rep":
+            x = RepBlock(self.stem_chs, 2, dtype=self.dtype,
+                         bn_axis_name=self.bn_axis_name, name="stem")(x, train)
+        else:
+            x = ConvBN(self.stem_chs, 3, 2, name="stem", **kw)(x, train)
         taps: Dict[int, jnp.ndarray] = {}
         for si, cfg in enumerate(self.blocks):
             for bi in range(cfg.depth):
@@ -226,6 +232,7 @@ def repvgg_a2(**kwargs):
         BlockCfg("rep", 1, 1408, 2),
     ))
     kwargs.setdefault("stem_chs", 64)
+    kwargs.setdefault("stem_type", "rep")
     return ByobNet(**kwargs)
 
 

@@ -1329,6 +1329,66 @@ def _map_regnet_name(name: str):
     return None
 
 
+def repvgg_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm RepVGG checkpoint (reference ``models/byobnet.py:454-496``
+    RepVggBlock; cfg table :66-89) -> flax variables for
+    ``models/byob.ByobNet`` with ``stem_type='rep'``.
+
+    ``conv_kxk``/``conv_1x1`` ConvBnAct pairs -> our ``conv3``/``conv1``
+    ConvBNs (the branch sum is commutative, so operand order is free);
+    the bare BatchNormAct2d ``identity`` (present when in==out and
+    stride 1) -> ``bn_ident``; ``stages.{s}.{b}`` -> ``s{s}_b{b}``;
+    ``head.fc`` -> the shared fp32 Dense head (no final 1x1 in RepVGG
+    cfgs)."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_repvgg_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_repvgg_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"head\.fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "fc", leaf), (
+            _linear if leaf == "kernel" else ident)
+    if name.startswith("stem."):
+        base, rest = ("stem",), name[len("stem."):]
+    else:
+        m = re.match(r"stages\.(\d+)\.(\d+)\.(.+)$", name)
+        if not m:
+            return None
+        # ByobBlock dispatches to an (auto-named) inner RepBlock submodule
+        base = (f"s{m.group(1)}_b{m.group(2)}", "RepBlock_0")
+        rest = m.group(3)
+    mm = re.match(r"conv_(kxk|1x1)\.conv\.weight$", rest)
+    if mm:
+        sub = "conv3" if mm.group(1) == "kxk" else "conv1"
+        return ("params", *base, sub, "conv", "kernel"), _conv
+    mm = re.match(r"conv_(kxk|1x1)\.bn\.(weight|bias|running_mean|"
+                  r"running_var)$", rest)
+    if mm:
+        sub = "conv3" if mm.group(1) == "kxk" else "conv1"
+        coll, leaf = _BN_LEAVES[mm.group(2)]
+        return (coll, *base, sub, "bn", leaf), ident
+    mm = re.match(r"identity\.(weight|bias|running_mean|running_var)$", rest)
+    if mm:
+        coll, leaf = _BN_LEAVES[mm.group(1)]
+        return (coll, *base, "bn_ident", leaf), ident
+    return None
+
+
 def _iter_leaves(tree):
     if isinstance(tree, dict):
         for v in tree.values():

@@ -80,6 +80,8 @@ ZOO_URLS: Dict[str, str] = {
     "inception_v3": "https://download.pytorch.org/models/inception_v3_google-1a9a5a14.pth",
     # Xception (Cadene weights; reference cfg models/xception.py:30-48)
     "xception": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/xception-43020ad28.pth",
+    # RepVGG (reference cfg models/byobnet.py:66-67)
+    "repvgg_a2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-repvgg-weights/repvgg_a2-c1ee6d2b.pth",
     # RegNet (reference cfg models/regnet.py:71-96)
     "regnetx_002": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-regnet/regnetx_002-e7e85e5c.pth",
     "regnety_002": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-regnet/regnety_002-e68ca334.pth",
@@ -203,6 +205,10 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import densenet_state_dict_to_flax
 
         return densenet_state_dict_to_flax(state)
+    if backbone.startswith("repvgg"):
+        from acr_wsss_tpu.models.convert import repvgg_state_dict_to_flax
+
+        return repvgg_state_dict_to_flax(state)
     if backbone.startswith("regnet"):
         from acr_wsss_tpu.models.convert import regnet_state_dict_to_flax
 

@@ -629,3 +629,36 @@ def test_regnety_converted_forward_parity():
     channels — regnet.py:147-149) -> RegNet: adds the SEModule
     fc1/fc2 -> SqueezeExcite reduce/expand mapping."""
     _regnet_parity("regnety_002", 37)
+
+
+@requires_reference
+def test_repvgg_converted_forward_parity():
+    """timm repvgg_a2 (byobnet.py:454-496 RepVggBlock, 'rep' stem
+    :166-170) -> models/byob.ByobNet(stem_type='rep'): covers the
+    conv_kxk/conv_1x1 branch pair in stem and stages, the bare
+    BatchNormAct2d identity branch, and head.fc -> Dense."""
+    import torch
+
+    bb = _load_vendored("byobnet")
+    torch.manual_seed(41)
+    ref = bb.repvgg_a2(pretrained=False)
+    rng = np.random.default_rng(41)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import repvgg_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = repvgg_state_dict_to_flax(ref.state_dict())
+    model = create_model("repvgg_a2", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
