@@ -1389,6 +1389,107 @@ def _map_repvgg_name(name: str):
     return None
 
 
+def resnetv2_bit_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm preact ResNetV2 (BiT) torch layout (reference
+    ``models/resnetv2.py:311-384``) -> flax variables for
+    ``models/hybrid.BiTResNetV2``.
+
+    All-GroupNorm, so everything lands in ``params`` (no batch_stats):
+    ``stages.{s}.blocks.{b}.{norm1..3,conv1..3,downsample.conv}`` ->
+    ``s{s}_b{b}/...`` with GroupNormAct leaves under ``GroupNorm_0``;
+    the final ``norm`` + 1x1-conv ``head.fc`` -> ``norm`` + Dense."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_resnetv2_bit_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_resnetv2_bit_name(name: str):
+    ident = lambda x: x
+    if name == "stem.conv.weight":
+        return ("params", "stem_conv", "kernel"), _conv
+    m = re.match(r"norm\.(weight|bias)$", name)
+    if m:
+        leaf = "scale" if m.group(1) == "weight" else "bias"
+        return ("params", "norm", "GroupNorm_0", leaf), ident
+    m = re.match(r"head\.fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "head", leaf), (
+            _conv1x1_to_dense if leaf == "kernel" else ident)
+    m = re.match(r"stages\.(\d+)\.blocks\.(\d+)\.(.+)$", name)
+    if not m:
+        return None
+    base = f"s{m.group(1)}_b{m.group(2)}"
+    rest = m.group(3)
+    mm = re.match(r"conv(\d)\.weight$", rest)
+    if mm:
+        return ("params", base, f"conv{mm.group(1)}", "kernel"), _conv
+    mm = re.match(r"norm(\d)\.(weight|bias)$", rest)
+    if mm:
+        leaf = "scale" if mm.group(2) == "weight" else "bias"
+        return ("params", base, f"norm{mm.group(1)}", "GroupNorm_0",
+                leaf), ident
+    if rest == "downsample.conv.weight":
+        return ("params", base, "downsample_conv", "kernel"), _conv
+    return None
+
+
+def bit_npz_to_torch_names(weights: Mapping[str, "np.ndarray"],
+                           prefix: str = "resnet/") -> Dict:
+    """Official BiT ``.npz`` release -> the timm torch-layout key names
+    consumed by :func:`resnetv2_bit_state_dict_to_flax`.
+
+    Mirrors the reference's custom loader (``models/resnetv2.py:386-416``
+    ``load_pretrained``): TF HWIO conv kernels transpose to torch OIHW
+    (the flax converter transposes back), ``block{i}/unit{j:02d}/{a,b,c}``
+    -> ``stages.{i-1}.blocks.{j-1}.{1,2,3}``, ``a/proj`` -> downsample."""
+    out: Dict = {}
+    sub = {"a": "1", "b": "2", "c": "3"}
+    for name, v in weights.items():
+        if not name.startswith(prefix):
+            continue
+        name = name[len(prefix):]
+        v = np.asarray(v)
+        if v.ndim == 4:
+            v = v.transpose(3, 2, 0, 1)  # HWIO -> OIHW (tf2th)
+        else:
+            v = v.reshape(-1)
+        if name == "root_block/standardized_conv2d/kernel":
+            out["stem.conv.weight"] = v
+        elif name == "group_norm/gamma":
+            out["norm.weight"] = v
+        elif name == "group_norm/beta":
+            out["norm.bias"] = v
+        elif name == "head/conv2d/kernel":
+            out["head.fc.weight"] = v
+        elif name == "head/conv2d/bias":
+            out["head.fc.bias"] = v
+        else:
+            m = re.match(r"block(\d+)/unit(\d+)/(a|b|c)(/proj)?/"
+                         r"(?:standardized_conv2d/kernel|"
+                         r"group_norm/(gamma|beta))$", name)
+            if not m:
+                continue
+            base = f"stages.{int(m.group(1)) - 1}.blocks.{int(m.group(2)) - 1}"
+            if m.group(4):  # a/proj -> downsample conv
+                out[f"{base}.downsample.conv.weight"] = v
+            elif m.group(5):
+                leaf = "weight" if m.group(5) == "gamma" else "bias"
+                out[f"{base}.norm{sub[m.group(3)]}.{leaf}"] = v
+            else:
+                out[f"{base}.conv{sub[m.group(3)]}.weight"] = v
+    return out
+
+
 def _iter_leaves(tree):
     if isinstance(tree, dict):
         for v in tree.values():

@@ -126,3 +126,83 @@ def resnetv2_50(**kwargs):
 @register_model
 def resnetv2_101(**kwargs):
     return ResNetV2(layers=(3, 4, 23, 3), **kwargs)
+
+
+class PreActBottleneck(nn.Module):
+    """BiT pre-activation bottleneck (reference ``models/resnetv2.py:
+    121-169``): GN+ReLU first; the projection shortcut consumes the
+    PRE-ACTIVATED input; stride sits on the 3x3."""
+
+    out_chs: int
+    stride: int = 1
+    bottle_ratio: float = 0.25
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        mid_chs = max(8, int(self.out_chs * self.bottle_ratio + 4) // 8 * 8)
+        in_chs = x.shape[-1]
+        x_pre = GroupNormAct(name="norm1")(x).astype(self.dtype)
+        shortcut = x
+        if in_chs != self.out_chs or self.stride != 1:
+            shortcut = WSConv(self.out_chs, 1, strides=self.stride,
+                              dtype=self.dtype,
+                              name="downsample_conv")(x_pre)
+        y = WSConv(mid_chs, 1, dtype=self.dtype, name="conv1")(x_pre)
+        y = GroupNormAct(name="norm2")(y).astype(self.dtype)
+        # symmetric pad 1 (torch default), NOT 'SAME': BiT checkpoints were
+        # trained with fixed symmetric padding (resnetv2.py:296-300)
+        y = WSConv(mid_chs, 3, strides=self.stride, padding=1,
+                   dtype=self.dtype, name="conv2")(y)
+        y = GroupNormAct(name="norm3")(y).astype(self.dtype)
+        y = WSConv(self.out_chs, 1, dtype=self.dtype, name="conv3")(y)
+        return y + shortcut
+
+
+class BiTResNetV2(nn.Module):
+    """Pre-activation BiT ResNetV2 (reference ``models/resnetv2.py:
+    311-384``; 'fixed' stem :296-300): weight-standardized convs +
+    GroupNorm throughout, a final GN+ReLU before pooling, and a 1x1 conv
+    head (== Dense on the pooled vector)."""
+
+    num_classes: int = 1000
+    layers: Sequence[int] = (3, 4, 6, 3)
+    channels: Sequence[int] = (256, 512, 1024, 2048)
+    width_factor: int = 1
+    stem_chs: int = 64
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        mk = lambda c: max(8, int(c * self.width_factor + 4) // 8 * 8)
+        x = x.astype(self.dtype)
+        # 7x7/2 with symmetric pad 3, then the BiT 'fixed' pool:
+        # zero-pad 1 + 3x3/2 VALID max pool (resnetv2.py:296-300)
+        x = WSConv(mk(self.stem_chs), 7, strides=2, padding=3,
+                   dtype=self.dtype, name="stem_conv")(x)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        taps: Dict[int, jnp.ndarray] = {}
+        for si, (depth, chs) in enumerate(zip(self.layers, self.channels)):
+            stride = 1 if si == 0 else 2
+            for bi in range(depth):
+                x = PreActBottleneck(mk(chs),
+                                     stride=stride if bi == 0 else 1,
+                                     dtype=self.dtype,
+                                     name=f"s{si}_b{bi}")(x)
+            taps[si] = x
+        x = GroupNormAct(name="norm")(x)
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          name="head")(pooled)
+        return {"logits": logits, "features": x, "taps": taps}
+
+
+@register_model
+def resnetv2_50x1_bitm(**kwargs):
+    return BiTResNetV2(layers=(3, 4, 6, 3), **kwargs)
+
+
+@register_model
+def resnetv2_101x1_bitm(**kwargs):
+    return BiTResNetV2(layers=(3, 4, 23, 3), **kwargs)

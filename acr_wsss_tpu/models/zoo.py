@@ -26,6 +26,8 @@ import argparse
 import os
 from typing import Dict, Optional
 
+import numpy as np
+
 
 # Upstream checkpoint URLs for the wired backbones (reference cfg tables:
 # ViT ``models/vision_transformer.py:49-132``; Swin
@@ -80,6 +82,9 @@ ZOO_URLS: Dict[str, str] = {
     "inception_v3": "https://download.pytorch.org/models/inception_v3_google-1a9a5a14.pth",
     # Xception (Cadene weights; reference cfg models/xception.py:30-48)
     "xception": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/xception-43020ad28.pth",
+    # BiT preact ResNetV2 (reference cfg models/resnetv2.py:56-67; TF npz)
+    "resnetv2_50x1_bitm": "https://storage.googleapis.com/bit_models/BiT-M-R50x1-ILSVRC2012.npz",
+    "resnetv2_101x1_bitm": "https://storage.googleapis.com/bit_models/BiT-M-R101x1-ILSVRC2012.npz",
     # RepVGG (reference cfg models/byobnet.py:66-67)
     "repvgg_a2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-repvgg-weights/repvgg_a2-c1ee6d2b.pth",
     # RegNet (reference cfg models/regnet.py:71-96)
@@ -138,11 +143,16 @@ def fetch(backbone: str, directory: Optional[str] = None,
             ) from e
     _validate_checkpoint_file(pth)
 
-    import torch
+    if pth.endswith(".npz"):  # BiT releases ship TF-layout npz, not torch
+        from acr_wsss_tpu.models.convert import bit_npz_to_torch_names
 
-    state = torch.load(pth, map_location="cpu", weights_only=True)
-    if isinstance(state, dict) and "model" in state:
-        state = state["model"]  # deit/swin checkpoints nest under 'model'
+        state = bit_npz_to_torch_names(dict(np.load(pth)))
+    else:
+        import torch
+
+        state = torch.load(pth, map_location="cpu", weights_only=True)
+        if isinstance(state, dict) and "model" in state:
+            state = state["model"]  # deit/swin checkpoints nest under 'model'
     params = convert_state_dict(backbone, state)
     save_params_npz(out, params)
     return out
@@ -163,6 +173,12 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import pit_state_dict_to_flax
 
         return pit_state_dict_to_flax(state)
+    if backbone.startswith("resnetv2") and backbone.endswith("_bitm"):
+        from acr_wsss_tpu.models.convert import (
+            resnetv2_bit_state_dict_to_flax,
+        )
+
+        return resnetv2_bit_state_dict_to_flax(state)
     if backbone.startswith(("resnet", "resnext", "wide_resnet")):
         from acr_wsss_tpu.models.convert import resnet_state_dict_to_flax
 

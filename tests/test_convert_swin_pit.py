@@ -662,3 +662,109 @@ def test_repvgg_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_resnetv2_bit_converted_forward_parity():
+    """timm preact ResNetV2 (resnetv2.py:121-169 PreActBottleneck, 'fixed'
+    BiT stem :296-300) -> models/hybrid.BiTResNetV2: all-GroupNorm (no
+    batch_stats), pre-activated projection shortcut, zero-pad+VALID
+    max-pool stem, final norm, 1x1-conv head -> Dense."""
+    import torch
+
+    rv2 = _load_vendored("resnetv2")
+    torch.manual_seed(43)
+    ref = rv2.ResNetV2(layers=(3, 4, 6, 3), num_classes=1000,
+                       stem_type="fixed", preact=True)
+    ref.eval()
+
+    from acr_wsss_tpu.models.convert import resnetv2_bit_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = resnetv2_bit_state_dict_to_flax(ref.state_dict())
+    model = create_model("resnetv2_50x1_bitm", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
+    assert_trees_match(expected, variables)
+
+    rng = np.random.default_rng(43)
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_bit_npz_renamer_roundtrip():
+    """Synthetic BiT-release npz keys (resnetv2.py:386-416 custom loader
+    format) -> torch-layout names: the renamed dict must load into the
+    vendored torch model via load_state_dict(strict=False) with zero
+    unexpected keys and convert to a tree matching BiTResNetV2."""
+    import torch
+
+    rv2 = _load_vendored("resnetv2")
+    ref = rv2.ResNetV2(layers=(3, 4, 6, 3), num_classes=1000,
+                       stem_type="fixed", preact=True)
+
+    from acr_wsss_tpu.models.convert import bit_npz_to_torch_names
+
+    rng = np.random.default_rng(5)
+    npz = {}
+    sub = {"1": "a", "2": "b", "3": "c"}
+    for tname, p in ref.state_dict().items():
+        shape = tuple(p.shape)
+        if tname == "stem.conv.weight":
+            key = "resnet/root_block/standardized_conv2d/kernel"
+        elif tname.startswith("norm."):
+            key = ("resnet/group_norm/gamma" if tname.endswith("weight")
+                   else "resnet/group_norm/beta")
+        elif tname == "head.fc.weight":
+            key = "resnet/head/conv2d/kernel"
+        elif tname == "head.fc.bias":
+            key = "resnet/head/conv2d/bias"
+        else:
+            m = __import__("re").match(
+                r"stages\.(\d+)\.blocks\.(\d+)\.(.+)$", tname)
+            assert m, tname
+            base = f"resnet/block{int(m.group(1)) + 1}/unit{int(m.group(2)) + 1:02d}"
+            rest = m.group(3)
+            if rest == "downsample.conv.weight":
+                key = f"{base}/a/proj/standardized_conv2d/kernel"
+            elif rest[:4] == "conv":
+                key = f"{base}/{sub[rest[4]]}/standardized_conv2d/kernel"
+            else:
+                leaf = "gamma" if rest.endswith("weight") else "beta"
+                key = f"{base}/{sub[rest[4]]}/group_norm/{leaf}"
+        v = rng.normal(size=shape).astype(np.float32)
+        if v.ndim == 4:
+            v = v.transpose(2, 3, 1, 0)  # OIHW -> HWIO as BiT ships
+        elif tname.startswith("head.fc.weight"):
+            pass
+        npz[key] = v
+    # head kernel in the release is (1, 1, C, N)
+    npz["resnet/head/conv2d/kernel"] = npz[
+        "resnet/head/conv2d/kernel"].reshape(
+        1, 1, ref.head.fc.weight.shape[1], ref.head.fc.weight.shape[0])
+
+    renamed = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in bit_npz_to_torch_names(npz).items()}
+    renamed["head.fc.weight"] = renamed["head.fc.weight"].reshape(
+        ref.head.fc.weight.shape)
+    result = ref.load_state_dict(renamed, strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    assert not [k for k in result.missing_keys
+                if "num_batches" not in k], result.missing_keys
+
+    from acr_wsss_tpu.models.convert import resnetv2_bit_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = resnetv2_bit_state_dict_to_flax(
+        {k: v.numpy() for k, v in renamed.items()})
+    model = create_model("resnetv2_50x1_bitm", num_classes=1000,
+                         dtype=jnp.float32)
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3))))
+    assert_trees_match(expected, variables)
