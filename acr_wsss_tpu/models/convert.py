@@ -1443,6 +1443,76 @@ def _map_resnetv2_bit_name(name: str):
     return None
 
 
+def gluon_resnet_d_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm Gluon ResNet-D checkpoint (reference ``models/gluon_resnet.py:
+    133-155`` -> ``models/resnet.py`` with stem_type='deep' +
+    avg_down=True) -> flax variables for ``models/cnn_misc.GluonResNetD``.
+
+    Deep stem Sequential ``conv1.{0,3,6}`` + inner BNs ``conv1.{1,4}`` +
+    outer ``bn1`` -> ``stem{0,1,2}``; avg-down shortcut Sequential
+    ``downsample.{1,2}`` (index 0 is the param-free pool) ->
+    ``s{s}_b{b}_proj``; bottleneck conv/bn pairs -> ``_c{1,2,3}``."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_gluon_resnet_d_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+_GLUON_STEM_CONV = {"0": "stem0", "3": "stem1", "6": "stem2"}
+_GLUON_STEM_BN = {"1": "stem0", "4": "stem1"}
+
+
+def _map_gluon_resnet_d_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"conv1\.(\d)\.weight$", name)
+    if m and m.group(1) in _GLUON_STEM_CONV:
+        return ("params", _GLUON_STEM_CONV[m.group(1)], "conv",
+                "kernel"), _conv
+    m = re.match(r"conv1\.(\d)\.(weight|bias|running_mean|running_var)$",
+                 name)
+    if m and m.group(1) in _GLUON_STEM_BN:
+        coll, leaf = _BN_LEAVES[m.group(2)]
+        return (coll, _GLUON_STEM_BN[m.group(1)], "bn", leaf), ident
+    m = re.match(r"bn1\.(weight|bias|running_mean|running_var)$", name)
+    if m:
+        coll, leaf = _BN_LEAVES[m.group(1)]
+        return (coll, "stem2", "bn", leaf), ident
+    m = re.match(r"fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "fc", leaf), (_linear if leaf == "kernel" else ident)
+    m = re.match(r"layer(\d+)\.(\d+)\.(.+)$", name)
+    if not m:
+        return None
+    base = f"s{int(m.group(1)) - 1}_b{m.group(2)}"
+    rest = m.group(3)
+    mm = re.match(r"conv(\d)\.weight$", rest)
+    if mm:
+        return ("params", f"{base}_c{mm.group(1)}", "conv", "kernel"), _conv
+    mm = re.match(r"bn(\d)\.(weight|bias|running_mean|running_var)$", rest)
+    if mm:
+        coll, leaf = _BN_LEAVES[mm.group(2)]
+        return (coll, f"{base}_c{mm.group(1)}", "bn", leaf), ident
+    if rest == "downsample.1.weight":
+        return ("params", f"{base}_proj", "conv", "kernel"), _conv
+    mm = re.match(r"downsample\.2\.(weight|bias|running_mean|"
+                  r"running_var)$", rest)
+    if mm:
+        coll, leaf = _BN_LEAVES[mm.group(1)]
+        return (coll, f"{base}_proj", "bn", leaf), ident
+    return None
+
+
 def bit_npz_to_torch_names(weights: Mapping[str, "np.ndarray"],
                            prefix: str = "resnet/") -> Dict:
     """Official BiT ``.npz`` release -> the timm torch-layout key names

@@ -82,6 +82,8 @@ ZOO_URLS: Dict[str, str] = {
     "inception_v3": "https://download.pytorch.org/models/inception_v3_google-1a9a5a14.pth",
     # Xception (Cadene weights; reference cfg models/xception.py:30-48)
     "xception": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/xception-43020ad28.pth",
+    # Gluon ResNet-D (reference cfg models/gluon_resnet.py:37)
+    "gluon_resnet50_v1d": "https://github.com/rwightman/pytorch-pretrained-gluonresnet/releases/download/v0.1/gluon_resnet50_v1d-818a1b1b.pth",
     # BiT preact ResNetV2 (reference cfg models/resnetv2.py:56-67; TF npz)
     "resnetv2_50x1_bitm": "https://storage.googleapis.com/bit_models/BiT-M-R50x1-ILSVRC2012.npz",
     "resnetv2_101x1_bitm": "https://storage.googleapis.com/bit_models/BiT-M-R101x1-ILSVRC2012.npz",
@@ -173,6 +175,12 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import pit_state_dict_to_flax
 
         return pit_state_dict_to_flax(state)
+    if backbone.startswith("gluon_resnet"):
+        from acr_wsss_tpu.models.convert import (
+            gluon_resnet_d_state_dict_to_flax,
+        )
+
+        return gluon_resnet_d_state_dict_to_flax(state)
     if backbone.startswith("resnetv2") and backbone.endswith("_bitm"):
         from acr_wsss_tpu.models.convert import (
             resnetv2_bit_state_dict_to_flax,

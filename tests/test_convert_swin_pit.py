@@ -768,3 +768,37 @@ def test_bit_npz_renamer_roundtrip():
     expected = jax.eval_shape(
         lambda: model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3))))
     assert_trees_match(expected, variables)
+
+
+@requires_reference
+def test_gluon_resnet_d_converted_forward_parity():
+    """timm gluon_resnet50_v1d (gluon_resnet.py:132-137 -> resnet.py deep
+    stem + avg_down) -> models/cnn_misc.GluonResNetD: deep conv1
+    Sequential -> stem0/1/2, avg-pool downsample Sequential -> _proj,
+    eval-mode logits parity."""
+    import torch
+
+    gr = _load_vendored("gluon_resnet")
+    torch.manual_seed(47)
+    ref = gr.gluon_resnet50_v1d(pretrained=False)
+    rng = np.random.default_rng(47)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import gluon_resnet_d_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = gluon_resnet_d_state_dict_to_flax(ref.state_dict())
+    model = create_model("gluon_resnet50_v1d", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-4)
