@@ -590,20 +590,25 @@ class GluonResNetD(nn.Module):
                 "taps": taps}
 
 
-# HardCoRe-NAS A table: (kernel, expand, out, se, stride)
+# HardCoRe-NAS A arch (reference ``models/hardcorenas.py:69-77`` arch_def,
+# flattened): (kernel, expand, out, se, act, stride). 'nre' blocks run
+# ReLU; the rest hard-swish. b0 is the 'ds' block (expand 1 -> no
+# expansion conv).
 _HARDCORENAS_A = (
-    (3, 1.0, 16, False, 1),
-    (5, 3.0, 24, False, 2), (5, 3.0, 24, True, 1),
-    (5, 3.0, 40, True, 2), (5, 3.0, 40, True, 1),
-    (5, 6.0, 80, True, 2), (5, 6.0, 80, True, 1),
-    (5, 6.0, 112, True, 1), (5, 6.0, 112, True, 1),
-    (5, 6.0, 192, True, 2), (5, 6.0, 192, True, 1),
+    (3, 1.0, 16, False, "relu", 1),
+    (5, 3.0, 24, False, "relu", 2), (5, 3.0, 24, True, "relu", 1),
+    (5, 3.0, 40, False, "relu", 2), (5, 6.0, 40, True, "relu", 1),
+    (5, 6.0, 80, True, "hardswish", 2), (5, 6.0, 80, True, "hardswish", 1),
+    (5, 6.0, 112, True, "hardswish", 1), (5, 6.0, 112, True, "hardswish", 1),
+    (5, 6.0, 192, True, "hardswish", 2), (5, 6.0, 192, True, "hardswish", 1),
 )
 
 
 class HardCoReNAS(nn.Module):
-    """HardCoRe-NAS-A classifier (reference ``models/hardcorenas.py:149``):
-    a latency-constrained NAS MBConv stack (mobilenetv3 search space)."""
+    """HardCoRe-NAS-A classifier (reference ``models/hardcorenas.py:30-77``):
+    a latency-constrained NAS stack in the mobilenetv3 search space,
+    built as a timm MobileNetV3 (num_features=1280, reduce_mid SE with
+    divisor 8, hard-sigmoid gates)."""
 
     num_classes: int = 1000
     dtype: Dtype = jnp.bfloat16
@@ -616,18 +621,24 @@ class HardCoReNAS(nn.Module):
         x = ConvBN(32, 3, 2, apply_act=False, name="stem", **kw)(x, train)
         x = _hardswish(x)
         taps: Dict[int, jnp.ndarray] = {}
-        for bi, (k, exp, out, se, s) in enumerate(_HARDCORENAS_A):
+        for bi, (k, exp, out, se, act, s) in enumerate(_HARDCORENAS_A):
+            # reduce_mid SE: make_divisible(mid*0.25, 8) == se_ratio of
+            # the INPUT scaled by the expand ratio, divisor 8
             x = MBConv(out, k, s, expand_ratio=exp,
-                       se_ratio=0.25 if se else 0.0, act="hardswish",
+                       se_ratio=(0.25 * exp) if se else 0.0,
+                       se_divisor=8, act=act,
                        se_gate="hard", dtype=self.dtype,
                        bn_axis_name=self.bn_axis_name,
-                       name=f"b{bi}")(x, train)
+                       name=f"block{bi}")(x, train)
             if bi in (2, 4, 8, 10):
                 taps[len(taps)] = x
         x = ConvBN(960, 1, apply_act=False, name="head_conv", **kw)(x, train)
         x = _hardswish(x)
-        return {"logits": _head(x, self.num_classes), "features": x,
-                "taps": taps}
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        h = _hardswish(nn.Dense(1280, dtype=jnp.float32, name="pre")(pooled))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          name="classifier")(h)
+        return {"logits": logits, "features": x, "taps": taps}
 
 
 @register_model

@@ -478,7 +478,28 @@ def mobilenetv3_state_dict_to_flax(
     return variables
 
 
-def _map_mbv3_name(name: str):
+def hardcorenas_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm hardcorenas_a (reference ``models/hardcorenas.py:69-77`` —
+    a MobileNetV3 with stages (1,2,2,2,2,2)+cn tail) -> flax variables
+    for ``models/cnn_misc.HardCoReNAS``. Same layout rules as the
+    mobilenetv3 converter, different stage offsets."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_mbv3_name(name, offsets=(0, 1, 3, 5, 7, 9))
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_mbv3_name(name: str, offsets=_MBV3_STAGE_OFFSETS):
     ident = lambda x: x
     if name == "conv_stem.weight":
         return ("params", "stem", "conv", "kernel"), _conv
@@ -510,7 +531,7 @@ def _map_mbv3_name(name: str):
             coll, leaf = _BN_LEAVES[mm.group(1)]
             return (coll, "head_conv", "bn", leaf), ident
         return None
-    base = f"block{_MBV3_STAGE_OFFSETS[s] + j}"
+    base = f"block{offsets[s] + j}"
     ds = s == 0
     conv_of = {"conv_dw": "dw",
                "conv_pw": ("project" if ds else "expand"),

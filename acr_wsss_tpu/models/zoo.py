@@ -66,6 +66,8 @@ ZOO_URLS: Dict[str, str] = {
     "efficientnet_b2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b2_ra-bcdf34b7.pth",
     "efficientnet_b3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b3_ra2-cf984f9c.pth",
     "mobilenetv3_large_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv3_large_100_ra-f55367f5.pth",
+    # HardCoRe-NAS A (reference cfg models/hardcorenas.py:21)
+    "hardcorenas_a": "https://miil-public-eu.oss-eu-central-1.aliyuncs.com/public/HardCoReNAS/HardCoreNAS_A_Green_38ms_75.9_23474aeb.pth",
     # HRNet (hrnetv2 weights; reference cfg table models/hrnet.py:40-60)
     "hrnet_w18_small": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-hrnet/hrnet_w18_small_v1-f460c6bc.pth",
     "hrnet_w18": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-hrnet/hrnetv2_w18-8cb57bb9.pth",
@@ -237,6 +239,10 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import regnet_state_dict_to_flax
 
         return regnet_state_dict_to_flax(state)
+    if backbone.startswith("hardcorenas"):
+        from acr_wsss_tpu.models.convert import hardcorenas_state_dict_to_flax
+
+        return hardcorenas_state_dict_to_flax(state)
     if backbone.startswith("mobilenetv3"):
         from acr_wsss_tpu.models.convert import (
             mobilenetv3_state_dict_to_flax,
