@@ -426,31 +426,37 @@ class ReXNet(nn.Module):
 
 
 class SelecSLSBlock(nn.Module):
-    """SelecSLS unit: two 3x3+1x1 conv pairs whose intermediate outputs are
-    concatenated (short skips) before a 1x1 fuse; the stride-1 variant also
-    concatenates the unit input (long skip)."""
+    """SelecSLS unit (reference ``models/selecsls.py:110-137``): three
+    3x3 branches chained through 1x1s (d1: mid, d2/d3: mid//2), all
+    concatenated (+ the carried long skip unless is_first) into a 1x1
+    fuse. Returns (out, new_skip): the first unit of a resolution
+    re-seeds the skip with its own output."""
 
     mid_chs: int
     out_chs: int
     stride: int = 1
+    is_first: bool = False
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, skip, train: bool = False):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
-        d1 = ConvBN(self.mid_chs, 3, self.stride, name="c1", **kw)(x, train)
-        d2 = ConvBN(self.mid_chs, 1, name="c2", **kw)(d1, train)
-        d3 = ConvBN(self.mid_chs, 3, name="c3", **kw)(d2, train)
-        cat = [d1, d2, d3]
-        if self.stride == 1:
-            cat.append(x)
-        return ConvBN(self.out_chs, 1,
-                      name="fuse", **kw)(jnp.concatenate(cat, -1), train)
+        mid, half = self.mid_chs, self.mid_chs // 2
+        d1 = ConvBN(mid, 3, self.stride, name="conv1", **kw)(x, train)
+        d2 = ConvBN(half, 3, name="conv3", **kw)(
+            ConvBN(mid, 1, name="conv2", **kw)(d1, train), train)
+        d3 = ConvBN(half, 3, name="conv5", **kw)(
+            ConvBN(mid, 1, name="conv4", **kw)(d2, train), train)
+        cat = [d1, d2, d3] if self.is_first else [d1, d2, d3, skip]
+        out = ConvBN(self.out_chs, 1, name="conv6",
+                     **kw)(jnp.concatenate(cat, -1), train)
+        return out, (out if self.is_first else skip)
 
 
 class SelecSLS(nn.Module):
-    """SelecSLS42-shaped classifier (reference ``models/selecsls.py:362``)."""
+    """SelecSLS42b classifier (reference ``models/selecsls.py:140-229``):
+    conv-bn stem, six skip-carrying units, a 4-conv head, Dense fc."""
 
     num_classes: int = 1000
     dtype: Dtype = jnp.bfloat16
@@ -462,16 +468,22 @@ class SelecSLS(nn.Module):
         x = x.astype(self.dtype)
         x = ConvBN(32, 3, 2, name="stem", **kw)(x, train)
         taps: Dict[int, jnp.ndarray] = {}
-        cfg = ((64, 64, 2), (64, 128, 1),
-               (144, 144, 2), (144, 288, 1),
-               (304, 304, 2), (304, 480, 1))
-        for bi, (mid, out, s) in enumerate(cfg):
-            x = SelecSLSBlock(mid, out, s, name=f"b{bi}", **kw)(x, train)
-            if s == 1:
+        # (mid, out, is_first, stride) — selecsls.py:199-208 cfg 42b
+        cfg = ((64, 64, True, 2), (64, 128, False, 1),
+               (144, 144, True, 2), (144, 288, False, 1),
+               (304, 304, True, 2), (304, 480, False, 1))
+        skip = x
+        for bi, (mid, out, first, s) in enumerate(cfg):
+            x, skip = SelecSLSBlock(mid, out, s, is_first=first,
+                                    name=f"b{bi}", **kw)(x, skip, train)
+            if not first:
                 taps[len(taps)] = x
-        x = ConvBN(960, 3, 2, name="head1", **kw)(x, train)
+        # 42b head (selecsls.py:221-229)
+        x = ConvBN(960, 3, 2, name="h0", **kw)(x, train)
+        x = ConvBN(1024, 3, 1, name="h1", **kw)(x, train)
         taps[len(taps)] = x
-        x = ConvBN(1024, 1, name="head2", **kw)(x, train)
+        x = ConvBN(1280, 3, 2, name="h2", **kw)(x, train)
+        x = ConvBN(1024, 1, 1, name="h3", **kw)(x, train)
         return {"logits": _head(x, self.num_classes), "features": x,
                 "taps": taps}
 

@@ -1534,6 +1534,57 @@ def _map_gluon_resnet_d_name(name: str):
     return None
 
 
+def selecsls_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm selecsls42b checkpoint (reference ``models/selecsls.py:
+    110-229``) -> flax variables for ``models/cnn_misc.SelecSLS``.
+
+    conv_bn Sequentials (``.0`` conv / ``.1`` bn): ``stem`` -> ``stem``,
+    ``features.{i}.conv{n}`` -> ``b{i}/conv{n}``, ``head.{j}`` ->
+    ``h{j}``, ``fc`` -> the shared Dense head."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_selecsls_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_selecsls_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "fc", leaf), (_linear if leaf == "kernel" else ident)
+    m = re.match(r"stem\.(0|1)\.(.+)$", name)
+    if m:
+        base, idx, rest = "stem", m.group(1), m.group(2)
+    else:
+        m = re.match(r"features\.(\d+)\.conv(\d)\.(0|1)\.(.+)$", name)
+        if m:
+            base = (f"b{m.group(1)}", f"conv{m.group(2)}")
+            idx, rest = m.group(3), m.group(4)
+        else:
+            m = re.match(r"head\.(\d+)\.(0|1)\.(.+)$", name)
+            if not m:
+                return None
+            base, idx, rest = f"h{m.group(1)}", m.group(2), m.group(3)
+    base = (base,) if isinstance(base, str) else base
+    if idx == "0" and rest == "weight":
+        return ("params", *base, "conv", "kernel"), _conv
+    if idx == "1" and rest in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[rest]
+        return (coll, *base, "bn", leaf), ident
+    return None
+
+
 def bit_npz_to_torch_names(weights: Mapping[str, "np.ndarray"],
                            prefix: str = "resnet/") -> Dict:
     """Official BiT ``.npz`` release -> the timm torch-layout key names

@@ -66,6 +66,8 @@ ZOO_URLS: Dict[str, str] = {
     "efficientnet_b2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b2_ra-bcdf34b7.pth",
     "efficientnet_b3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b3_ra2-cf984f9c.pth",
     "mobilenetv3_large_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv3_large_100_ra-f55367f5.pth",
+    # SelecSLS (reference cfg models/selecsls.py:41-43)
+    "selecsls42b": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-selecsls/selecsls42b-8af30141.pth",
     # HardCoRe-NAS A (reference cfg models/hardcorenas.py:21)
     "hardcorenas_a": "https://miil-public-eu.oss-eu-central-1.aliyuncs.com/public/HardCoReNAS/HardCoreNAS_A_Green_38ms_75.9_23474aeb.pth",
     # HRNet (hrnetv2 weights; reference cfg table models/hrnet.py:40-60)
@@ -239,6 +241,10 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import regnet_state_dict_to_flax
 
         return regnet_state_dict_to_flax(state)
+    if backbone.startswith("selecsls"):
+        from acr_wsss_tpu.models.convert import selecsls_state_dict_to_flax
+
+        return selecsls_state_dict_to_flax(state)
     if backbone.startswith("hardcorenas"):
         from acr_wsss_tpu.models.convert import hardcorenas_state_dict_to_flax
 

@@ -835,3 +835,34 @@ def test_hardcorenas_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=1e-3, rtol=1e-4)
+
+
+@requires_reference
+def test_selecsls_converted_forward_parity():
+    """timm selecsls42b (selecsls.py:110-229: 6-conv skip-carrying units,
+    4-conv head) -> models/cnn_misc.SelecSLS: eval-mode logits parity."""
+    import torch
+
+    ss = _load_vendored("selecsls")
+    torch.manual_seed(59)
+    ref = ss.selecsls42b(pretrained=False)
+    rng = np.random.default_rng(59)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import selecsls_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = selecsls_state_dict_to_flax(ref.state_dict())
+    model = create_model("selecsls42b", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-4)
