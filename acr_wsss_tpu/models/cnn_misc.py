@@ -236,12 +236,16 @@ class CSPNet(nn.Module):
 
 
 class OSABlock(nn.Module):
-    """VoVNet one-shot aggregation: n sequential 3x3 convs, concat ALL
-    intermediate outputs (+input), compress with a 1x1."""
+    """VoVNet one-shot aggregation (reference ``models/vovnet.py:179-229``):
+    n sequential 3x3 convs, concat ALL intermediate outputs (+input),
+    compress with a 1x1; V2 adds an Effective-SE gate on the last block
+    of a stage and an identity residual for blocks after the first."""
 
     mid_chs: int
     out_chs: int
     n_convs: int = 5
+    residual: bool = False
+    ese: bool = False
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -254,16 +258,29 @@ class OSABlock(nn.Module):
             y = ConvBN(self.mid_chs, 3, name=f"c{i}", **kw)(y, train)
             outs.append(y)
         y = jnp.concatenate(outs, axis=-1)
-        return ConvBN(self.out_chs, 1, name="concat_conv", **kw)(y, train)
+        y = ConvBN(self.out_chs, 1, name="concat_conv", **kw)(y, train)
+        if self.ese:
+            # EffectiveSE (layers/se.py:38-50): full-width 1x1 + hard sigmoid
+            s = jnp.mean(y.astype(jnp.float32), axis=(1, 2), keepdims=True)
+            s = nn.Conv(self.out_chs, (1, 1), dtype=jnp.float32,
+                        name="attn_fc")(s)
+            gate = jnp.clip(s / 6.0 + 0.5, 0.0, 1.0)
+            y = (y * gate.astype(y.dtype)).astype(y.dtype)
+        if self.residual:
+            y = (y + x).astype(y.dtype)
+        return y
 
 
 class VoVNet(nn.Module):
-    """VoVNet-39-shaped classifier (reference ``models/vovnet.py:406``)."""
+    """VoVNet V1/V2 classifier (reference ``models/vovnet.py:29-135,
+    264-330``); ``ese_vovnet`` cfgs turn on residual + EffectiveSE."""
 
     num_classes: int = 1000
     stage_blocks: Sequence[int] = (1, 1, 2, 2)
     mid_widths: Sequence[int] = (128, 160, 192, 224)
     out_widths: Sequence[int] = (256, 512, 768, 1024)
+    residual: bool = False
+    ese: bool = False
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -278,10 +295,15 @@ class VoVNet(nn.Module):
         for si, (nb, mw, ow) in enumerate(zip(
                 self.stage_blocks, self.mid_widths, self.out_widths)):
             if si > 0:
+                # torch MaxPool2d(3, 2, ceil_mode=True): no left pad,
+                # -inf right/bottom pad as needed (vovnet.py:239)
                 x = nn.max_pool(x, (3, 3), strides=(2, 2),
-                                padding=[(1, 1)] * 2)
+                                padding=[(0, 1), (0, 1)])
             for bi in range(nb):
-                x = OSABlock(mw, ow, name=f"s{si}_osa{bi}", **kw)(x, train)
+                x = OSABlock(mw, ow,
+                             residual=self.residual and bi > 0,
+                             ese=self.ese and bi == nb - 1,
+                             name=f"s{si}_osa{bi}", **kw)(x, train)
             taps[si] = x
         return {"logits": _head(x, self.num_classes), "features": x,
                 "taps": taps}
@@ -666,6 +688,11 @@ def dla34(**kwargs):
 @register_model
 def cspresnet50(**kwargs):
     return CSPNet(**kwargs)
+
+
+@register_model
+def ese_vovnet39b(**kwargs):
+    return VoVNet(residual=True, ese=True, **kwargs)
 
 
 @register_model

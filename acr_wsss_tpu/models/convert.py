@@ -1585,6 +1585,71 @@ def _map_selecsls_name(name: str):
     return None
 
 
+def vovnet_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm (ese_)vovnet checkpoint (reference ``models/vovnet.py``)
+    -> flax variables for ``models/cnn_misc.VoVNet``.
+
+    ``stem.{0,1,2}`` ConvBnActs -> ``stem{1,2,3}``; OSA blocks
+    ``stages.{s}.blocks.{b}.conv_mid.{i}`` -> ``s{s}_osa{b}/c{i}``,
+    ``conv_concat`` -> ``concat_conv``, EffectiveSE ``attn.fc`` ->
+    ``attn_fc``; ``head.fc`` -> the shared Dense head."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_vovnet_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_vovnet_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"head\.fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "fc", leaf), (_linear if leaf == "kernel" else ident)
+    m = re.match(r"stem\.(\d)\.(conv\.weight|bn\.(.+))$", name)
+    if m:
+        base = f"stem{int(m.group(1)) + 1}"
+        if m.group(2) == "conv.weight":
+            return ("params", base, "conv", "kernel"), _conv
+        if m.group(3) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[m.group(3)]
+            return (coll, base, "bn", leaf), ident
+        return None
+    m = re.match(r"stages\.(\d+)\.blocks\.(\d+)\.(.+)$", name)
+    if not m:
+        return None
+    base = f"s{m.group(1)}_osa{m.group(2)}"
+    rest = m.group(3)
+    mm = re.match(r"conv_mid\.(\d)\.conv\.weight$", rest)
+    if mm:
+        return ("params", base, f"c{mm.group(1)}", "conv", "kernel"), _conv
+    mm = re.match(r"conv_mid\.(\d)\.bn\.(.+)$", rest)
+    if mm and mm.group(2) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[mm.group(2)]
+        return (coll, base, f"c{mm.group(1)}", "bn", leaf), ident
+    if rest == "conv_concat.conv.weight":
+        return ("params", base, "concat_conv", "conv", "kernel"), _conv
+    mm = re.match(r"conv_concat\.bn\.(.+)$", rest)
+    if mm and mm.group(1) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[mm.group(1)]
+        return (coll, base, "concat_conv", "bn", leaf), ident
+    mm = re.match(r"attn\.fc\.(weight|bias)$", rest)
+    if mm:
+        leaf = "kernel" if mm.group(1) == "weight" else "bias"
+        return ("params", base, "attn_fc", leaf), (
+            _conv if leaf == "kernel" else ident)
+    return None
+
+
 def bit_npz_to_torch_names(weights: Mapping[str, "np.ndarray"],
                            prefix: str = "resnet/") -> Dict:
     """Official BiT ``.npz`` release -> the timm torch-layout key names

@@ -866,3 +866,36 @@ def test_selecsls_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=1e-3, rtol=1e-4)
+
+
+@requires_reference
+def test_ese_vovnet_converted_forward_parity():
+    """timm ese_vovnet39b (vovnet.py:60-70 cfg; OsaBlock :179-229 with
+    residual + EffectiveSE, ceil-mode stage pools) ->
+    models/cnn_misc.VoVNet(residual=True, ese=True): eval-mode parity."""
+    import torch
+
+    vn = _load_vendored("vovnet")
+    torch.manual_seed(61)
+    ref = vn.ese_vovnet39b(pretrained=False)
+    rng = np.random.default_rng(61)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import vovnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = vovnet_state_dict_to_flax(ref.state_dict())
+    model = create_model("ese_vovnet39b", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-4)
