@@ -188,32 +188,62 @@ class DLA(nn.Module):
                 "taps": taps}
 
 
-class CSPStage(nn.Module):
-    """Cross-stage-partial stage: downsample, split channels, run the
-    residual stack on ONE half, re-join with a transition conv."""
+class CSPResBottleneck(nn.Module):
+    """CSP residual bottleneck (reference ``models/cspnet.py:155-188``
+    ResBottleneck, bottle_ratio 0.5): in == out, no projection, post-add
+    ReLU."""
 
     out_chs: int
-    depth: int
+    bottle_ratio: float = 0.5
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
-        x = ConvBN(self.out_chs, 3, 2, name="down", **kw)(x, train)
-        half = self.out_chs // 2
-        xa, xb = x[..., :half], x[..., half:]
+        mid = int(round(self.out_chs * self.bottle_ratio))
+        y = ConvBN(mid, 1, name="conv1", **kw)(x, train)
+        y = ConvBN(mid, 3, name="conv2", **kw)(y, train)
+        y = ConvBN(self.out_chs, 1, apply_act=False, name="conv3",
+                   **kw)(y, train)
+        return nn.relu(y + x).astype(x.dtype)
+
+
+class CSPStage(nn.Module):
+    """Cross stage (reference ``models/cspnet.py:225-272`` CrossStage,
+    cspresnet50 cfg: exp_ratio 2, cross_linear, down only when
+    strided): optional 3x3 conv_down (width-preserving), linear 1x1
+    expansion to 2*out, split halves, residual stack on the SECOND half,
+    per-path + joint transition convs."""
+
+    out_chs: int
+    depth: int
+    stride: int = 2
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        if self.stride != 1:
+            x = ConvBN(x.shape[-1], 3, self.stride, name="conv_down",
+                       **kw)(x, train)
+        exp = 2 * self.out_chs
+        x = ConvBN(exp, 1, apply_act=False, name="conv_exp", **kw)(x, train)
+        half = exp // 2
+        xs, xb = x[..., :half], x[..., half:]
         for bi in range(self.depth):
-            xb = ResNetBottleneck(half, dtype=self.dtype,
+            xb = CSPResBottleneck(half, dtype=self.dtype,
                                   bn_axis_name=self.bn_axis_name,
                                   name=f"b{bi}")(xb, train)
-        xb = ConvBN(half, 1, name="post", **kw)(xb, train)
-        return ConvBN(self.out_chs, 1, name="transition",
-                      **kw)(jnp.concatenate([xa, xb], axis=-1), train)
+        xb = ConvBN(half, 1, name="conv_transition_b", **kw)(xb, train)
+        return ConvBN(self.out_chs, 1, name="conv_transition",
+                      **kw)(jnp.concatenate([xs, xb], axis=-1), train)
 
 
 class CSPNet(nn.Module):
-    """CSPResNet50-shaped classifier (reference ``models/cspnet.py:457``)."""
+    """CSPResNet50 classifier (reference ``models/cspnet.py:57-68`` cfg +
+    :346-399): 7x7 stem conv + max pool, first stage unstrided."""
 
     num_classes: int = 1000
     stage_depths: Sequence[int] = (3, 3, 5, 2)
@@ -229,7 +259,8 @@ class CSPNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
         taps: Dict[int, jnp.ndarray] = {}
         for si, (d, w) in enumerate(zip(self.stage_depths, self.widths)):
-            x = CSPStage(w, d, name=f"stage{si}", **kw)(x, train)
+            x = CSPStage(w, d, stride=1 if si == 0 else 2,
+                         name=f"stage{si}", **kw)(x, train)
             taps[si] = x
         return {"logits": _head(x, self.num_classes), "features": x,
                 "taps": taps}

@@ -1650,6 +1650,69 @@ def _map_vovnet_name(name: str):
     return None
 
 
+def cspnet_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm cspresnet50 checkpoint (reference ``models/cspnet.py``) ->
+    flax variables for ``models/cnn_misc.CSPNet``.
+
+    ``stem.conv1`` -> ``stem``; CrossStage modules ``stages.{s}.
+    {conv_down,conv_exp,conv_transition_b,conv_transition}`` map by name
+    onto ``stage{s}``; block ConvBnActs ``blocks.{b}.conv{1,2,3}`` ->
+    ``stage{s}/b{b}/conv{n}``; ``head.fc`` -> the shared Dense head."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_cspnet_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_cspnet_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"head\.fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "fc", leaf), (_linear if leaf == "kernel" else ident)
+    m = re.match(r"stem\.conv1\.(conv\.weight|bn\.(.+))$", name)
+    if m:
+        if m.group(1) == "conv.weight":
+            return ("params", "stem", "conv", "kernel"), _conv
+        if m.group(2) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[m.group(2)]
+            return (coll, "stem", "bn", leaf), ident
+        return None
+    m = re.match(r"stages\.(\d+)\.(.+)$", name)
+    if not m:
+        return None
+    stage = f"stage{m.group(1)}"
+    rest = m.group(2)
+    mm = re.match(r"(conv_down|conv_exp|conv_transition_b|conv_transition)"
+                  r"\.(conv\.weight|bn\.(.+))$", rest)
+    if mm:
+        if mm.group(2) == "conv.weight":
+            return ("params", stage, mm.group(1), "conv", "kernel"), _conv
+        if mm.group(3) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[mm.group(3)]
+            return (coll, stage, mm.group(1), "bn", leaf), ident
+        return None
+    mm = re.match(r"blocks\.(\d+)\.conv(\d)\.(conv\.weight|bn\.(.+))$", rest)
+    if mm:
+        base = (stage, f"b{mm.group(1)}", f"conv{mm.group(2)}")
+        if mm.group(3) == "conv.weight":
+            return ("params", *base, "conv", "kernel"), _conv
+        if mm.group(4) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[mm.group(4)]
+            return (coll, *base, "bn", leaf), ident
+    return None
+
+
 def bit_npz_to_torch_names(weights: Mapping[str, "np.ndarray"],
                            prefix: str = "resnet/") -> Dict:
     """Official BiT ``.npz`` release -> the timm torch-layout key names

@@ -899,3 +899,35 @@ def test_ese_vovnet_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=1e-3, rtol=1e-4)
+
+
+@requires_reference
+def test_cspresnet_converted_forward_parity():
+    """timm cspresnet50 (cspnet.py:225-272 CrossStage, exp_ratio 2,
+    cross_linear, unstrided first stage) -> models/cnn_misc.CSPNet:
+    eval-mode logits parity."""
+    import torch
+
+    cs = _load_vendored("cspnet")
+    torch.manual_seed(67)
+    ref = cs.cspresnet50(pretrained=False)
+    rng = np.random.default_rng(67)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import cspnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = cspnet_state_dict_to_flax(ref.state_dict())
+    model = create_model("cspresnet50", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=3e-3, rtol=1e-3)
