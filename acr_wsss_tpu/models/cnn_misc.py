@@ -439,12 +439,77 @@ class GhostNet(nn.Module):
         return {"logits": logits, "features": x, "taps": taps}
 
 
+class RexLinearBottleneck(nn.Module):
+    """ReXNet linear bottleneck (reference ``models/rexnet.py:52-111``):
+    swish 1x1 expansion, act-free depthwise, SE **with BatchNorm**
+    (reduction = dw_chs // 12, divisor 1), ReLU6 AFTER the SE, linear
+    projection, and a PARTIAL residual added into the first in_chs
+    output channels whenever stride==1 and in<=out."""
+
+    out_chs: int
+    stride: int = 1
+    exp_ratio: float = 6.0
+    se_ratio: float = 1.0 / 12
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        in_chs = x.shape[-1]
+        y = x
+        if self.exp_ratio != 1.0:
+            dw_chs = int(round(in_chs * self.exp_ratio))
+            y = ConvBN(dw_chs, 1, apply_act=False, name="conv_exp",
+                       **kw)(y, train)
+            y = nn.silu(y)
+        else:
+            dw_chs = in_chs
+        y = DepthwiseConvBN(3, self.stride, dtype=self.dtype,
+                            bn_axis_name=self.bn_axis_name,
+                            name="conv_dw")(y, train)
+        if self.se_ratio > 0:
+            red = int(dw_chs * self.se_ratio)
+            s = jnp.mean(y.astype(jnp.float32), axis=(1, 2), keepdims=True)
+            s = nn.Conv(red, (1, 1), dtype=jnp.float32, name="se_fc1")(s)
+            s = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             axis_name=self.bn_axis_name if train else None,
+                             name="se_bn")(s)
+            s = nn.relu(s)
+            s = nn.Conv(dw_chs, (1, 1), dtype=jnp.float32, name="se_fc2")(s)
+            y = (y * nn.sigmoid(s).astype(y.dtype)).astype(y.dtype)
+        y = jnp.clip(y.astype(jnp.float32), 0.0, 6.0).astype(self.dtype)
+        y = ConvBN(self.out_chs, 1, apply_act=False, name="conv_pwl",
+                   **kw)(y, train)
+        if self.stride == 1 and in_chs <= self.out_chs:
+            y = jnp.concatenate([y[..., :in_chs] + x, y[..., in_chs:]],
+                                axis=-1)
+        return y.astype(self.dtype)
+
+
+def _rexnet_cfg(width_mult: float = 1.0):
+    """Per-block (out_chs, exp_ratio, stride, se_ratio) — the literal
+    channel rule of the reference (``models/rexnet.py:114-131``)."""
+    layers = (1, 2, 2, 3, 3, 5)
+    strides = sum(([s] + [1] * (d - 1)
+                   for d, s in zip(layers, (1, 2, 2, 2, 1, 2))), [])
+    exps = [1.0] * layers[0] + [6.0] * (sum(layers) - layers[0])
+    ses = [0.0] * (layers[0] + layers[1]) + \
+        [1.0 / 12] * (sum(layers) - layers[0] - layers[1])
+    base = 16.0 / width_mult if width_mult < 1.0 else 16.0
+    outs = []
+    for _ in range(sum(layers)):
+        outs.append(int(round(base * width_mult)))
+        base += 180.0 / sum(layers)
+    return list(zip(outs, exps, strides, ses))
+
+
 class ReXNet(nn.Module):
-    """ReXNet-1.0 classifier (reference ``models/rexnet.py:253``): inverted
-    residuals whose output width grows LINEARLY block to block."""
+    """ReXNet-V1 classifier (reference ``models/rexnet.py:159-197``):
+    linearly growing block widths, swish stem, 1280 penultimate conv."""
 
     num_classes: int = 1000
-    depth: int = 16
     width_mult: float = 1.0
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
@@ -453,26 +518,21 @@ class ReXNet(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = x.astype(self.dtype)
-        x = ConvBN(int(32 * self.width_mult), 3, 2, name="stem", **kw)(x, train)
-        x = nn.silu(x)
-        strides = [1, 2, 2, 2, 1, 2] + [1] * (self.depth - 6)
-        taps: Dict[int, jnp.ndarray] = {}
-        tap_i = 0
-        for bi in range(self.depth):
-            out = int((16 + (180 - 16) * bi / (self.depth - 1))
-                      * self.width_mult)
-            out = max(8, out // 8 * 8)
-            x = MBConv(out, 3, strides[bi] if bi < len(strides) else 1,
-                       expand_ratio=1.0 if bi == 0 else 6.0,
-                       se_ratio=0.0 if bi < 2 else 1.0 / 12,
-                       act="silu", dtype=self.dtype,
-                       bn_axis_name=self.bn_axis_name,
-                       name=f"b{bi}")(x, train)
-            if bi in (2, 5, 10, self.depth - 1):
-                taps[tap_i] = x
-                tap_i += 1
-        x = ConvBN(int(1280 * self.width_mult), 1, name="head_conv",
+        stem_chs = int(round(32 * self.width_mult))
+        x = ConvBN(stem_chs, 3, 2, apply_act=False, name="stem",
                    **kw)(x, train)
+        x = nn.silu(x)
+        taps: Dict[int, jnp.ndarray] = {}
+        cfg = _rexnet_cfg(self.width_mult)
+        for bi, (out, exp, s, se) in enumerate(cfg):
+            x = RexLinearBottleneck(out, s, exp_ratio=exp, se_ratio=se,
+                                    dtype=self.dtype,
+                                    bn_axis_name=self.bn_axis_name,
+                                    name=f"b{bi}")(x, train)
+            if bi in (2, 5, 10, len(cfg) - 1):
+                taps[len(taps)] = x
+        x = ConvBN(int(round(1280 * self.width_mult)), 1, apply_act=False,
+                   name="head_conv", **kw)(x, train)
         x = nn.silu(x)
         return {"logits": _head(x, self.num_classes), "features": x,
                 "taps": taps}

@@ -1713,6 +1713,77 @@ def _map_cspnet_name(name: str):
     return None
 
 
+def rexnet_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm rexnet checkpoint (reference ``models/rexnet.py:159-197``)
+    -> flax variables for ``models/cnn_misc.ReXNet``.
+
+    ``features.{0..15}`` LinearBottlenecks -> ``b{i}`` (conv_exp /
+    conv_dw / SEWithNorm fc1+bn+fc2 / conv_pwl); the trailing
+    ``features.16`` ConvBnAct -> ``head_conv``; ``head.fc`` -> ``fc``."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_rexnet_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_rexnet_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"stem\.(conv\.weight|bn\.(.+))$", name)
+    if m:
+        if m.group(1) == "conv.weight":
+            return ("params", "stem", "conv", "kernel"), _conv
+        if m.group(2) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[m.group(2)]
+            return (coll, "stem", "bn", leaf), ident
+        return None
+    m = re.match(r"head\.fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "fc", leaf), (_linear if leaf == "kernel" else ident)
+    m = re.match(r"features\.(\d+)\.(.+)$", name)
+    if not m:
+        return None
+    i, rest = int(m.group(1)), m.group(2)
+    if i == 16:  # trailing ConvBnAct -> head_conv
+        if rest == "conv.weight":
+            return ("params", "head_conv", "conv", "kernel"), _conv
+        mm = re.match(r"bn\.(.+)$", rest)
+        if mm and mm.group(1) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[mm.group(1)]
+            return (coll, "head_conv", "bn", leaf), ident
+        return None
+    base = f"b{i}"
+    mm = re.match(r"(conv_exp|conv_dw|conv_pwl)\.(conv\.weight|bn\.(.+))$",
+                  rest)
+    if mm:
+        if mm.group(2) == "conv.weight":
+            return ("params", base, mm.group(1), "conv", "kernel"), _conv
+        if mm.group(3) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[mm.group(3)]
+            return (coll, base, mm.group(1), "bn", leaf), ident
+        return None
+    mm = re.match(r"se\.fc(1|2)\.(weight|bias)$", rest)
+    if mm:
+        leaf = "kernel" if mm.group(2) == "weight" else "bias"
+        return ("params", base, f"se_fc{mm.group(1)}", leaf), (
+            _conv if leaf == "kernel" else ident)
+    mm = re.match(r"se\.bn\.(.+)$", rest)
+    if mm and mm.group(1) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[mm.group(1)]
+        return (coll, base, "se_bn", leaf), ident
+    return None
+
+
 def bit_npz_to_torch_names(weights: Mapping[str, "np.ndarray"],
                            prefix: str = "resnet/") -> Dict:
     """Official BiT ``.npz`` release -> the timm torch-layout key names

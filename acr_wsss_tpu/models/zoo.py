@@ -66,6 +66,8 @@ ZOO_URLS: Dict[str, str] = {
     "efficientnet_b2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b2_ra-bcdf34b7.pth",
     "efficientnet_b3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b3_ra2-cf984f9c.pth",
     "mobilenetv3_large_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv3_large_100_ra-f55367f5.pth",
+    # ReXNet (reference cfg models/rexnet.py:23-49)
+    "rexnet_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-rexnet/rexnetv1_100-1b4dddf4.pth",
     # CSPNet (reference cfg models/cspnet.py:38-44)
     "cspresnet50": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/cspresnet50_ra-d3e8d487.pth",
     # VoVNet V2 (reference cfg models/vovnet.py:151-156)
@@ -245,6 +247,10 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import regnet_state_dict_to_flax
 
         return regnet_state_dict_to_flax(state)
+    if backbone.startswith("rexnet"):
+        from acr_wsss_tpu.models.convert import rexnet_state_dict_to_flax
+
+        return rexnet_state_dict_to_flax(state)
     if backbone.startswith(("cspresnet", "cspresnext")):
         from acr_wsss_tpu.models.convert import cspnet_state_dict_to_flax
 

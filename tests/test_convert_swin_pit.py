@@ -931,3 +931,35 @@ def test_cspresnet_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=3e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_rexnet_converted_forward_parity():
+    """timm rexnet_100 (rexnet.py:52-131: SEWithNorm, partial-channel
+    residual, linear width growth) -> models/cnn_misc.ReXNet: eval-mode
+    logits parity."""
+    import torch
+
+    rx = _load_vendored("rexnet")
+    torch.manual_seed(71)
+    ref = rx.rexnet_100(pretrained=False)
+    rng = np.random.default_rng(71)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import rexnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = rexnet_state_dict_to_flax(ref.state_dict())
+    model = create_model("rexnet_100", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-4)
