@@ -1784,6 +1784,115 @@ def _map_rexnet_name(name: str):
     return None
 
 
+def tnt_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm tnt_s_patch16_224 (reference ``models/tnt.py:43-236``) ->
+    flax variables for ``models/tnt_coat.TNT``.
+
+    The reference splits attention into ``qk`` (2C, no bias) + ``v``
+    (C, no bias); our fused ``*_qkv`` Dense is their concatenation with
+    a zero bias (qkv_bias=False). ``pixel_pos`` (1,C,ps,ps) transposes
+    to our row-major (1, ps*ps, C) ``inner_pos``; the block's
+    ``norm1_proj``/``proj`` fold pair -> ``fold_norm``/``fold``; the
+    top-level projection trio -> ``outer_norm``/``outer_proj``/
+    ``outer_norm2``."""
+    variables: Dict = {}
+    qk_parts: Dict[str, Dict[str, np.ndarray]] = {}
+    for name, value in state_dict.items():
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        m = re.match(r"blocks\.(\d+)\.(attn_in|attn_out)\.(qk|v)\.weight$",
+                     name)
+        if m:
+            qk_parts.setdefault(f"{m.group(1)}.{m.group(2)}", {})[
+                m.group(3)] = v
+            continue
+        mapped = _map_tnt_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    for key, parts in qk_parts.items():
+        i, which = key.split(".")
+        prefix = "in_attn" if which == "attn_in" else "out_attn"
+        fused = np.concatenate([parts["qk"], parts["v"]], axis=0)
+        _set(variables, ("params", f"block{i}", f"{prefix}_qkv", "kernel"),
+             _linear(fused))
+        _set(variables, ("params", f"block{i}", f"{prefix}_qkv", "bias"),
+             np.zeros((fused.shape[0],), np.float32))
+    return variables
+
+
+_TNT_TOP = {
+    "cls_token": ("cls_token",),
+    "patch_pos": ("outer_pos",),
+    "norm1_proj": ("outer_norm",),
+    "proj": ("outer_proj",),
+    "norm2_proj": ("outer_norm2",),
+    "norm": ("norm",),
+    "head": ("head",),
+}
+
+_TNT_BLOCK = {
+    "norm_in": "in_norm1", "norm_mlp_in": "in_norm2",
+    "norm1_proj": "fold_norm", "norm_out": "out_norm1",
+    "norm_mlp": "out_norm2",
+}
+
+
+def _map_tnt_name(name: str):
+    ident = lambda x: x
+    if name == "cls_token":
+        return ("params", "cls_token"), ident
+    if name == "patch_pos":
+        return ("params", "outer_pos"), ident
+    if name == "pixel_pos":  # (1, C, ps, ps) -> (1, ps*ps, C)
+        return ("params", "inner_pos"), lambda x: np.ascontiguousarray(
+            x.transpose(0, 2, 3, 1).reshape(1, -1, x.shape[1]))
+    m = re.match(r"pixel_embed\.proj\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "pixel_embed", leaf), (
+            _conv if leaf == "kernel" else ident)
+    m = re.match(r"(norm1_proj|norm2_proj|norm)\.(weight|bias)$", name)
+    if m:
+        leaf = "scale" if m.group(2) == "weight" else "bias"
+        return ("params", *_TNT_TOP[m.group(1)], leaf), ident
+    m = re.match(r"(proj|head)\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(2) == "weight" else "bias"
+        return ("params", *_TNT_TOP[m.group(1)], leaf), (
+            _linear if leaf == "kernel" else ident)
+    m = re.match(r"blocks\.(\d+)\.(.+)$", name)
+    if not m:
+        return None
+    base = f"block{m.group(1)}"
+    rest = m.group(2)
+    mm = re.match(r"(norm_in|norm_mlp_in|norm1_proj|norm_out|norm_mlp)"
+                  r"\.(weight|bias)$", rest)
+    if mm:
+        leaf = "scale" if mm.group(2) == "weight" else "bias"
+        return ("params", base, _TNT_BLOCK[mm.group(1)], leaf), ident
+    mm = re.match(r"proj\.(weight|bias)$", rest)
+    if mm:
+        leaf = "kernel" if mm.group(1) == "weight" else "bias"
+        return ("params", base, "fold", leaf), (
+            _linear if leaf == "kernel" else ident)
+    mm = re.match(r"(attn_in|attn_out)\.proj\.(weight|bias)$", rest)
+    if mm:
+        prefix = "in_attn" if mm.group(1) == "attn_in" else "out_attn"
+        leaf = "kernel" if mm.group(2) == "weight" else "bias"
+        return ("params", base, f"{prefix}_proj", leaf), (
+            _linear if leaf == "kernel" else ident)
+    mm = re.match(r"(mlp_in|mlp)\.fc(\d)\.(weight|bias)$", rest)
+    if mm:
+        mod = "in_mlp" if mm.group(1) == "mlp_in" else "out_mlp"
+        leaf = "kernel" if mm.group(3) == "weight" else "bias"
+        return ("params", base, mod, f"fc{mm.group(2)}", leaf), (
+            _linear if leaf == "kernel" else ident)
+    return None
+
+
 def bit_npz_to_torch_names(weights: Mapping[str, "np.ndarray"],
                            prefix: str = "resnet/") -> Dict:
     """Official BiT ``.npz`` release -> the timm torch-layout key names

@@ -62,11 +62,11 @@ class TNTBlock(nn.Module):
     @nn.compact
     def __call__(self, outer, inner):
         # inner: (B*P, n_in, inner_dim)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="in_norm1")(inner)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="in_norm1")(inner)
         a, _ = _mha(h.astype(self.dtype), self.inner_heads, self.dtype,
                     "in_attn", self)
         inner = inner + a
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="in_norm2")(inner)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="in_norm2")(inner)
         inner = inner + Mlp(self.inner_dim * 4, self.inner_dim,
                             dtype=self.dtype, name="in_mlp")(
                                 h.astype(self.dtype))
@@ -75,16 +75,19 @@ class TNTBlock(nn.Module):
         B_P, n_in, _ = inner.shape
         B = outer.shape[0]
         P = B_P // B
+        # reference norms per PIXEL (over in_dim) before flattening
+        # (tnt.py:92-93,110); the top-level trio norms the flat vector
+        folded = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                              name="fold_norm")(inner.astype(jnp.float32))
         folded = nn.Dense(self.outer_dim, dtype=self.dtype, name="fold")(
-            nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="fold_norm")(
-                inner.reshape(B, P, n_in * self.inner_dim)).astype(self.dtype))
+            folded.reshape(B, P, n_in * self.inner_dim).astype(self.dtype))
         outer = outer.at[:, 1:].add(folded)
 
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="out_norm1")(outer)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="out_norm1")(outer)
         a, probs = _mha(h.astype(self.dtype), self.num_heads, self.dtype,
                         "out_attn", self)
         outer = outer + a
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="out_norm2")(outer)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="out_norm2")(outer)
         outer = outer + Mlp(self.outer_dim * 4, self.outer_dim,
                             dtype=self.dtype, name="out_mlp")(
                                 h.astype(self.dtype))
@@ -125,8 +128,11 @@ class TNT(nn.Module):
         # outer tokens from the folded inner tokens
         outer_patches = nn.Dense(self.outer_dim, dtype=self.dtype,
                                  name="outer_proj")(
-            nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="outer_norm")(
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="outer_norm")(
                 inner.reshape(B, P, n_in * self.inner_dim)).astype(self.dtype))
+        outer_patches = nn.LayerNorm(
+            epsilon=1e-5, dtype=jnp.float32, name="outer_norm2")(
+            outer_patches.astype(jnp.float32)).astype(self.dtype)
         cls = self.param("cls_token", trunc_normal_init(0.02),
                          (1, 1, self.outer_dim), jnp.float32)
         outer = jnp.concatenate(
@@ -145,7 +151,7 @@ class TNT(nn.Module):
             probs_list.append(probs)
             if i in self.taps:
                 taps[i] = outer
-        outer = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+        outer = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                              name="norm")(outer.astype(jnp.float32))
         logits = nn.Dense(self.num_classes, dtype=jnp.float32,
                           name="head")(outer[:, 0])

@@ -66,6 +66,8 @@ ZOO_URLS: Dict[str, str] = {
     "efficientnet_b2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b2_ra-bcdf34b7.pth",
     "efficientnet_b3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b3_ra2-cf984f9c.pth",
     "mobilenetv3_large_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv3_large_100_ra-f55367f5.pth",
+    # TNT (reference cfg models/tnt.py:30-36)
+    "tnt_s_patch16_224": "https://github.com/contrastive/pytorch-image-models/releases/download/TNT/tnt_s_patch16_224.pth.tar",
     # ReXNet (reference cfg models/rexnet.py:23-49)
     "rexnet_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-rexnet/rexnetv1_100-1b4dddf4.pth",
     # CSPNet (reference cfg models/cspnet.py:38-44)
@@ -165,6 +167,8 @@ def fetch(backbone: str, directory: Optional[str] = None,
         state = torch.load(pth, map_location="cpu", weights_only=True)
         if isinstance(state, dict) and "model" in state:
             state = state["model"]  # deit/swin checkpoints nest under 'model'
+        if isinstance(state, dict) and "state_dict" in state:
+            state = state["state_dict"]  # tnt .pth.tar style nesting
     params = convert_state_dict(backbone, state)
     save_params_npz(out, params)
     return out
@@ -247,6 +251,10 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import regnet_state_dict_to_flax
 
         return regnet_state_dict_to_flax(state)
+    if backbone.startswith("tnt"):
+        from acr_wsss_tpu.models.convert import tnt_state_dict_to_flax
+
+        return tnt_state_dict_to_flax(state)
     if backbone.startswith("rexnet"):
         from acr_wsss_tpu.models.convert import rexnet_state_dict_to_flax
 

@@ -963,3 +963,38 @@ def test_rexnet_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=1e-3, rtol=1e-4)
+
+
+@requires_reference
+def test_tnt_converted_forward_parity():
+    """timm TNT (tnt.py:43-236): split qk/v attention fused into our qkv
+    Dense (zero bias, qkv_bias=False), pixel_pos transpose, top-level
+    norm1_proj/proj/norm2_proj trio, per-block fold pair. Small config
+    (img 64, depth 2) keeps CPU cost down; the mapping is
+    config-independent."""
+    import torch
+
+    tnt = _load_vendored("tnt")
+    torch.manual_seed(73)
+    ref = tnt.TNT(img_size=64, patch_size=16, embed_dim=48, in_dim=24,
+                  depth=2, num_heads=4, in_num_head=4, qkv_bias=False,
+                  num_classes=1000)
+    ref.eval()
+
+    from acr_wsss_tpu.models.convert import tnt_state_dict_to_flax
+    from acr_wsss_tpu.models.tnt_coat import TNT as FlaxTNT
+
+    variables = {"params": tnt_state_dict_to_flax(ref.state_dict())["params"]}
+    model = FlaxTNT(num_classes=1000, outer_dim=48, inner_dim=24, depth=2,
+                    num_heads=4, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
+    assert_trees_match(expected, variables)
+
+    rng = np.random.default_rng(73)
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-4)
