@@ -48,56 +48,81 @@ Dtype = Any
 from acr_wsss_tpu.models.layers import classifier_head as _head  # noqa: E402
 
 
-class DualPathBlock(nn.Module):
-    """DPN block: grouped bottleneck whose output is split into a residual
-    part (added) and a dense part (concatenated onto the dense path)."""
+class BnActConv(nn.Module):
+    """Pre-activation conv of the reference DPN (``models/dpn.py:73-81``
+    BnActConv2d): BatchNorm (eps 1e-3) -> ReLU -> conv, no post-norm."""
 
-    res_chs: int           # residual-path width
-    dense_inc: int         # dense-path growth per block
-    mid_chs: int
-    groups: int = 32
+    out_chs: int
+    kernel: int = 1
     stride: int = 1
+    groups: int = 1
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="bn")(x)
+        x = nn.relu(x).astype(self.dtype)
+        k = self.kernel
+        return nn.Conv(self.out_chs, (k, k), strides=(self.stride,) * 2,
+                       padding=[(k // 2, k // 2)] * 2,
+                       feature_group_count=self.groups, use_bias=False,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class DualPathBlock(nn.Module):
+    """DPN block (reference ``models/dpn.py:83-165``): pre-act grouped
+    bottleneck whose 1x1_c output splits into a residual slice (added)
+    and a dense slice (concatenated onto the growing dense path). The
+    proj/down shortcut is itself pre-act and splits the same way."""
+
+    bw: int                # residual-path width (num_1x1_c)
+    inc: int               # dense-path growth
+    mid_chs: int           # num_1x1_a == num_3x3_b (r)
+    groups: int = 32
+    block_type: str = "normal"     # proj | down | normal
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, res, dense, train: bool = False):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
-        x = jnp.concatenate([res, dense], axis=-1) if dense is not None else res
-        if self.stride != 1 or res.shape[-1] != self.res_chs:
-            proj = ConvBN(self.res_chs + 2 * self.dense_inc, 1, self.stride,
-                          apply_act=False, name="proj", **kw)(x, train)
-            res_s = proj[..., :self.res_chs]
-            dense_s = proj[..., self.res_chs:]
+        stride = 2 if self.block_type == "down" else 1
+        x_in = (jnp.concatenate([res, dense], axis=-1)
+                if dense is not None else res)
+        if self.block_type == "normal":
+            x_s1, x_s2 = res, dense
         else:
-            res_s, dense_s = res, dense
-        y = ConvBN(self.mid_chs, 1, name="c1", **kw)(x, train)
-        y = nn.Conv(self.mid_chs, (3, 3), strides=(self.stride,) * 2,
-                    padding=[(1, 1)] * 2, feature_group_count=self.groups,
-                    use_bias=False, dtype=self.dtype, name="c2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
-                         axis_name=self.bn_axis_name if train else None,
-                         name="bn2")(y)
-        y = nn.relu(y).astype(self.dtype)
-        y = ConvBN(self.res_chs + self.dense_inc, 1, apply_act=False,
-                   name="c3", **kw)(y, train)
-        res_out = nn.relu(res_s + y[..., :self.res_chs]).astype(self.dtype)
-        dense_new = y[..., self.res_chs:]
-        dense_out = (dense_new if dense_s is None
-                     else jnp.concatenate([dense_s, dense_new], axis=-1))
-        return res_out, dense_out
+            name = "c1x1_w_s2" if stride == 2 else "c1x1_w_s1"
+            x_s = BnActConv(self.bw + 2 * self.inc, 1, stride,
+                            name=name, **kw)(x_in, train)
+            x_s1, x_s2 = x_s[..., :self.bw], x_s[..., self.bw:]
+        y = BnActConv(self.mid_chs, 1, name="c1x1_a", **kw)(x_in, train)
+        y = BnActConv(self.mid_chs, 3, stride, groups=self.groups,
+                      name="c3x3_b", **kw)(y, train)
+        y = BnActConv(self.bw + self.inc, 1, name="c1x1_c", **kw)(y, train)
+        out1, out2 = y[..., :self.bw], y[..., self.bw:]
+        resid = (x_s1 + out1).astype(self.dtype)
+        dense_out = (out2 if x_s2 is None
+                     else jnp.concatenate([x_s2, out2], axis=-1))
+        return resid, dense_out
 
 
 class DPN(nn.Module):
-    """Dual Path Network classifier (reference ``models/dpn.py:316``);
-    default config ~ dpn68 shape (groups 32)."""
+    """Dual Path Network classifier (reference ``models/dpn.py:166-259``;
+    dpn68 cfg :272-276: small stem, k_r 128, groups 32). Pre-act blocks
+    named ``conv{stage}_{i}`` exactly as the reference features dict, a
+    final CatBnAct with **ELU** (fc_act), and a 1x1-conv classifier."""
 
     num_classes: int = 1000
     stage_blocks: Sequence[int] = (3, 4, 12, 3)
-    res_widths: Sequence[int] = (64, 128, 256, 512)
-    dense_incs: Sequence[int] = (16, 32, 32, 64)
-    mid_widths: Sequence[int] = (32, 64, 128, 256)
+    inc_sec: Sequence[int] = (16, 32, 32, 64)
+    k_r: int = 128
+    groups: int = 32
+    init_chs: int = 10
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -105,20 +130,38 @@ class DPN(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = x.astype(self.dtype)
-        x = ConvBN(64, 3, 2, name="stem", **kw)(x, train)
+        x = nn.Conv(self.init_chs, (3, 3), strides=(2, 2),
+                    padding=[(1, 1)] * 2, use_bias=False, dtype=self.dtype,
+                    name="conv1_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="conv1_bn")(x)
+        x = nn.relu(x).astype(self.dtype)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
         res, dense = x, None
         taps: Dict[int, jnp.ndarray] = {}
-        for si, (depth, rw, di, mw) in enumerate(zip(
-                self.stage_blocks, self.res_widths, self.dense_incs,
-                self.mid_widths)):
+        for si, (depth, inc) in enumerate(zip(self.stage_blocks,
+                                              self.inc_sec)):
+            bw = 64 * (2 ** si)
+            r = (self.k_r * bw) // 64
             for bi in range(depth):
+                btype = ("proj" if si == 0 else "down") if bi == 0 \
+                    else "normal"
                 res, dense = DualPathBlock(
-                    rw, di, mw, stride=2 if bi == 0 and si > 0 else 1,
-                    name=f"s{si}_b{bi}", **kw)(res, dense, train)
+                    bw, inc, r, self.groups, block_type=btype,
+                    name=f"conv{si + 2}_{bi + 1}", **kw)(res, dense, train)
             taps[si] = jnp.concatenate([res, dense], axis=-1)
         x = taps[len(self.stage_blocks) - 1]
-        return {"logits": _head(x, self.num_classes), "features": x,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="conv5_bn_ac")(x)
+        x = nn.elu(x.astype(jnp.float32))
+        pooled = jnp.mean(x, axis=(1, 2))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          name="classifier")(pooled)
+        return {"logits": logits, "features": x.astype(self.dtype),
                 "taps": taps}
 
 

@@ -1893,6 +1893,62 @@ def _map_tnt_name(name: str):
     return None
 
 
+def dpn_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm dpn68 checkpoint (reference ``models/dpn.py:166-276``, b=False)
+    -> flax variables for ``models/cnn_misc.DPN``.
+
+    Block names carry over 1:1 (``features.conv{s}_{i}`` with pre-act
+    ``{c1x1_w_s1,c1x1_w_s2,c1x1_a,c3x3_b,c1x1_c}.{bn,conv}``); the
+    ConvBnAct stem splits into ``conv1_conv``/``conv1_bn``; the ELU
+    CatBnAct tail -> ``conv5_bn_ac``; the 1x1-conv classifier -> Dense."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_dpn_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_dpn_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"classifier\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "classifier", leaf), (
+            _conv1x1_to_dense if leaf == "kernel" else ident)
+    m = re.match(r"features\.(.+)$", name)
+    if not m:
+        return None
+    rest = m.group(1)
+    if rest == "conv1_1.conv.weight":
+        return ("params", "conv1_conv", "kernel"), _conv
+    mm = re.match(r"conv1_1\.bn\.(.+)$", rest)
+    if mm and mm.group(1) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[mm.group(1)]
+        return (coll, "conv1_bn", leaf), ident
+    mm = re.match(r"conv5_bn_ac\.bn\.(.+)$", rest)
+    if mm and mm.group(1) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[mm.group(1)]
+        return (coll, "conv5_bn_ac", leaf), ident
+    mm = re.match(r"(conv\d+_\d+)\.(c1x1_w_s1|c1x1_w_s2|c1x1_a|c3x3_b|"
+                  r"c1x1_c)\.(bn\.(.+)|conv\.weight)$", rest)
+    if mm:
+        base = (mm.group(1), mm.group(2))
+        if mm.group(3) == "conv.weight":
+            return ("params", *base, "conv", "kernel"), _conv
+        if mm.group(4) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[mm.group(4)]
+            return (coll, *base, "bn", leaf), ident
+    return None
+
+
 def bit_npz_to_torch_names(weights: Mapping[str, "np.ndarray"],
                            prefix: str = "resnet/") -> Dict:
     """Official BiT ``.npz`` release -> the timm torch-layout key names

@@ -66,6 +66,8 @@ ZOO_URLS: Dict[str, str] = {
     "efficientnet_b2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b2_ra-bcdf34b7.pth",
     "efficientnet_b3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b3_ra2-cf984f9c.pth",
     "mobilenetv3_large_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv3_large_100_ra-f55367f5.pth",
+    # DPN (reference cfg models/dpn.py:35-49)
+    "dpn68": "https://github.com/rwightman/pytorch-dpn-pretrained/releases/download/v0.1/dpn68-66bebafa7.pth",
     # TNT (reference cfg models/tnt.py:30-36)
     "tnt_s_patch16_224": "https://github.com/contrastive/pytorch-image-models/releases/download/TNT/tnt_s_patch16_224.pth.tar",
     # ReXNet (reference cfg models/rexnet.py:23-49)
@@ -251,6 +253,10 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import regnet_state_dict_to_flax
 
         return regnet_state_dict_to_flax(state)
+    if backbone.startswith("dpn"):
+        from acr_wsss_tpu.models.convert import dpn_state_dict_to_flax
+
+        return dpn_state_dict_to_flax(state)
     if backbone.startswith("tnt"):
         from acr_wsss_tpu.models.convert import tnt_state_dict_to_flax
 

@@ -998,3 +998,35 @@ def test_tnt_converted_forward_parity():
     out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=1e-3, rtol=1e-4)
+
+
+@requires_reference
+def test_dpn_converted_forward_parity():
+    """timm dpn68 (dpn.py:83-165 pre-act DualPathBlock, eps-1e-3 BNs, ELU
+    CatBnAct tail, conv classifier) -> models/cnn_misc.DPN: eval-mode
+    logits parity."""
+    import torch
+
+    dp = _load_vendored("dpn")
+    torch.manual_seed(79)
+    ref = dp.dpn68(pretrained=False)
+    rng = np.random.default_rng(79)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import dpn_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = dpn_state_dict_to_flax(ref.state_dict())
+    model = create_model("dpn68", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
