@@ -165,70 +165,147 @@ class DPN(nn.Module):
                 "taps": taps}
 
 
-class DLABasic(nn.Module):
+class DlaConvLevel(nn.Module):
+    """Plain conv level (reference ``models/dla.py:330-339``
+    _make_conv_level / the 7x7 base_layer): n conv+bn+relu triplets."""
+
+    out_chs: int
+    n: int = 1
+    stride: int = 1
+    kernel: int = 3
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.n):
+            k = self.kernel
+            x = nn.Conv(self.out_chs, (k, k),
+                        strides=(self.stride if i == 0 else 1,) * 2,
+                        padding=[(k // 2, k // 2)] * 2, use_bias=False,
+                        dtype=self.dtype, name=f"conv{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             axis_name=self.bn_axis_name if train else None,
+                             name=f"bn{i}")(x)
+            x = nn.relu(x).astype(self.dtype)
+        return x
+
+
+class DlaBasic(nn.Module):
+    """DLA basic residual block (reference ``models/dla.py:51-79``); the
+    shortcut is SUPPLIED by the tree (projected bottom or previous
+    node), not derived from the input."""
+
     out_chs: int
     stride: int = 1
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, shortcut=None, train: bool = False):
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
-        if shortcut is None:
-            shortcut = x
-            if self.stride != 1:
-                shortcut = nn.max_pool(shortcut, (self.stride,) * 2,
-                                       strides=(self.stride,) * 2)
-            if shortcut.shape[-1] != self.out_chs:
-                shortcut = ConvBN(self.out_chs, 1, apply_act=False,
-                                  name="proj", **kw)(shortcut, train)
-        y = ConvBN(self.out_chs, 3, self.stride, name="c1", **kw)(x, train)
-        y = ConvBN(self.out_chs, 3, apply_act=False, name="c2", **kw)(y, train)
+    def __call__(self, x, shortcut, train: bool = False):
+        y = nn.Conv(self.out_chs, (3, 3), strides=(self.stride,) * 2,
+                    padding=[(1, 1)] * 2, use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="bn1")(y)
+        y = nn.relu(y).astype(self.dtype)
+        y = nn.Conv(self.out_chs, (3, 3), padding=[(1, 1)] * 2,
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="bn2")(y)
         return nn.relu(y + shortcut).astype(self.dtype)
 
 
-class DLATree(nn.Module):
-    """One DLA tree level: two blocks whose outputs meet at a root
-    aggregation conv (reference ``models/dla.py`` Tree, depth 1)."""
+class DlaTree(nn.Module):
+    """Hierarchical aggregation tree (reference ``models/dla.py:206-253``):
+    levels==1 runs two basic blocks joined by a root 1x1 (concat order
+    [tree2, tree1, *children]); deeper levels recurse, appending the
+    strided bottom (level_root) and the left subtree output as extra
+    root children of the rightmost leaf."""
 
+    levels: int
     out_chs: int
     stride: int = 2
+    level_root: bool = False
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, children=None, train: bool = False):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
-        b1 = DLABasic(self.out_chs, self.stride, name="b1", **kw)(x, train=train)
-        b2 = DLABasic(self.out_chs, 1, name="b2", **kw)(b1, train=train)
-        root = jnp.concatenate([b2, b1], axis=-1)
-        root = ConvBN(self.out_chs, 1, apply_act=False, name="root",
-                      **kw)(root, train)
-        return nn.relu(root).astype(self.dtype)
+        children = list(children) if children else []
+        bottom = (nn.max_pool(x, (self.stride,) * 2,
+                              strides=(self.stride,) * 2)
+                  if self.stride > 1 else x)
+        if self.level_root:
+            children.append(bottom)
+        if self.levels == 1:
+            shortcut = bottom
+            if x.shape[-1] != self.out_chs:
+                shortcut = nn.Conv(self.out_chs, (1, 1), use_bias=False,
+                                   dtype=self.dtype,
+                                   name="project_conv")(bottom)
+                shortcut = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9,
+                    epsilon=1e-5, dtype=jnp.float32,
+                    axis_name=self.bn_axis_name if train else None,
+                    name="project_bn")(shortcut).astype(self.dtype)
+            x1 = DlaBasic(self.out_chs, self.stride, name="tree1",
+                          **kw)(x, shortcut, train)
+            x2 = DlaBasic(self.out_chs, 1, name="tree2",
+                          **kw)(x1, x1, train)
+            cat = jnp.concatenate([x2, x1, *children], axis=-1)
+            y = nn.Conv(self.out_chs, (1, 1), use_bias=False,
+                        dtype=self.dtype, name="root_conv")(cat)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             axis_name=self.bn_axis_name if train else None,
+                             name="root_bn")(y)
+            return nn.relu(y).astype(self.dtype)
+        x1 = DlaTree(self.levels - 1, self.out_chs, self.stride,
+                     name="tree1", **kw)(x, train=train)
+        children.append(x1)
+        return DlaTree(self.levels - 1, self.out_chs, 1, name="tree2",
+                       **kw)(x1, children, train=train)
 
 
 class DLA(nn.Module):
-    """Deep Layer Aggregation classifier (reference ``models/dla.py:441``,
-    dla34-shaped)."""
+    """Deep Layer Aggregation classifier (reference ``models/dla.py:
+    256-339``; dla34 cfg :365-369: levels (1,1,1,2,2,1), channels
+    (16,32,64,128,256,512), basic blocks, 1x1-conv classifier)."""
 
     num_classes: int = 1000
-    widths: Sequence[int] = (64, 128, 256, 512)
+    levels: Sequence[int] = (1, 1, 1, 2, 2, 1)
+    channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        ch = self.channels
         x = x.astype(self.dtype)
-        x = ConvBN(16, 7, 1, name="base", **kw)(x, train)
-        x = ConvBN(16, 3, 1, name="level0", **kw)(x, train)
-        x = ConvBN(32, 3, 2, name="level1", **kw)(x, train)
+        x = DlaConvLevel(ch[0], 1, 1, kernel=7, name="base_layer",
+                         **kw)(x, train)
+        x = DlaConvLevel(ch[0], self.levels[0], 1, name="level0",
+                         **kw)(x, train)
+        x = DlaConvLevel(ch[1], self.levels[1], 2, name="level1",
+                         **kw)(x, train)
         taps: Dict[int, jnp.ndarray] = {}
-        for si, w in enumerate(self.widths):
-            x = DLATree(w, stride=2, name=f"level{si + 2}", **kw)(x, train)
-            taps[si] = x
-        return {"logits": _head(x, self.num_classes), "features": x,
-                "taps": taps}
+        for li in range(2, 6):
+            x = DlaTree(self.levels[li], ch[li], 2,
+                        level_root=li > 2, name=f"level{li}",
+                        **kw)(x, train=train)
+            taps[li - 2] = x
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          name="fc")(pooled)
+        return {"logits": logits, "features": x, "taps": taps}
 
 
 class CSPResBottleneck(nn.Module):

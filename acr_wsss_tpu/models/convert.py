@@ -1949,6 +1949,88 @@ def _map_dpn_name(name: str):
     return None
 
 
+def dla_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm dla34 checkpoint (reference ``models/dla.py:206-369``) ->
+    flax variables for ``models/cnn_misc.DLA``.
+
+    Tree paths carry over verbatim (``level{N}.tree1.tree2...``); leaf
+    renames only: Sequential conv levels ``.{3i,3i+1}`` ->
+    ``conv{i}``/``bn{i}``, ``project.{0,1}`` -> ``project_conv``/
+    ``project_bn``, ``root.{conv,bn}`` -> ``root_conv``/``root_bn``,
+    and the 1x1-conv ``fc`` -> Dense."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_dla_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_dla_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "fc", leaf), (
+            _conv1x1_to_dense if leaf == "kernel" else ident)
+    parts = name.split(".")
+    base = []
+    i = 0
+    if parts[0] in ("base_layer", "level0", "level1"):
+        base.append(parts[0])
+        i = 1
+    elif re.match(r"level[2-5]$", parts[0]):
+        base.append(parts[0])
+        i = 1
+        while i < len(parts) and parts[i] in ("tree1", "tree2"):
+            base.append(parts[i])
+            i += 1
+    else:
+        return None
+    rest = parts[i:]
+    if len(rest) == 2 and rest[0].isdigit():  # Sequential conv level
+        idx, leaf = int(rest[0]), rest[1]
+        if idx % 3 == 0 and leaf == "weight":
+            return ("params", *base, f"conv{idx // 3}", "kernel"), _conv
+        if idx % 3 == 1 and leaf in _BN_LEAVES:
+            coll, l = _BN_LEAVES[leaf]
+            return (coll, *base, f"bn{idx // 3}", l), ident
+        return None
+    if len(rest) == 2:
+        mod, leaf = rest
+        mm = re.match(r"conv(\d)$", mod)
+        if mm and leaf == "weight":
+            return ("params", *base, mod, "kernel"), _conv
+        mm = re.match(r"bn(\d)$", mod)
+        if mm and leaf in _BN_LEAVES:
+            coll, l = _BN_LEAVES[leaf]
+            return (coll, *base, mod, l), ident
+        return None
+    if len(rest) == 3:
+        mod, sub, leaf = rest
+        if mod == "project":
+            if sub == "0" and leaf == "weight":
+                return ("params", *base, "project_conv", "kernel"), _conv
+            if sub == "1" and leaf in _BN_LEAVES:
+                coll, l = _BN_LEAVES[leaf]
+                return (coll, *base, "project_bn", l), ident
+            return None
+        if mod == "root":
+            if sub == "conv" and leaf == "weight":
+                return ("params", *base, "root_conv", "kernel"), _conv
+            if sub == "bn" and leaf in _BN_LEAVES:
+                coll, l = _BN_LEAVES[leaf]
+                return (coll, *base, "root_bn", l), ident
+    return None
+
+
 def bit_npz_to_torch_names(weights: Mapping[str, "np.ndarray"],
                            prefix: str = "resnet/") -> Dict:
     """Official BiT ``.npz`` release -> the timm torch-layout key names

@@ -66,6 +66,8 @@ ZOO_URLS: Dict[str, str] = {
     "efficientnet_b2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b2_ra-bcdf34b7.pth",
     "efficientnet_b3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b3_ra2-cf984f9c.pth",
     "mobilenetv3_large_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv3_large_100_ra-f55367f5.pth",
+    # DLA (reference cfg models/dla.py:27-48)
+    "dla34": "http://dl.yf.io/dla/models/imagenet/dla34-ba72cf86.pth",
     # DPN (reference cfg models/dpn.py:35-49)
     "dpn68": "https://github.com/rwightman/pytorch-dpn-pretrained/releases/download/v0.1/dpn68-66bebafa7.pth",
     # TNT (reference cfg models/tnt.py:30-36)
@@ -253,6 +255,10 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import regnet_state_dict_to_flax
 
         return regnet_state_dict_to_flax(state)
+    if backbone.startswith("dla"):
+        from acr_wsss_tpu.models.convert import dla_state_dict_to_flax
+
+        return dla_state_dict_to_flax(state)
     if backbone.startswith("dpn"):
         from acr_wsss_tpu.models.convert import dpn_state_dict_to_flax
 
