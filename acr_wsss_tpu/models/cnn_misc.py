@@ -728,48 +728,134 @@ def _space_to_depth(x, block: int = 4):
     return x.reshape(B, H // block, W // block, block * block * C)
 
 
-class TResNetBlock(nn.Module):
-    """TResNet bottleneck: SE + anti-aliased stride (3x3 blur-pool)."""
+def _tresnet_blur(y):
+    """timm BlurPool2d(filt_size=3, stride=2): reflect pad 1 + depthwise
+    [1,2,1]^2/16 stride-2 conv (``layers/blur_pool.py:16-44``)."""
+    import jax as _jax
+
+    blur = jnp.asarray([1.0, 2.0, 1.0])
+    blur = (blur[:, None] * blur[None, :]) / 16.0
+    C = y.shape[-1]
+    kern = jnp.tile(blur[:, :, None, None], (1, 1, 1, C)).astype(y.dtype)
+    y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    return _jax.lax.conv_general_dilated(
+        y, kern, window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+
+
+class ConvIABN(nn.Module):
+    """conv2d_iabn (reference ``models/tresnet.py:60-65``): conv + BN +
+    leaky-relu (the eval-mode linearization of InplaceABN)."""
 
     out_chs: int
+    kernel: int = 3
     stride: int = 1
+    slope: float = 1e-3          # act_param; 0 = identity act
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel
+        x = nn.Conv(self.out_chs, (k, k), strides=(self.stride,) * 2,
+                    padding=[(k // 2, k // 2)] * 2, use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="bn")(x)
+        if self.slope > 0:
+            x = jnp.where(x >= 0, x, x * self.slope)
+        return x.astype(self.dtype)
+
+
+class _TResSE(nn.Module):
+    """SEModule with explicit reduction width (``tresnet.py:86-88,127``)."""
+
+    reduced: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        s = nn.relu(nn.Conv(self.reduced, (1, 1), dtype=jnp.float32,
+                            name="fc1")(s))
+        s = nn.Conv(x.shape[-1], (1, 1), dtype=jnp.float32, name="fc2")(s)
+        return (x * nn.sigmoid(s).astype(x.dtype)).astype(x.dtype)
+
+
+class TResNetBasic(nn.Module):
+    """TResNet basic block (reference ``models/tresnet.py:68-105``):
+    leaky-1e-3 conv1 (+blur when strided), identity-act conv2, SE after
+    conv2, avg-down shortcut."""
+
+    planes: int
+    stride: int = 1
+    use_se: bool = True
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
-        blur = jnp.asarray([1.0, 2.0, 1.0])
-        blur = (blur[:, None] * blur[None, :]) / 16.0
-
-        def blur_pool(y):
-            C = y.shape[-1]
-            kern = jnp.tile(blur[:, :, None, None], (1, 1, 1, C)).astype(y.dtype)
-            import jax as _jax
-            return _jax.lax.conv_general_dilated(
-                y, kern, window_strides=(2, 2), padding=[(1, 1)] * 2,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=C)
-
+        in_chs = x.shape[-1]
         shortcut = x
-        if self.stride != 1:
-            shortcut = blur_pool(shortcut)
-        if shortcut.shape[-1] != self.out_chs:
-            shortcut = ConvBN(self.out_chs, 1, apply_act=False, name="proj",
-                              **kw)(shortcut, train)
-        mid = self.out_chs // 4
-        y = ConvBN(mid, 1, name="c1", **kw)(x, train)
-        y = ConvBN(mid, 3, name="c2", **kw)(y, train)
-        if self.stride != 1:
-            y = blur_pool(y)
-        y = SqueezeExcite(max(8, mid // 4), dtype=self.dtype, name="se")(y)
-        y = ConvBN(self.out_chs, 1, apply_act=False, name="c3", **kw)(y, train)
+        if self.stride != 1 or in_chs != self.planes:
+            if self.stride == 2:
+                shortcut = nn.avg_pool(shortcut, (2, 2), strides=(2, 2))
+            shortcut = ConvIABN(self.planes, 1, 1, slope=0.0,
+                                name="downsample_conv", **kw)(shortcut, train)
+        y = ConvIABN(self.planes, 3, 1, slope=1e-3, name="conv1",
+                     **kw)(x, train)
+        if self.stride == 2:
+            y = _tresnet_blur(y)
+        y = ConvIABN(self.planes, 3, 1, slope=0.0, name="conv2",
+                     **kw)(y, train)
+        if self.use_se:
+            y = _TResSE(max(self.planes // 4, 64), dtype=self.dtype,
+                        name="se")(y)
+        return nn.relu(y + shortcut).astype(self.dtype)
+
+
+class TResNetBottleneck(nn.Module):
+    """TResNet bottleneck (reference ``models/tresnet.py:107-152``):
+    leaky-1e-3 1x1/3x3 (+blur when strided), SE on the mid width BEFORE
+    the identity-act expansion conv, avg-down shortcut."""
+
+    planes: int
+    stride: int = 1
+    use_se: bool = True
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        out_chs = self.planes * 4
+        in_chs = x.shape[-1]
+        shortcut = x
+        if self.stride != 1 or in_chs != out_chs:
+            if self.stride == 2:
+                shortcut = nn.avg_pool(shortcut, (2, 2), strides=(2, 2))
+            shortcut = ConvIABN(out_chs, 1, 1, slope=0.0,
+                                name="downsample_conv", **kw)(shortcut, train)
+        y = ConvIABN(self.planes, 1, 1, slope=1e-3, name="conv1",
+                     **kw)(x, train)
+        y = ConvIABN(self.planes, 3, 1, slope=1e-3, name="conv2",
+                     **kw)(y, train)
+        if self.stride == 2:
+            y = _tresnet_blur(y)
+        if self.use_se:
+            y = _TResSE(max(out_chs // 8, 64), dtype=self.dtype,
+                        name="se")(y)
+        y = ConvIABN(out_chs, 1, 1, slope=0.0, name="conv3", **kw)(y, train)
         return nn.relu(y + shortcut).astype(self.dtype)
 
 
 class TResNet(nn.Module):
-    """TResNet-M-shaped classifier (reference ``models/tresnet.py:297``):
-    space-to-depth stem + SE/anti-aliased residual stages."""
+    """TResNet classifier (reference ``models/tresnet.py:155-235``;
+    tresnet_m layers (3,4,11,3)): space-to-depth stem into a leaky-1e-2
+    3x3, basic stages 1-2, bottleneck stages 3-4 (no SE in the last)."""
 
     num_classes: int = 1000
     layers: Sequence[int] = (3, 4, 11, 3)
@@ -781,14 +867,18 @@ class TResNet(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = _space_to_depth(x.astype(self.dtype))
-        x = ConvBN(self.width, 3, 1, name="stem", **kw)(x, train)
+        x = ConvIABN(self.width, 3, 1, slope=1e-2, name="conv1",
+                     **kw)(x, train)
         taps: Dict[int, jnp.ndarray] = {}
-        widths = (self.width * 4, self.width * 8,
-                  self.width * 16, self.width * 32)
-        for si, (d, w) in enumerate(zip(self.layers, widths)):
-            for bi in range(d):
-                x = TResNetBlock(w, stride=2 if bi == 0 and si > 0 else 1,
-                                 name=f"s{si}_b{bi}", **kw)(x, train)
+        w = self.width
+        plan = ((TResNetBasic, w, 1, True), (TResNetBasic, w * 2, 2, True),
+                (TResNetBottleneck, w * 4, 2, True),
+                (TResNetBottleneck, w * 8, 2, False))
+        for si, (blk, planes, stride, use_se) in enumerate(plan):
+            for bi in range(self.layers[si]):
+                x = blk(planes, stride=stride if bi == 0 else 1,
+                        use_se=use_se, name=f"layer{si + 1}_{bi}",
+                        **kw)(x, train)
             taps[si] = x
         return {"logits": _head(x, self.num_classes), "features": x,
                 "taps": taps}

@@ -2031,6 +2031,76 @@ def _map_dla_name(name: str):
     return None
 
 
+def tresnet_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm tresnet checkpoint (reference ``models/tresnet.py:155-261``)
+    -> flax variables for ``models/cnn_misc.TResNet``.
+
+    conv2d_iabn Sequentials flatten to ``conv/bn`` pairs; strided blocks
+    nest one level deeper (``convN.0.{0,1}`` — the BlurPool sibling has
+    no persistent params); avg-down shortcuts map ``downsample.{i}.
+    {0,1}`` -> ``downsample_conv``; ``body.layer{L}.{B}`` ->
+    ``layer{L}_{B}``; ``head.fc`` -> the shared Dense head."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_tresnet_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_tresnet_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"head\.fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "fc", leaf), (_linear if leaf == "kernel" else ident)
+    m = re.match(r"body\.conv1\.(0\.weight|1\.(.+))$", name)
+    if m:
+        if m.group(1) == "0.weight":
+            return ("params", "conv1", "conv", "kernel"), _conv
+        if m.group(2) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[m.group(2)]
+            return (coll, "conv1", "bn", leaf), ident
+        return None
+    m = re.match(r"body\.layer(\d)\.(\d+)\.(.+)$", name)
+    if not m:
+        return None
+    base = f"layer{m.group(1)}_{m.group(2)}"
+    rest = m.group(3)
+    mm = re.match(r"conv(\d)\.(?:0\.)?(0\.weight|1\.(.+))$", rest)
+    if mm:
+        mod = f"conv{mm.group(1)}"
+        if mm.group(2) == "0.weight":
+            return ("params", base, mod, "conv", "kernel"), _conv
+        if mm.group(3) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[mm.group(3)]
+            return (coll, base, mod, "bn", leaf), ident
+        return None
+    mm = re.match(r"downsample\.\d\.(0\.weight|1\.(.+))$", rest)
+    if mm:
+        if mm.group(1) == "0.weight":
+            return ("params", base, "downsample_conv", "conv",
+                    "kernel"), _conv
+        if mm.group(2) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[mm.group(2)]
+            return (coll, base, "downsample_conv", "bn", leaf), ident
+        return None
+    mm = re.match(r"se\.fc(1|2)\.(weight|bias)$", rest)
+    if mm:
+        leaf = "kernel" if mm.group(2) == "weight" else "bias"
+        return ("params", base, "se", f"fc{mm.group(1)}", leaf), (
+            _conv if leaf == "kernel" else ident)
+    return None
+
+
 def bit_npz_to_torch_names(weights: Mapping[str, "np.ndarray"],
                            prefix: str = "resnet/") -> Dict:
     """Official BiT ``.npz`` release -> the timm torch-layout key names

@@ -1062,3 +1062,65 @@ def test_dla_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=1e-3, rtol=1e-4)
+
+
+@requires_reference
+def test_tresnet_converted_forward_parity():
+    """timm TResNet (tresnet.py:60-235: conv2d_iabn leaky-relu slopes
+    1e-2/1e-3/identity, BlurPool strides, avg-down shortcuts, explicit
+    SE reductions) -> models/cnn_misc.TResNet. Small layers keep CPU
+    cost down; the mapping is depth-independent."""
+    import torch
+    import torch.nn.functional as F
+
+    # The vendored InplaceAbn hard-requires the inplace_abn package
+    # (layers/inplace_abn.py:12); substitute the eval-equivalent
+    # BN+leaky module (same state-dict keys) before importing tresnet.
+    _load_vendored("resnet")  # ensures the models.layers package is loaded
+    import sys
+
+    layers_pkg = sys.modules["models.layers"]
+
+    class _Abn(torch.nn.BatchNorm2d):
+        def __init__(self, num_features, act_layer="leaky_relu",
+                     act_param=0.01, **kw):
+            super().__init__(num_features)
+            self._act = act_layer or "identity"
+            self._slope = act_param
+
+        def forward(self, x):
+            x = super().forward(x)
+            if self._act == "leaky_relu":
+                return F.leaky_relu(x, self._slope)
+            return x
+
+    orig_abn = layers_pkg.InplaceAbn
+    layers_pkg.InplaceAbn = _Abn
+    sys.modules.pop("models.tresnet", None)
+    try:
+        tr = _load_vendored("tresnet")
+    finally:
+        layers_pkg.InplaceAbn = orig_abn
+    torch.manual_seed(89)
+    ref = tr.TResNet(layers=[1, 1, 1, 1], num_classes=1000)
+    rng = np.random.default_rng(89)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import tresnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = tresnet_state_dict_to_flax(ref.state_dict())
+    model = create_model("tresnet_m", num_classes=1000, dtype=jnp.float32,
+                         layers=(1, 1, 1, 1))
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
