@@ -2101,6 +2101,87 @@ def _map_tresnet_name(name: str):
     return None
 
 
+_COAT_WINDOWS = ("3", "5", "7")
+
+
+def coat_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm CoaT-Lite checkpoint (reference ``models/coat.py:379-660``)
+    -> flax variables for ``models/tnt_coat.CoaTLite``.
+
+    Stage-shared position encodings map to ``cpe{s}`` / ``crpe{s}_w{k}``
+    (conv_list order follows the {3:2, 5:3, 7:3} window dict); serial
+    blocks flatten to ``s{s}_b{b}_{norm1,qkv,proj,norm2,mlp}``. The
+    lite head uses only ``norm4`` (-> ``norm``); the unused norm1-3 of
+    the checkpoint are intentionally dropped."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_coat_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_coat_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"cls_token(\d)$", name)
+    if m:
+        return ("params", f"cls{int(m.group(1)) - 1}"), ident
+    m = re.match(r"patch_embed(\d)\.proj\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(2) == "weight" else "bias"
+        return ("params", f"patch{int(m.group(1)) - 1}", leaf), (
+            _conv if leaf == "kernel" else ident)
+    m = re.match(r"patch_embed(\d)\.norm\.(weight|bias)$", name)
+    if m:
+        leaf = "scale" if m.group(2) == "weight" else "bias"
+        return ("params", f"patch_norm{int(m.group(1)) - 1}", leaf), ident
+    m = re.match(r"cpe(\d)\.proj\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(2) == "weight" else "bias"
+        return ("params", f"cpe{int(m.group(1)) - 1}", leaf), (
+            _conv if leaf == "kernel" else ident)
+    m = re.match(r"crpe(\d)\.conv_list\.(\d)\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(3) == "weight" else "bias"
+        wnd = _COAT_WINDOWS[int(m.group(2))]
+        return ("params", f"crpe{int(m.group(1)) - 1}_w{wnd}", leaf), (
+            _conv if leaf == "kernel" else ident)
+    m = re.match(r"norm4\.(weight|bias)$", name)
+    if m:
+        leaf = "scale" if m.group(1) == "weight" else "bias"
+        return ("params", "norm", leaf), ident
+    m = re.match(r"head\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "head", leaf), (
+            _linear if leaf == "kernel" else ident)
+    m = re.match(r"serial_blocks(\d)\.(\d+)\.(.+)$", name)
+    if not m:
+        return None
+    base = f"s{int(m.group(1)) - 1}_b{m.group(2)}"
+    rest = m.group(3)
+    mm = re.match(r"norm(1|2)\.(weight|bias)$", rest)
+    if mm:
+        leaf = "scale" if mm.group(2) == "weight" else "bias"
+        return ("params", f"{base}_norm{mm.group(1)}", leaf), ident
+    mm = re.match(r"factoratt_crpe\.(qkv|proj)\.(weight|bias)$", rest)
+    if mm:
+        leaf = "kernel" if mm.group(2) == "weight" else "bias"
+        return ("params", f"{base}_{mm.group(1)}", leaf), (
+            _linear if leaf == "kernel" else ident)
+    mm = re.match(r"mlp\.fc(\d)\.(weight|bias)$", rest)
+    if mm:
+        leaf = "kernel" if mm.group(2) == "weight" else "bias"
+        return ("params", f"{base}_mlp", f"fc{mm.group(1)}", leaf), (
+            _linear if leaf == "kernel" else ident)
+    return None
+
+
 def bit_npz_to_torch_names(weights: Mapping[str, "np.ndarray"],
                            prefix: str = "resnet/") -> Dict:
     """Official BiT ``.npz`` release -> the timm torch-layout key names

@@ -159,84 +159,29 @@ class TNT(nn.Module):
                 "probs": jnp.stack(probs_list, axis=1), "grid": (ph, pw)}
 
 
-class FactorAttention(nn.Module):
-    """CoaT factorized attention: Q @ (softmax_N(K)^T V) — O(N d^2)."""
-
-    dim: int
-    num_heads: int = 8
-    dtype: Dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x, size: Tuple[int, int]):
-        B, N, C = x.shape
-        D = C // self.num_heads
-        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, D).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-
-        k_soft = nn.softmax(k.astype(jnp.float32), axis=2).astype(v.dtype)
-        ctx = jnp.einsum("bhnd,bhne->bhde", k_soft, v)     # (B,H,D,D)
-        fat = jnp.einsum("bhnd,bhde->bhne", q, ctx) * (D ** -0.5)
-
-        # conv relative position term: depthwise 3x3 over V's spatial grid,
-        # gated by q (CLS row passes through untouched).
-        h, w = size
-        v_img = v[:, :, 1:].transpose(0, 2, 1, 3).reshape(B, h, w, C)
-        crpe = nn.Conv(C, (3, 3), padding="SAME", feature_group_count=C,
-                       dtype=self.dtype, name="crpe")(v_img)
-        crpe = crpe.reshape(B, h * w, self.num_heads, D).transpose(0, 2, 1, 3)
-        fat = fat.at[:, :, 1:].add(q[:, :, 1:] * crpe)
-
-        out = fat.transpose(0, 2, 1, 3).reshape(B, N, C)
-        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
-        # the factorized form never builds N x N probs; export the K
-        # softmax head-mean (token attention distribution) instead.
-        return out, jnp.mean(k_soft.astype(jnp.float32), axis=1)
-
-
-class CoaTSerialBlock(nn.Module):
-    dim: int
-    num_heads: int = 8
-    dtype: Dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x, size: Tuple[int, int]):
-        B, N, C = x.shape
-        h, w = size
-        # convolutional position encoding (depthwise 3x3 on patch tokens)
-        img = x[:, 1:].reshape(B, h, w, C)
-        cpe = nn.Conv(C, (3, 3), padding="SAME", feature_group_count=C,
-                      dtype=self.dtype, name="cpe")(img.astype(self.dtype))
-        x = x.at[:, 1:].add(cpe.reshape(B, h * w, C).astype(x.dtype))
-
-        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-        a, kprobs = FactorAttention(self.dim, self.num_heads,
-                                    dtype=self.dtype, name="attn")(
-                                        y.astype(self.dtype), size)
-        x = x + a
-        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
-        x = x + Mlp(self.dim * 4, self.dim, dtype=self.dtype,
-                    name="mlp")(y.astype(self.dtype))
-        return x, kprobs
-
-
 class CoaTLite(nn.Module):
-    """CoaT-Lite classifier (reference ``models/coat.py:680``, serial
-    blocks only): 4 stages of patch embed + serial conv-attention blocks."""
+    """CoaT-Lite classifier (reference ``models/coat.py:379-652``, serial
+    blocks only): per-stage patch embeds + cls tokens, stage-SHARED
+    depthwise conv position encoding (cpe) and multi-window conv
+    relative position encoding (crpe, head splits {3:2, 5:3, 7:3}),
+    factorized attention, per-stage MLP ratios."""
 
     num_classes: int = 1000
     embed_dims: Sequence[int] = (64, 128, 256, 320)
     depths: Sequence[int] = (2, 2, 2, 2)
     num_heads: int = 8
+    mlp_ratios: Sequence[int] = (8, 8, 4, 4)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         B = x.shape[0]
         x = x.astype(self.dtype)
+        windows = ((3, 2), (5, 3), (7, 3))        # (window, head split)
         taps: Dict[int, jnp.ndarray] = {}
         tokens = None
-        for si, (dim, depth) in enumerate(zip(self.embed_dims, self.depths)):
+        for si, (dim, depth, ratio) in enumerate(zip(
+                self.embed_dims, self.depths, self.mlp_ratios)):
             patch = 4 if si == 0 else 2
             img = (x if si == 0 else tokens)
             y = nn.Conv(dim, (patch, patch), strides=(patch, patch),
@@ -250,9 +195,21 @@ class CoaTLite(nn.Module):
             y = jnp.concatenate(
                 [jnp.broadcast_to(cls.astype(y.dtype), (B, 1, dim)), y],
                 axis=1)
+            # stage-shared position-encoding convs (coat.py:407-418)
+            cpe = nn.Conv(dim, (3, 3), padding=[(1, 1)] * 2,
+                          feature_group_count=dim, dtype=self.dtype,
+                          name=f"cpe{si}")
+            Ch = dim // self.num_heads
+            crpe_convs = [
+                nn.Conv(split * Ch, (wnd, wnd),
+                        padding=[(wnd // 2, wnd // 2)] * 2,
+                        feature_group_count=split * Ch, dtype=self.dtype,
+                        name=f"crpe{si}_w{wnd}")
+                for wnd, split in windows
+            ]
             for bi in range(depth):
-                y, _ = CoaTSerialBlock(dim, self.num_heads, dtype=self.dtype,
-                                       name=f"s{si}_b{bi}")(y, (h, w))
+                y = self._serial(y, (h, w), si, bi, dim, ratio, cpe,
+                                 crpe_convs)
             taps[si] = y[:, 1:].reshape(B, h, w, dim)
             tokens = taps[si]
         final = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(
@@ -261,6 +218,51 @@ class CoaTLite(nn.Module):
                           name="head")(final[:, 0])
         return {"logits": logits, "features": taps[len(self.depths) - 1],
                 "taps": taps}
+
+    def _serial(self, y, size, si, bi, dim, ratio, cpe, crpe_convs):
+        """One serial block (coat.py:210-243): cpe -> norm1 ->
+        factorized attention + crpe -> residual -> norm2 -> mlp."""
+        B, N, C = y.shape
+        h, w = size
+        heads = self.num_heads
+        Ch = C // heads
+
+        img = y[:, 1:].reshape(B, h, w, C)
+        y = y.at[:, 1:].add(cpe(img).reshape(B, h * w, C).astype(y.dtype))
+
+        cur = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                           name=f"s{si}_b{bi}_norm1")(y)
+        qkv = nn.Dense(3 * C, dtype=self.dtype,
+                       name=f"s{si}_b{bi}_qkv")(cur.astype(self.dtype))
+        qkv = qkv.reshape(B, N, 3, heads, Ch).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        k_soft = nn.softmax(k.astype(jnp.float32), axis=2).astype(v.dtype)
+        ctx = jnp.einsum("bhnd,bhne->bhde", k_soft, v)
+        fat = jnp.einsum("bhnd,bhde->bhne", q, ctx) * (Ch ** -0.5)
+
+        # crpe (coat.py:119-139): v's image tokens in (head, Ch) channel
+        # order, split across head groups, depthwise conv per window,
+        # gated by q
+        v_img = v[:, :, 1:].transpose(0, 2, 1, 3).reshape(B, h, w, C)
+        splits = []
+        start = 0
+        for conv, (wnd, split) in zip(crpe_convs, ((3, 2), (5, 3), (7, 3))):
+            width = split * Ch
+            splits.append(conv(v_img[..., start:start + width]))
+            start += width
+        conv_v = jnp.concatenate(splits, axis=-1)
+        conv_v = conv_v.reshape(B, h * w, heads, Ch).transpose(0, 2, 1, 3)
+        fat = fat.at[:, :, 1:].add(q[:, :, 1:] * conv_v.astype(q.dtype))
+
+        out = fat.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = nn.Dense(C, dtype=self.dtype, name=f"s{si}_b{bi}_proj")(out)
+        y = y + out
+
+        cur = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                           name=f"s{si}_b{bi}_norm2")(y)
+        y = y + Mlp(dim * ratio, dim, dtype=self.dtype,
+                    name=f"s{si}_b{bi}_mlp")(cur.astype(self.dtype))
+        return y
 
 
 @register_model

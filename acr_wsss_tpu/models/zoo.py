@@ -66,6 +66,8 @@ ZOO_URLS: Dict[str, str] = {
     "efficientnet_b2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b2_ra-bcdf34b7.pth",
     "efficientnet_b3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b3_ra2-cf984f9c.pth",
     "mobilenetv3_large_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv3_large_100_ra-f55367f5.pth",
+    # CoaT-Lite (reference cfg models/coat.py:37-44)
+    "coat_lite_tiny": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-coat-weights/coat_lite_tiny-461b07a7.pth",
     # TResNet (reference cfg models/tresnet.py:30-47)
     "tresnet_m": "https://miil-public-eu.oss-eu-central-1.aliyuncs.com/model-zoo/ImageNet_21K_P/models/timm/tresnet_m_1k_miil_83_1.pth",
     # DLA (reference cfg models/dla.py:27-48)
@@ -257,6 +259,10 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import regnet_state_dict_to_flax
 
         return regnet_state_dict_to_flax(state)
+    if backbone.startswith("coat"):
+        from acr_wsss_tpu.models.convert import coat_state_dict_to_flax
+
+        return coat_state_dict_to_flax(state)
     if backbone.startswith("tresnet"):
         from acr_wsss_tpu.models.convert import tresnet_state_dict_to_flax
 

@@ -1124,3 +1124,35 @@ def test_tresnet_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_coat_lite_converted_forward_parity():
+    """timm coat_lite_tiny (coat.py:77-243: stage-shared cpe/crpe with
+    {3:2,5:3,7:3} head-split windows, factorized attention, per-stage
+    mlp ratios, norm4-only lite head) -> models/tnt_coat.CoaTLite:
+    eval-mode logits parity."""
+    import torch
+
+    ct = _load_vendored("coat")
+    torch.manual_seed(97)
+    ref = ct.coat_lite_tiny(pretrained=False)
+    ref.eval()
+
+    from acr_wsss_tpu.models.convert import coat_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = coat_state_dict_to_flax(ref.state_dict())
+    model = create_model("coat_lite_tiny", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
+    assert_trees_match(expected, variables)
+
+    rng = np.random.default_rng(97)
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-4)
