@@ -324,3 +324,94 @@ def resnest50d(**kwargs):
     kwargs.setdefault("layers", (3, 4, 6, 3))
     kwargs.setdefault("deep_stem", True)
     return AttnResNet(block=ResNeStBottleneck, **kwargs)
+
+
+class SelectiveKernelBasicBlock(nn.Module):
+    """timm SelectiveKernelBasic (reference ``models/sknet.py:46-91`` +
+    ``layers/selective_kernel.py``): split-input two-path SK conv (3x3
+    dil 1 / 3x3 dil 2), path-softmax attention (reduce width
+    max(out//8, 16), BN'd), act-free 3x3 conv2, post-add ReLU."""
+
+    planes: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        in_chs = x.shape[-1]
+        shortcut = x
+        if self.stride != 1 or in_chs != self.planes:
+            shortcut = ConvBN(self.planes, 1, self.stride, apply_act=False,
+                              name="downsample", **kw)(x, train)
+        half = in_chs // 2
+        paths = []
+        for pi, dil in enumerate((1, 2)):
+            y = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+                        padding=[(dil, dil)] * 2,
+                        kernel_dilation=(dil, dil), use_bias=False,
+                        dtype=self.dtype, name=f"path{pi}_conv")(
+                x[..., pi * half:(pi + 1) * half])
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             axis_name=self.bn_axis_name if train else None,
+                             name=f"path{pi}_bn")(y)
+            paths.append(nn.relu(y).astype(self.dtype))
+        stacked = jnp.stack(paths, axis=1)              # (B, P, H, W, C)
+        pooled = jnp.mean(jnp.sum(stacked.astype(jnp.float32), axis=1),
+                          axis=(1, 2), keepdims=True)   # (B, 1, 1, C)
+        attn_chs = max(self.planes // 8, 16)
+        a = nn.Conv(attn_chs, (1, 1), use_bias=False, dtype=jnp.float32,
+                    name="attn_reduce")(pooled)
+        a = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="attn_bn")(a)
+        a = nn.Conv(2 * self.planes, (1, 1), use_bias=False,
+                    dtype=jnp.float32, name="attn_select")(nn.relu(a))
+        a = a.reshape(a.shape[0], 2, 1, 1, self.planes)
+        a = nn.softmax(a, axis=1)
+        y = jnp.sum(stacked * a.astype(stacked.dtype), axis=1)
+        y = ConvBN(self.planes, 3, apply_act=False, name="conv2",
+                   **kw)(y, train)
+        return nn.relu(y + shortcut).astype(self.dtype)
+
+
+class SKResNet(nn.Module):
+    """Basic-block SK-ResNet (reference ``models/sknet.py:150-176``:
+    skresnet18/34 — split_input SK convs on a standard ResNet stem)."""
+
+    num_classes: int = 1000
+    layers: Sequence[int] = (2, 2, 2, 2)
+    dtype: Any = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = x.astype(self.dtype)
+        x = ConvBN(64, 7, 2, name="stem", **kw)(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        taps: Dict[int, jnp.ndarray] = {}
+        for si, depth in enumerate(self.layers):
+            planes = 64 * (2 ** si)
+            for bi in range(depth):
+                x = SelectiveKernelBasicBlock(
+                    planes, stride=2 if bi == 0 and si > 0 else 1,
+                    name=f"layer{si + 1}_{bi}", **kw)(x, train)
+            taps[si] = x
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          name="fc")(pooled)
+        return {"logits": logits, "features": x, "taps": taps}
+
+
+@register_model
+def skresnet18(**kwargs):
+    return SKResNet(layers=(2, 2, 2, 2), **kwargs)
+
+
+@register_model
+def skresnet34(**kwargs):
+    return SKResNet(layers=(3, 4, 6, 3), **kwargs)

@@ -2182,6 +2182,80 @@ def _map_coat_name(name: str):
     return None
 
 
+def sknet_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm skresnet18/34 checkpoint (reference ``models/sknet.py:46-176``
+    + ``layers/selective_kernel.py``) -> flax variables for
+    ``models/cnn_attn.SKResNet``.
+
+    SK conv paths ``conv1.paths.{i}`` -> ``path{i}_{conv,bn}``; the
+    path-softmax attention ``conv1.attn.{fc_reduce,bn,fc_select}`` ->
+    ``attn_{reduce,bn,select}``; ``conv2``/``downsample.{0,1}``/stem/fc
+    follow the standard ResNet mapping."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_sknet_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_sknet_name(name: str):
+    ident = lambda x: x
+    if name == "conv1.weight":
+        return ("params", "stem", "conv", "kernel"), _conv
+    m = re.match(r"bn1\.(.+)$", name)
+    if m and m.group(1) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[m.group(1)]
+        return (coll, "stem", "bn", leaf), ident
+    m = re.match(r"fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "fc", leaf), (_linear if leaf == "kernel" else ident)
+    m = re.match(r"layer(\d)\.(\d+)\.(.+)$", name)
+    if not m:
+        return None
+    base = f"layer{m.group(1)}_{m.group(2)}"
+    rest = m.group(3)
+    mm = re.match(r"conv1\.paths\.(\d)\.(conv\.weight|bn\.(.+))$", rest)
+    if mm:
+        if mm.group(2) == "conv.weight":
+            return ("params", base, f"path{mm.group(1)}_conv",
+                    "kernel"), _conv
+        if mm.group(3) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[mm.group(3)]
+            return (coll, base, f"path{mm.group(1)}_bn", leaf), ident
+        return None
+    mm = re.match(r"conv1\.attn\.fc_(reduce|select)\.weight$", rest)
+    if mm:
+        return ("params", base, f"attn_{mm.group(1)}", "kernel"), _conv
+    mm = re.match(r"conv1\.attn\.bn\.(.+)$", rest)
+    if mm and mm.group(1) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[mm.group(1)]
+        return (coll, base, "attn_bn", leaf), ident
+    mm = re.match(r"conv2\.(conv\.weight|bn\.(.+))$", rest)
+    if mm:
+        if mm.group(1) == "conv.weight":
+            return ("params", base, "conv2", "conv", "kernel"), _conv
+        if mm.group(2) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[mm.group(2)]
+            return (coll, base, "conv2", "bn", leaf), ident
+        return None
+    if rest == "downsample.0.weight":
+        return ("params", base, "downsample", "conv", "kernel"), _conv
+    mm = re.match(r"downsample\.1\.(.+)$", rest)
+    if mm and mm.group(1) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[mm.group(1)]
+        return (coll, base, "downsample", "bn", leaf), ident
+    return None
+
+
 def bit_npz_to_torch_names(weights: Mapping[str, "np.ndarray"],
                            prefix: str = "resnet/") -> Dict:
     """Official BiT ``.npz`` release -> the timm torch-layout key names

@@ -66,6 +66,9 @@ ZOO_URLS: Dict[str, str] = {
     "efficientnet_b2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b2_ra-bcdf34b7.pth",
     "efficientnet_b3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b3_ra2-cf984f9c.pth",
     "mobilenetv3_large_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv3_large_100_ra-f55367f5.pth",
+    # SK-ResNet (reference cfg models/sknet.py:29-39)
+    "skresnet18": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/skresnet18_ra-4eec2804.pth",
+    "skresnet34": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/skresnet34_ra-bdc0ccde.pth",
     # CoaT-Lite (reference cfg models/coat.py:37-44)
     "coat_lite_tiny": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-coat-weights/coat_lite_tiny-461b07a7.pth",
     # TResNet (reference cfg models/tresnet.py:30-47)
@@ -259,6 +262,10 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import regnet_state_dict_to_flax
 
         return regnet_state_dict_to_flax(state)
+    if backbone.startswith("skresnet"):
+        from acr_wsss_tpu.models.convert import sknet_state_dict_to_flax
+
+        return sknet_state_dict_to_flax(state)
     if backbone.startswith("coat"):
         from acr_wsss_tpu.models.convert import coat_state_dict_to_flax
 

@@ -1156,3 +1156,35 @@ def test_coat_lite_converted_forward_parity():
     out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=1e-3, rtol=1e-4)
+
+
+@requires_reference
+def test_skresnet_converted_forward_parity():
+    """timm skresnet18 (sknet.py:46-164: split-input two-path SK convs,
+    path-softmax attention with BN'd reduce) ->
+    models/cnn_attn.SKResNet: eval-mode logits parity."""
+    import torch
+
+    sk = _load_vendored("sknet")
+    torch.manual_seed(101)
+    ref = sk.skresnet18(pretrained=False)
+    rng = np.random.default_rng(101)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import sknet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = sknet_state_dict_to_flax(ref.state_dict())
+    model = create_model("skresnet18", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-4)
