@@ -2256,6 +2256,59 @@ def _map_sknet_name(name: str):
     return None
 
 
+def nf_resnet_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm nf_resnet50 checkpoint (reference ``models/nfnet.py:
+    168-174, 308-560``) -> flax variables for ``models/nfnet.NFResNet``.
+
+    Every conv is a ScaledStdConv2d with weight/bias/gain; gains
+    flatten from (out,1,1,1) to (out,). ``stages.{s}.{b}`` ->
+    ``s{s}_b{b}``; the DownsampleAvg shortcut's conv -> ``downsample``;
+    ``stem.conv`` -> ``stem_conv``; ``head.fc`` -> ``fc``."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_nf_resnet_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+_NF_CONV_LEAF = {"weight": ("kernel", _conv),
+                 "bias": ("bias", lambda x: x),
+                 "gain": ("gain", lambda x: x.reshape(-1))}
+
+
+def _map_nf_resnet_name(name: str):
+    m = re.match(r"stem\.conv\.(weight|bias|gain)$", name)
+    if m:
+        leaf, tr = _NF_CONV_LEAF[m.group(1)]
+        return ("params", "stem_conv", leaf), tr
+    m = re.match(r"head\.fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "fc", leaf), (
+            _linear if leaf == "kernel" else (lambda x: x))
+    m = re.match(r"stages\.(\d+)\.(\d+)\.(.+)$", name)
+    if not m:
+        return None
+    base = f"s{m.group(1)}_b{m.group(2)}"
+    rest = m.group(3)
+    mm = re.match(r"conv(\d)\.(weight|bias|gain)$", rest)
+    if mm:
+        leaf, tr = _NF_CONV_LEAF[mm.group(2)]
+        return ("params", base, f"conv{mm.group(1)}", leaf), tr
+    mm = re.match(r"downsample\.conv\.(weight|bias|gain)$", rest)
+    if mm:
+        leaf, tr = _NF_CONV_LEAF[mm.group(1)]
+        return ("params", base, "downsample", leaf), tr
+    return None
+
+
 def bit_npz_to_torch_names(weights: Mapping[str, "np.ndarray"],
                            prefix: str = "resnet/") -> Dict:
     """Official BiT ``.npz`` release -> the timm torch-layout key names

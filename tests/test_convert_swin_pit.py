@@ -1188,3 +1188,34 @@ def test_skresnet_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=1e-3, rtol=1e-4)
+
+
+@requires_reference
+def test_nf_resnet_converted_forward_parity():
+    """timm nf_resnet50 (nfnet.py:308-380 NormFreeBlock, reg=False:
+    plain-relu preact, conv-gamma 1.71396, additive-eps scaled-std
+    convs with bias+gain, avg-down shortcut from the preactivated
+    input, variance-tracked betas) -> models/nfnet.NFResNet."""
+    import torch
+
+    nf = _load_vendored("nfnet")
+    torch.manual_seed(103)
+    ref = nf.nf_resnet50(pretrained=False)
+    ref.eval()
+
+    from acr_wsss_tpu.models.convert import nf_resnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = nf_resnet_state_dict_to_flax(ref.state_dict())
+    model = create_model("nf_resnet50", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
+    assert_trees_match(expected, variables)
+
+    rng = np.random.default_rng(103)
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
