@@ -43,8 +43,26 @@ def list_models(filter: str = "") -> List[str]:
     return names
 
 
-def create_model(name: str, **kwargs):
-    return model_entrypoint(name)(**kwargs)
+def create_model(name: str, pretrained: bool = False, **kwargs):
+    """Build a registered backbone; the factory of the reference
+    (``models/factory.py:create_model``).
+
+    With ``pretrained=True`` (reference ``models/helpers.py:24-49``
+    semantics) returns ``(model, variables)`` where ``variables`` is the
+    converted checkpoint tree from the weight zoo (fetched/cached via
+    ``models/zoo.py``; ``file://`` URLs serve zero-egress hosts). The
+    tree is directly ``model.apply``-able at the checkpoint's class
+    count; to change ``num_classes``, init the model and graft with
+    ``zoo.graft_standalone(init_tree, variables)`` — shape-mismatched
+    leaves (the classifier) keep their fresh initialization, exactly as
+    timm's ``load_pretrained`` classifier filtering."""
+    model = model_entrypoint(name)(**kwargs)
+    if not pretrained:
+        return model
+    from acr_wsss_tpu.models import zoo
+    from acr_wsss_tpu.utils.checkpoint import load_params_npz
+
+    return model, load_params_npz(zoo.fetch(name))
 
 
 # ---------------------------------------------------------------------------

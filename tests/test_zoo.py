@@ -213,3 +213,42 @@ def test_checkpoint_validation_rejects_truncated_and_corrupt(tmp_path):
     plain = tmp_path / "model3.pth"
     plain.write_bytes(b"x" * (2 << 20))
     _validate_checkpoint_file(str(plain))
+
+
+def test_create_model_pretrained_roundtrip(tmp_path, monkeypatch):
+    """create_model(name, pretrained=True) — the reference factory API
+    (models/factory.py + helpers.py:24-49) — returns (model, variables)
+    from the npz zoo; grafting onto a different class count keeps the
+    fresh classifier (timm classifier filtering)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from acr_wsss_tpu.models.registry import create_model
+    from acr_wsss_tpu.models import zoo
+    from acr_wsss_tpu.utils.checkpoint import save_params_npz
+
+    monkeypatch.setenv("ACR_WSSS_ZOO", str(tmp_path))
+    # Synthesize a converted checkpoint: random-init the flax model and
+    # store its own variables as the "pretrained" npz (structure-true).
+    ref_model = create_model("regnetx_002", num_classes=1000,
+                             dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    ref_vars = ref_model.init(jax.random.key(7), x, train=True)
+    save_params_npz(zoo.npz_path("regnetx_002", str(tmp_path)), ref_vars)
+
+    model, variables = create_model("regnetx_002", pretrained=True,
+                                    num_classes=1000, dtype=jnp.float32)
+    out_ref = ref_model.apply(ref_vars, x, train=False)
+    out = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(out_ref["logits"]), atol=1e-6)
+
+    # class-count change: graft keeps the fresh head, copies the trunk
+    model5 = create_model("regnetx_002", num_classes=5, dtype=jnp.float32)
+    init5 = model5.init(jax.random.key(8), x, train=True)
+    grafted = zoo.graft_standalone(init5, variables, verbose=False)
+    assert grafted["params"]["head"]["kernel"].shape[-1] == 5
+    np.testing.assert_allclose(
+        np.asarray(grafted["params"]["stem"]["conv"]["kernel"]),
+        np.asarray(ref_vars["params"]["stem"]["conv"]["kernel"]))
