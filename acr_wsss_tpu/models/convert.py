@@ -2309,6 +2309,101 @@ def _map_nf_resnet_name(name: str):
     return None
 
 
+_INC4_A = {"branch0": ("b1",), "branch1.0": ("b2_1",),
+           "branch1.1": ("b2_2",), "branch2.0": ("b3_1",),
+           "branch2.1": ("b3_2",), "branch2.2": ("b3_3",),
+           "branch3.1": ("b4",)}
+_INC4_RA = {"branch0": ("b1",), "branch1.0": ("b2_1",),
+            "branch1.1": ("b2_2",), "branch1.2": ("b2_3",)}
+_INC4_B = {"branch0": ("b1",), "branch1.0": ("b2_1",),
+           "branch1.1": ("b2_2",), "branch1.2": ("b2_3",),
+           "branch2.0": ("b3_1",), "branch2.1": ("b3_2",),
+           "branch2.2": ("b3_3",), "branch2.3": ("b3_4",),
+           "branch2.4": ("b3_5",), "branch3.1": ("b4",)}
+_INC4_RB = {"branch0.0": ("b1_1",), "branch0.1": ("b1_2",),
+            "branch1.0": ("b2_1",), "branch1.1": ("b2_2",),
+            "branch1.2": ("b2_3",), "branch1.3": ("b2_4",)}
+_INC4_C = {"branch0": ("b1",), "branch1_0": ("b2_1",),
+           "branch1_1a": ("b2_2a",), "branch1_1b": ("b2_2b",),
+           "branch2_0": ("b3_1",), "branch2_1": ("b3_2",),
+           "branch2_2": ("b3_3",), "branch2_3a": ("b3_4a",),
+           "branch2_3b": ("b3_4b",), "branch3.1": ("b4",)}
+_INC4_FEATURES = {
+    0: ("s1", None), 1: ("s2", None), 2: ("s3", None),
+    3: ("s4", {"conv": ("",)}),           # Mixed3a: only 'conv' branch
+    4: (None, {"branch0.0": ("s5_1",), "branch0.1": ("s5_2",),
+               "branch1.0": ("s6_1",), "branch1.1": ("s6_2",),
+               "branch1.2": ("s6_3",), "branch1.3": ("s6_4",)}),
+    5: ("s7", {"conv": ("",)}),           # Mixed5a
+    10: ("reda", _INC4_RA), 18: ("redb", _INC4_RB),
+}
+for _i in range(6, 10):
+    _INC4_FEATURES[_i] = (f"a{_i - 6}", _INC4_A)
+for _i in range(11, 18):
+    _INC4_FEATURES[_i] = (f"b{_i - 11}", _INC4_B)
+for _i in range(19, 22):
+    _INC4_FEATURES[_i] = (f"c{_i - 19}", _INC4_C)
+
+
+def inception_v4_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm/Cadene inception_v4 checkpoint (reference
+    ``models/inception_v4.py:244-290`` features Sequential) -> flax
+    variables for ``models/inception.InceptionV4``. Branch tables map
+    each ``features.{i}.<branch>`` BasicConv2d to the flat block-local
+    Conv2dBN names; ``last_linear`` -> ``fc``."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_inception_v4_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_inception_v4_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"last_linear\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "fc", leaf), (_linear if leaf == "kernel" else ident)
+    m = re.match(r"features\.(\d+)\.(.+)$", name)
+    if not m:
+        return None
+    idx = int(m.group(1))
+    if idx not in _INC4_FEATURES:
+        return None
+    block, branches = _INC4_FEATURES[idx]
+    rest = m.group(2)
+    mm = re.match(r"(?:(.*)\.)?(conv\.weight|bn\.(.+))$", rest)
+    if not mm:
+        return None
+    branch = mm.group(1) or ""
+    if branches is None:
+        if branch:
+            return None
+        mod = (block,)
+    else:
+        if branch not in branches:
+            return None
+        sub = branches[branch]
+        mod = (block,) if sub == ("",) else (
+            sub if block is None else (block, *sub))
+        mod = tuple(p for p in mod if p)
+    if mm.group(2) == "conv.weight":
+        return ("params", *mod, "conv", "kernel"), _conv
+    if mm.group(3) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[mm.group(3)]
+        return (coll, *mod, "bn", leaf), ident
+    return None
+
+
 def bit_npz_to_torch_names(weights: Mapping[str, "np.ndarray"],
                            prefix: str = "resnet/") -> Dict:
     """Official BiT ``.npz`` release -> the timm torch-layout key names

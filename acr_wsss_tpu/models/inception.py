@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -33,9 +34,22 @@ from acr_wsss_tpu.models.registry import register_model
 Dtype = Any
 
 
-def _pool3(x, stride=1, kind="max"):
-    fn = nn.max_pool if kind == "max" else nn.avg_pool
-    return fn(x, (3, 3), strides=(stride, stride), padding=[(1, 1)] * 2)
+def _pool3(x, stride=1, kind="max", count_include_pad=True):
+    """3x3 pad-1 pool. v3's torchvision avg branches divide by 9
+    everywhere (count_include_pad=True); the Cadene v4/IR-v2 AvgPool2d
+    uses count_include_pad=False (edge windows divide by the VALID
+    count) — pass False for those."""
+    if kind == "max":
+        return nn.max_pool(x, (3, 3), strides=(stride, stride),
+                           padding=[(1, 1)] * 2)
+    if count_include_pad:
+        return nn.avg_pool(x, (3, 3), strides=(stride, stride),
+                           padding=[(1, 1)] * 2)
+    summed = nn.pool(x, 0.0, jax.lax.add, (3, 3), (stride, stride),
+                     [(1, 1)] * 2)
+    counts = nn.pool(jnp.ones_like(x[..., :1]), 0.0, jax.lax.add,
+                     (3, 3), (stride, stride), [(1, 1)] * 2)
+    return summed / counts
 
 
 class Conv2dBN(nn.Module):
@@ -225,8 +239,79 @@ class InceptionV4A(nn.Module):
         b3 = Conv2dBN(64, (1, 1), name="b3_1", **kw)(x, train)
         b3 = Conv2dBN(96, (3, 3), name="b3_2", **kw)(b3, train)
         b3 = Conv2dBN(96, (3, 3), name="b3_3", **kw)(b3, train)
-        b4 = Conv2dBN(96, (1, 1), name="b4", **kw)(_pool3(x, kind="avg"), train)
+        b4 = Conv2dBN(96, (1, 1), name="b4", **kw)(_pool3(x, kind="avg", count_include_pad=False), train)
         return jnp.concatenate([b1, b2, b3, b4], axis=-1)
+
+
+class InceptionV4B(nn.Module):
+    """v4 Inception-B (reference ``models/inception_v4.py:143-178``):
+    widths differ from v3 (384 direct, 256-wide factorized-7 outputs,
+    128 pool branch; branch2 starts with the (7,1))."""
+
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        b1 = Conv2dBN(384, (1, 1), name="b1", **kw)(x, train)
+        b2 = Conv2dBN(192, (1, 1), name="b2_1", **kw)(x, train)
+        b2 = Conv2dBN(224, (1, 7), name="b2_2", **kw)(b2, train)
+        b2 = Conv2dBN(256, (7, 1), name="b2_3", **kw)(b2, train)
+        b3 = Conv2dBN(192, (1, 1), name="b3_1", **kw)(x, train)
+        b3 = Conv2dBN(192, (7, 1), name="b3_2", **kw)(b3, train)
+        b3 = Conv2dBN(224, (1, 7), name="b3_3", **kw)(b3, train)
+        b3 = Conv2dBN(224, (7, 1), name="b3_4", **kw)(b3, train)
+        b3 = Conv2dBN(256, (1, 7), name="b3_5", **kw)(b3, train)
+        b4 = Conv2dBN(128, (1, 1), name="b4", **kw)(_pool3(x, kind="avg", count_include_pad=False),
+                                                    train)
+        return jnp.concatenate([b1, b2, b3, b4], axis=-1)
+
+
+class ReductionV4B(nn.Module):
+    """v4 grid reduction B (reference ``models/inception_v4.py:181-205``)."""
+
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        b1 = Conv2dBN(192, (1, 1), name="b1_1", **kw)(x, train)
+        b1 = Conv2dBN(192, (3, 3), stride=2, padding=(0, 0),
+                      name="b1_2", **kw)(b1, train)
+        b2 = Conv2dBN(256, (1, 1), name="b2_1", **kw)(x, train)
+        b2 = Conv2dBN(256, (1, 7), name="b2_2", **kw)(b2, train)
+        b2 = Conv2dBN(320, (7, 1), name="b2_3", **kw)(b2, train)
+        b2 = Conv2dBN(320, (3, 3), stride=2, padding=(0, 0),
+                      name="b2_4", **kw)(b2, train)
+        b3 = nn.max_pool(x, (3, 3), strides=(2, 2))
+        return jnp.concatenate([b1, b2, b3], axis=-1)
+
+
+class InceptionV4C(nn.Module):
+    """v4 Inception-C (reference ``models/inception_v4.py:208-242``):
+    256-wide split outputs; branch2 runs (3,1) then (1,3) before its
+    split (unlike v3's 3x3)."""
+
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        b1 = Conv2dBN(256, (1, 1), name="b1", **kw)(x, train)
+        b2 = Conv2dBN(384, (1, 1), name="b2_1", **kw)(x, train)
+        b2a = Conv2dBN(256, (1, 3), name="b2_2a", **kw)(b2, train)
+        b2b = Conv2dBN(256, (3, 1), name="b2_2b", **kw)(b2, train)
+        b3 = Conv2dBN(384, (1, 1), name="b3_1", **kw)(x, train)
+        b3 = Conv2dBN(448, (3, 1), name="b3_2", **kw)(b3, train)
+        b3 = Conv2dBN(512, (1, 3), name="b3_3", **kw)(b3, train)
+        b3a = Conv2dBN(256, (1, 3), name="b3_4a", **kw)(b3, train)
+        b3b = Conv2dBN(256, (3, 1), name="b3_4b", **kw)(b3, train)
+        b4 = Conv2dBN(256, (1, 1), name="b4", **kw)(_pool3(x, kind="avg", count_include_pad=False),
+                                                    train)
+        return jnp.concatenate([b1, b2a, b2b, b3a, b3b, b4], axis=-1)
 
 
 class InceptionV4(nn.Module):
@@ -267,11 +352,11 @@ class InceptionV4(nn.Module):
         taps[1] = x
         x = ReductionA(out3x3=384, dbl=(192, 224, 256), name="reda", **kw)(x, train)
         for i in range(7):
-            x = InceptionB(224, name=f"b{i}", **kw)(x, train)
+            x = InceptionV4B(name=f"b{i}", **kw)(x, train)
         taps[2] = x
-        x = ReductionB(c7=256, name="redb", **kw)(x, train)
+        x = ReductionV4B(name="redb", **kw)(x, train)
         for i in range(3):
-            x = InceptionC(name=f"c{i}", **kw)(x, train)
+            x = InceptionV4C(name=f"c{i}", **kw)(x, train)
         taps[3] = x
         logits = classifier_head(x, self.num_classes, name="fc")
         return {"logits": logits, "features": x, "taps": taps}

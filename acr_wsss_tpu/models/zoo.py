@@ -105,6 +105,8 @@ ZOO_URLS: Dict[str, str] = {
     # Inception v3 (torchvision weights; reference cfg
     # models/inception_v3.py:27-46)
     "inception_v3": "https://download.pytorch.org/models/inception_v3_google-1a9a5a14.pth",
+    # Inception-v4 (Cadene weights; reference cfg models/inception_v4.py:16-25)
+    "inception_v4": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/inceptionv4-8e4777a0.pth",
     # Xception (Cadene weights; reference cfg models/xception.py:30-48)
     "xception": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/xception-43020ad28.pth",
     # Gluon ResNet-D (reference cfg models/gluon_resnet.py:37)
@@ -236,6 +238,12 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import ghostnet_state_dict_to_flax
 
         return ghostnet_state_dict_to_flax(state)
+    if backbone.startswith("inception_v4"):
+        from acr_wsss_tpu.models.convert import (
+            inception_v4_state_dict_to_flax,
+        )
+
+        return inception_v4_state_dict_to_flax(state)
     if backbone.startswith("inception_v3"):
         from acr_wsss_tpu.models.convert import (
             inception_v3_state_dict_to_flax,

@@ -1219,3 +1219,37 @@ def test_nf_resnet_converted_forward_parity():
     out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_inception_v4_converted_forward_parity():
+    """timm/Cadene inception_v4 (inception_v4.py:43-290: Mixed stem,
+    v4-width A/B/C blocks, 1536 features) ->
+    models/inception.InceptionV4: eval-mode logits parity. 96px input
+    keeps the valid-padded stem positive-sized."""
+    import torch
+
+    iv4 = _load_vendored("inception_v4")
+    torch.manual_seed(107)
+    ref = iv4.InceptionV4(num_classes=1000)
+    rng = np.random.default_rng(107)
+    _advance_bn_and_eval(ref, rng, size=96)
+
+    from acr_wsss_tpu.models.convert import inception_v4_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = inception_v4_state_dict_to_flax(ref.state_dict())
+    model = create_model("inception_v4", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 96, 96, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 96, 96)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
