@@ -73,17 +73,36 @@ class BnActConv(nn.Module):
                        dtype=self.dtype, name="conv")(x)
 
 
+class CatBnAct(nn.Module):
+    """BN (eps 1e-3) + ReLU with no conv (reference ``models/dpn.py:52-68``
+    CatBnAct) — the pre-act head of the b-variant's split 1x1_c convs."""
+
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="bn")(x)
+        return nn.relu(x).astype(self.dtype)
+
+
 class DualPathBlock(nn.Module):
     """DPN block (reference ``models/dpn.py:83-165``): pre-act grouped
     bottleneck whose 1x1_c output splits into a residual slice (added)
     and a dense slice (concatenated onto the growing dense path). The
-    proj/down shortcut is itself pre-act and splits the same way."""
+    proj/down shortcut is itself pre-act and splits the same way. With
+    ``b=True`` (dpn68b, :114-118) the joint 1x1_c is replaced by a
+    CatBnAct followed by two separate bias-free convs c1x1_c1/c1x1_c2."""
 
     bw: int                # residual-path width (num_1x1_c)
     inc: int               # dense-path growth
     mid_chs: int           # num_1x1_a == num_3x3_b (r)
     groups: int = 32
     block_type: str = "normal"     # proj | down | normal
+    b: bool = False
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -103,8 +122,16 @@ class DualPathBlock(nn.Module):
         y = BnActConv(self.mid_chs, 1, name="c1x1_a", **kw)(x_in, train)
         y = BnActConv(self.mid_chs, 3, stride, groups=self.groups,
                       name="c3x3_b", **kw)(y, train)
-        y = BnActConv(self.bw + self.inc, 1, name="c1x1_c", **kw)(y, train)
-        out1, out2 = y[..., :self.bw], y[..., self.bw:]
+        if self.b:
+            y = CatBnAct(name="c1x1_c", **kw)(y, train)
+            out1 = nn.Conv(self.bw, (1, 1), use_bias=False,
+                           dtype=self.dtype, name="c1x1_c1")(y)
+            out2 = nn.Conv(self.inc, (1, 1), use_bias=False,
+                           dtype=self.dtype, name="c1x1_c2")(y)
+        else:
+            y = BnActConv(self.bw + self.inc, 1, name="c1x1_c",
+                          **kw)(y, train)
+            out1, out2 = y[..., :self.bw], y[..., self.bw:]
         resid = (x_s1 + out1).astype(self.dtype)
         dense_out = (out2 if x_s2 is None
                      else jnp.concatenate([x_s2, out2], axis=-1))
@@ -123,6 +150,7 @@ class DPN(nn.Module):
     k_r: int = 128
     groups: int = 32
     init_chs: int = 10
+    b: bool = False
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -149,7 +177,7 @@ class DPN(nn.Module):
                 btype = ("proj" if si == 0 else "down") if bi == 0 \
                     else "normal"
                 res, dense = DualPathBlock(
-                    bw, inc, r, self.groups, block_type=btype,
+                    bw, inc, r, self.groups, block_type=btype, b=self.b,
                     name=f"conv{si + 2}_{bi + 1}", **kw)(res, dense, train)
             taps[si] = jnp.concatenate([res, dense], axis=-1)
         x = taps[len(self.stage_blocks) - 1]
@@ -979,6 +1007,11 @@ class HardCoReNAS(nn.Module):
 @register_model
 def dpn68(**kwargs):
     return DPN(**kwargs)
+
+
+@register_model
+def dpn68b(**kwargs):
+    return DPN(b=True, **kwargs)
 
 
 @register_model

@@ -1946,6 +1946,11 @@ def _map_dpn_name(name: str):
         if mm.group(4) in _BN_LEAVES:
             coll, leaf = _BN_LEAVES[mm.group(4)]
             return (coll, *base, "bn", leaf), ident
+    # b-variant (dpn68b, reference models/dpn.py:114-118): split bias-free
+    # 1x1 convs after the CatBnAct (whose bn matched the branch above).
+    mm = re.match(r"(conv\d+_\d+)\.(c1x1_c1|c1x1_c2)\.weight$", rest)
+    if mm:
+        return ("params", mm.group(1), mm.group(2), "kernel"), _conv
     return None
 
 

@@ -79,6 +79,7 @@ ZOO_URLS: Dict[str, str] = {
     "dla34": "http://dl.yf.io/dla/models/imagenet/dla34-ba72cf86.pth",
     # DPN (reference cfg models/dpn.py:35-49)
     "dpn68": "https://github.com/rwightman/pytorch-dpn-pretrained/releases/download/v0.1/dpn68-66bebafa7.pth",
+    "dpn68b": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/dpn68b_ra-a31ca160.pth",
     # TNT (reference cfg models/tnt.py:30-36)
     "tnt_s_patch16_224": "https://github.com/contrastive/pytorch-image-models/releases/download/TNT/tnt_s_patch16_224.pth.tar",
     # ReXNet (reference cfg models/rexnet.py:23-49)

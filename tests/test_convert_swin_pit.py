@@ -1033,6 +1033,38 @@ def test_dpn_converted_forward_parity():
 
 
 @requires_reference
+def test_dpn68b_converted_forward_parity():
+    """timm dpn68b (dpn.py:114-118 b=True: CatBnAct + split bias-free
+    c1x1_c1/c1x1_c2 convs) -> models/cnn_misc.DPN(b=True): eval-mode
+    logits parity."""
+    import torch
+
+    dp = _load_vendored("dpn")
+    torch.manual_seed(97)
+    ref = dp.dpn68b(pretrained=False)
+    rng = np.random.default_rng(97)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import dpn_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = dpn_state_dict_to_flax(ref.state_dict())
+    model = create_model("dpn68b", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
 def test_dla_converted_forward_parity():
     """timm dla34 (dla.py:206-369: recursive aggregation trees, supplied
     shortcuts, root concat order [tree2, tree1, *children]) ->
