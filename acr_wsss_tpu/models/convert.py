@@ -2409,6 +2409,110 @@ def _map_inception_v4_name(name: str):
     return None
 
 
+# Inception-ResNet-v2 branch tables: torch child name -> flax module path
+# fragment (reference models/inception_resnet_v2.py:53-197).
+_IRV2_MIXED5B = {
+    "branch0": ("m5_b1",), "branch1.0": ("m5_b2a",),
+    "branch1.1": ("m5_b2b",), "branch2.0": ("m5_b3a",),
+    "branch2.1": ("m5_b3b",), "branch2.2": ("m5_b3c",),
+    "branch3.1": ("m5_b4",),
+}
+_IRV2_MIXED6A = {
+    "branch0": ("b1",), "branch1.0": ("b2_1",), "branch1.1": ("b2_2",),
+    "branch1.2": ("b2_3",),
+}
+_IRV2_MIXED7A = {
+    "branch0.0": ("b0_1",), "branch0.1": ("b0_2",),
+    "branch1.0": ("b1_1",), "branch1.1": ("b1_2",),
+    "branch2.0": ("b2_1",), "branch2.1": ("b2_2",), "branch2.2": ("b2_3",),
+}
+# residual blocks (Block35/Block17/Block8): branchN(.j) -> bN_j
+_IRV2_RESBLOCK = {
+    "branch0": ("b0_0",), "branch1.0": ("b1_0",), "branch1.1": ("b1_1",),
+    "branch1.2": ("b1_2",), "branch2.0": ("b2_0",), "branch2.1": ("b2_1",),
+    "branch2.2": ("b2_2",),
+}
+_IRV2_STEM = {"conv2d_1a": "s1", "conv2d_2a": "s2", "conv2d_2b": "s3",
+              "conv2d_3b": "s4", "conv2d_4a": "s5", "conv2d_7b": "conv7b"}
+
+
+def inception_resnet_v2_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm/Cadene inception_resnet_v2 checkpoint (reference
+    ``models/inception_resnet_v2.py:229-330``) -> flax variables for
+    ``models/inception.InceptionResNetV2``: stem conv2d_* -> s1..s5 /
+    conv7b, mixed_5b/6a/7a branch tables, ``repeat{,_1,_2}.{i}`` ->
+    ``ra{i}/rb{i}/rc{i}``, the no-relu ``block8``, biased residual-proj
+    ``conv2d`` -> ``proj``, ``classif`` -> ``fc``."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_irv2_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_irv2_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"classif\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "fc", leaf), (_linear if leaf == "kernel" else ident)
+    m = re.match(r"(conv2d_\w+)\.(conv\.weight|bn\.(.+))$", name)
+    if m and m.group(1) in _IRV2_STEM:
+        return _irv2_leaf((_IRV2_STEM[m.group(1)],), m.group(2), m.group(3))
+    m = re.match(r"mixed_5b\.(.+?)\.(conv\.weight|bn\.(.+))$", name)
+    if m and m.group(1) in _IRV2_MIXED5B:
+        return _irv2_leaf(_IRV2_MIXED5B[m.group(1)], m.group(2), m.group(3))
+    m = re.match(r"mixed_6a\.(.+?)\.(conv\.weight|bn\.(.+))$", name)
+    if m and m.group(1) in _IRV2_MIXED6A:
+        return _irv2_leaf(("reda", *_IRV2_MIXED6A[m.group(1)]),
+                          m.group(2), m.group(3))
+    m = re.match(r"mixed_7a\.(.+?)\.(conv\.weight|bn\.(.+))$", name)
+    if m and m.group(1) in _IRV2_MIXED7A:
+        return _irv2_leaf(("redb", *_IRV2_MIXED7A[m.group(1)]),
+                          m.group(2), m.group(3))
+    m = re.match(r"(repeat(?:_1|_2)?)\.(\d+)\.(.+)$", name)
+    if m:
+        stage = {"repeat": "ra", "repeat_1": "rb", "repeat_2": "rc"}[
+            m.group(1)]
+        return _map_irv2_resblock(f"{stage}{m.group(2)}", m.group(3))
+    m = re.match(r"block8\.(.+)$", name)
+    if m:
+        return _map_irv2_resblock("block8", m.group(1))
+    return None
+
+
+def _map_irv2_resblock(block: str, rest: str):
+    ident = lambda x: x
+    m = re.match(r"conv2d\.(weight|bias)$", rest)
+    if m:  # biased 1x1 residual projection
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", block, "proj", leaf), (
+            _conv if leaf == "kernel" else ident)
+    m = re.match(r"(.+?)\.(conv\.weight|bn\.(.+))$", rest)
+    if m and m.group(1) in _IRV2_RESBLOCK:
+        return _irv2_leaf((block, *_IRV2_RESBLOCK[m.group(1)]),
+                          m.group(2), m.group(3))
+    return None
+
+
+def _irv2_leaf(mod, tail: str, bn_leaf):
+    if tail == "conv.weight":
+        return ("params", *mod, "conv", "kernel"), _conv
+    if bn_leaf in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[bn_leaf]
+        return (coll, *mod, "bn", leaf), (lambda x: x)
+    return None
+
+
 def bit_npz_to_torch_names(weights: Mapping[str, "np.ndarray"],
                            prefix: str = "resnet/") -> Dict:
     """Official BiT ``.npz`` release -> the timm torch-layout key names

@@ -363,11 +363,15 @@ class InceptionV4(nn.Module):
 
 
 class ResNetA(nn.Module):
-    """Inception-ResNet block: branches -> concat -> 1x1 -> scaled residual."""
+    """Inception-ResNet block: branches -> concat -> 1x1 -> scaled residual.
+
+    ``relu=False`` reproduces the reference's final ``Block8(no_relu=True)``
+    (``models/inception_resnet_v2.py:198-227``)."""
 
     branches: Sequence[Sequence] = ()   # list of lists of (chs, kernel)
     proj_chs: int = 320
     scale: float = 0.17
+    relu: bool = True
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -383,7 +387,33 @@ class ResNetA(nn.Module):
         y = jnp.concatenate(outs, axis=-1)
         y = nn.Conv(self.proj_chs, (1, 1), use_bias=True, dtype=self.dtype,
                     name="proj")(y)
-        return nn.relu(x + self.scale * y).astype(self.dtype)
+        out = x + self.scale * y
+        return (nn.relu(out) if self.relu else out).astype(self.dtype)
+
+
+class Mixed7aIRV2(nn.Module):
+    """Inception-ResNet-v2 grid reduction Mixed_7a (reference
+    ``models/inception_resnet_v2.py:167-197``): three 1x1-led conv
+    branches (256->384 s2, 256->288 s2, 256->288->320 s2) + maxpool."""
+
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        b0 = Conv2dBN(256, (1, 1), name="b0_1", **kw)(x, train)
+        b0 = Conv2dBN(384, (3, 3), stride=2, padding=(0, 0),
+                      name="b0_2", **kw)(b0, train)
+        b1 = Conv2dBN(256, (1, 1), name="b1_1", **kw)(x, train)
+        b1 = Conv2dBN(288, (3, 3), stride=2, padding=(0, 0),
+                      name="b1_2", **kw)(b1, train)
+        b2 = Conv2dBN(256, (1, 1), name="b2_1", **kw)(x, train)
+        b2 = Conv2dBN(288, (3, 3), name="b2_2", **kw)(b2, train)
+        b2 = Conv2dBN(320, (3, 3), stride=2, padding=(0, 0),
+                      name="b2_3", **kw)(b2, train)
+        b3 = nn.max_pool(x, (3, 3), strides=(2, 2))
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
 class InceptionResNetV2(nn.Module):
@@ -415,7 +445,9 @@ class InceptionResNetV2(nn.Module):
         b3 = Conv2dBN(64, (1, 1), name="m5_b3a", **kw)(x, train)
         b3 = Conv2dBN(96, (3, 3), name="m5_b3b", **kw)(b3, train)
         b3 = Conv2dBN(96, (3, 3), name="m5_b3c", **kw)(b3, train)
-        b4 = Conv2dBN(64, (1, 1), name="m5_b4", **kw)(_pool3(x, kind="avg"), train)
+        b4 = Conv2dBN(64, (1, 1), name="m5_b4",
+                      **kw)(_pool3(x, kind="avg", count_include_pad=False),
+                            train)
         x = jnp.concatenate([b1, b2, b3, b4], axis=-1)
         a_branches = (((32, (1, 1)),),
                       ((32, (1, 1)), (32, (3, 3))),
@@ -431,12 +463,15 @@ class InceptionResNetV2(nn.Module):
             x = ResNetA(b_branches, proj_chs=x.shape[-1], scale=0.10,
                         name=f"rb{i}", **kw)(x, train)
         taps[2] = x
-        x = ReductionB(c7=288, name="redb", **kw)(x, train)
+        x = Mixed7aIRV2(name="redb", **kw)(x, train)
         c_branches = (((192, (1, 1)),),
                       ((192, (1, 1)), (224, (1, 3)), (256, (3, 1))))
         for i in range(self.blocks[2]):
             x = ResNetA(c_branches, proj_chs=x.shape[-1], scale=0.20,
                         name=f"rc{i}", **kw)(x, train)
+        # final scale-1.0 Block8 with no relu (reference :283)
+        x = ResNetA(c_branches, proj_chs=x.shape[-1], scale=1.0, relu=False,
+                    name="block8", **kw)(x, train)
         x = Conv2dBN(1536, (1, 1), name="conv7b", **kw)(x, train)
         taps[3] = x
         logits = classifier_head(x, self.num_classes, name="fc")

@@ -108,6 +108,8 @@ ZOO_URLS: Dict[str, str] = {
     "inception_v3": "https://download.pytorch.org/models/inception_v3_google-1a9a5a14.pth",
     # Inception-v4 (Cadene weights; reference cfg models/inception_v4.py:16-25)
     "inception_v4": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/inceptionv4-8e4777a0.pth",
+    # Inception-ResNet-v2 (reference cfg models/inception_resnet_v2.py:16-30)
+    "inception_resnet_v2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/inception_resnet_v2-940b1cd6.pth",
     # Xception (Cadene weights; reference cfg models/xception.py:30-48)
     "xception": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/xception-43020ad28.pth",
     # Gluon ResNet-D (reference cfg models/gluon_resnet.py:37)
@@ -239,6 +241,12 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import ghostnet_state_dict_to_flax
 
         return ghostnet_state_dict_to_flax(state)
+    if backbone.startswith("inception_resnet_v2"):
+        from acr_wsss_tpu.models.convert import (
+            inception_resnet_v2_state_dict_to_flax,
+        )
+
+        return inception_resnet_v2_state_dict_to_flax(state)
     if backbone.startswith("inception_v4"):
         from acr_wsss_tpu.models.convert import (
             inception_v4_state_dict_to_flax,

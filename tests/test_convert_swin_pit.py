@@ -1065,6 +1065,42 @@ def test_dpn68b_converted_forward_parity():
 
 
 @requires_reference
+def test_inception_resnet_v2_converted_forward_parity():
+    """timm/Cadene inception_resnet_v2 (inception_resnet_v2.py:229-330:
+    conv2d stem, Mixed_5b/6a/7a, 10/20/9 residual repeats + no-relu
+    block8, conv2d_7b) -> models/inception.InceptionResNetV2: eval-mode
+    logits parity at 96px (valid-padded stem stays positive-sized)."""
+    import torch
+
+    irv2 = _load_vendored("inception_resnet_v2")
+    torch.manual_seed(109)
+    ref = irv2.InceptionResnetV2(num_classes=1000)
+    rng = np.random.default_rng(109)
+    _advance_bn_and_eval(ref, rng, size=96)
+
+    from acr_wsss_tpu.models.convert import (
+        inception_resnet_v2_state_dict_to_flax,
+    )
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = inception_resnet_v2_state_dict_to_flax(ref.state_dict())
+    model = create_model("inception_resnet_v2", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 96, 96, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 96, 96)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
 def test_dla_converted_forward_parity():
     """timm dla34 (dla.py:206-369: recursive aggregation trees, supplied
     shortcuts, root concat order [tree2, tree1, *children]) ->
