@@ -2513,6 +2513,75 @@ def _irv2_leaf(mod, tail: str, bn_leaf):
     return None
 
 
+def gluon_xception_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm gluon_xception65 checkpoint (reference
+    ``models/gluon_xception.py:105-246``) -> flax variables for
+    ``models/inception.GluonXception65``: ``mid.`` prefix flattened,
+    ``rep.convI/bnI`` -> block-local ``convI``/``bnI``, ``skip.conv1`` ->
+    ``skip_conv1``, sepconv ``conv_dw/bn/conv_pw`` kept nested, ``fc``."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_gluon_xception_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_gluon_xception_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "fc", leaf), (_linear if leaf == "kernel" else ident)
+    if name.startswith("mid."):
+        name = name[len("mid."):]
+    # stem convs and top-level separable head convs
+    m = re.match(r"(conv[12])\.weight$", name)
+    if m:
+        return ("params", m.group(1), "kernel"), _conv
+    m = re.match(r"(bn[1-5])\.(.+)$", name)
+    if m and m.group(2) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[m.group(2)]
+        return (coll, m.group(1), leaf), ident
+    m = re.match(r"(conv[345])\.(conv_dw|conv_pw)\.weight$", name)
+    if m:
+        return ("params", m.group(1), m.group(2), "kernel"), _conv
+    m = re.match(r"(conv[345])\.bn\.(.+)$", name)
+    if m and m.group(2) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[m.group(2)]
+        return (coll, m.group(1), "bn", leaf), ident
+    # blocks
+    m = re.match(r"(block\d+)\.skip\.conv1\.weight$", name)
+    if m:
+        return ("params", m.group(1), "skip_conv1", "kernel"), _conv
+    m = re.match(r"(block\d+)\.skip\.bn1\.(.+)$", name)
+    if m and m.group(2) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[m.group(2)]
+        return (coll, m.group(1), "skip_bn1", leaf), ident
+    m = re.match(r"(block\d+)\.rep\.(conv[123])\.(conv_dw|conv_pw)\."
+                 r"weight$", name)
+    if m:
+        return ("params", m.group(1), m.group(2), m.group(3),
+                "kernel"), _conv
+    m = re.match(r"(block\d+)\.rep\.(conv[123])\.bn\.(.+)$", name)
+    if m and m.group(3) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[m.group(3)]
+        return (coll, m.group(1), m.group(2), "bn", leaf), ident
+    m = re.match(r"(block\d+)\.rep\.(bn[123])\.(.+)$", name)
+    if m and m.group(3) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[m.group(3)]
+        return (coll, m.group(1), m.group(2), leaf), ident
+    return None
+
+
 def bit_npz_to_torch_names(weights: Mapping[str, "np.ndarray"],
                            prefix: str = "resnet/") -> Dict:
     """Official BiT ``.npz`` release -> the timm torch-layout key names

@@ -614,6 +614,126 @@ class Xception(nn.Module):
         return {"logits": logits, "features": x, "taps": taps}
 
 
+class GluonSepConv(nn.Module):
+    """Gluon separable conv (reference ``models/gluon_xception.py:44-64``
+    SeparableConv2d): pad-1 depthwise 3x3 -> BN -> pointwise 1x1, with no
+    activation in between and no BN after the pointwise (the caller's)."""
+
+    features: int
+    stride: int = 1
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        chs = x.shape[-1]
+        x = nn.Conv(chs, (3, 3), strides=(self.stride,) * 2,
+                    padding=[(1, 1)] * 2, feature_group_count=chs,
+                    use_bias=False, dtype=self.dtype, name="conv_dw")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="bn")(x)
+        return nn.Conv(self.features, (1, 1), use_bias=False,
+                       dtype=self.dtype, name="conv_pw")(x.astype(self.dtype))
+
+
+class GluonXceptionBlock(nn.Module):
+    """Gluon Xception Block (reference ``models/gluon_xception.py:66-102``):
+    three (relu -> sepconv -> BN) triplets, the 3rd conv carrying the
+    stride; 1x1+BN skip when shape changes; relu-first unless
+    ``start_with_relu=False``."""
+
+    planes: Sequence[int] = (728, 728, 728)
+    stride: int = 1
+    start_with_relu: bool = True
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        out_chs = self.planes[-1]
+        skip = x
+        if out_chs != x.shape[-1] or self.stride != 1:
+            skip = nn.Conv(out_chs, (1, 1), strides=(self.stride,) * 2,
+                           use_bias=False, dtype=self.dtype,
+                           name="skip_conv1")(x)
+            skip = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=jnp.float32,
+                                axis_name=self.bn_axis_name if train
+                                else None, name="skip_bn1")(skip)
+            skip = skip.astype(self.dtype)
+        y = x
+        for i in range(3):
+            if i > 0 or self.start_with_relu:
+                y = nn.relu(y)
+            y = GluonSepConv(self.planes[i],
+                             stride=self.stride if i == 2 else 1,
+                             name=f"conv{i + 1}", **kw)(y, train)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             axis_name=self.bn_axis_name if train else None,
+                             name=f"bn{i + 1}")(y)
+            y = y.astype(self.dtype)
+        return (y + skip).astype(self.dtype)
+
+
+class GluonXception65(nn.Module):
+    """Modified Aligned Xception, gluon layout (reference
+    ``models/gluon_xception.py:105-246`` Xception65, output_stride 32):
+    pad-1 conv stem, entry blocks 1-3, 16 middle blocks (4-19), exit
+    block20 (728,1024,1024) + conv3/4/5 separable head to 2048."""
+
+    num_classes: int = 1000
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+
+        def _bn(x, name):
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             axis_name=self.bn_axis_name if train else None,
+                             name=name)(x)
+            return y.astype(self.dtype)
+
+        x = x.astype(self.dtype)
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2,
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(_bn(x, "bn1"))
+        x = nn.Conv(64, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                    dtype=self.dtype, name="conv2")(x)
+        x = nn.relu(_bn(x, "bn2"))
+        taps: Dict[int, jnp.ndarray] = {}
+        x = GluonXceptionBlock((128,) * 3, 2, start_with_relu=False,
+                               name="block1", **kw)(x, train)
+        x = nn.relu(x)
+        taps[0] = x
+        x = GluonXceptionBlock((256,) * 3, 2, start_with_relu=False,
+                               name="block2", **kw)(x, train)
+        taps[1] = x
+        x = GluonXceptionBlock((728,) * 3, 2, name="block3", **kw)(x, train)
+        for i in range(4, 20):
+            x = GluonXceptionBlock((728,) * 3, 1, name=f"block{i}",
+                                   **kw)(x, train)
+        taps[2] = x
+        x = GluonXceptionBlock((728, 1024, 1024), 2, name="block20",
+                               **kw)(x, train)
+        x = nn.relu(x)
+        x = nn.relu(_bn(GluonSepConv(1536, name="conv3", **kw)(x, train),
+                        "bn3"))
+        x = nn.relu(_bn(GluonSepConv(1536, name="conv4", **kw)(x, train),
+                        "bn4"))
+        x = nn.relu(_bn(GluonSepConv(2048, name="conv5", **kw)(x, train),
+                        "bn5"))
+        taps[3] = x
+        logits = classifier_head(x, self.num_classes, name="fc")
+        return {"logits": logits, "features": x, "taps": taps}
+
+
 class XceptionAligned(nn.Module):
     """xception41-style aligned variant (reference
     ``models/xception_aligned.py:238``): 3-separable-conv stages with
@@ -669,8 +789,7 @@ def xception(**kwargs):
 
 @register_model
 def gluon_xception65(**kwargs):
-    kwargs.setdefault("middle_blocks", 16)
-    return Xception(**kwargs)
+    return GluonXception65(**kwargs)
 
 
 @register_model

@@ -112,6 +112,8 @@ ZOO_URLS: Dict[str, str] = {
     "inception_resnet_v2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/inception_resnet_v2-940b1cd6.pth",
     # Xception (Cadene weights; reference cfg models/xception.py:30-48)
     "xception": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/xception-43020ad28.pth",
+    # Gluon Xception65 (reference cfg models/gluon_xception.py:22-24)
+    "gluon_xception65": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/gluon_xception-7015a15c.pth",
     # Gluon ResNet-D (reference cfg models/gluon_resnet.py:37)
     "gluon_resnet50_v1d": "https://github.com/rwightman/pytorch-pretrained-gluonresnet/releases/download/v0.1/gluon_resnet50_v1d-818a1b1b.pth",
     # BiT preact ResNetV2 (reference cfg models/resnetv2.py:56-67; TF npz)
@@ -237,6 +239,12 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import xception_state_dict_to_flax
 
         return xception_state_dict_to_flax(state)
+    if backbone.startswith("gluon_xception"):
+        from acr_wsss_tpu.models.convert import (
+            gluon_xception_state_dict_to_flax,
+        )
+
+        return gluon_xception_state_dict_to_flax(state)
     if backbone.startswith("ghostnet"):
         from acr_wsss_tpu.models.convert import ghostnet_state_dict_to_flax
 

@@ -1101,6 +1101,40 @@ def test_inception_resnet_v2_converted_forward_parity():
 
 
 @requires_reference
+def test_gluon_xception_converted_forward_parity():
+    """timm gluon_xception65 (gluon_xception.py:105-246: pad-1 stem,
+    rep blocks with per-sepconv internal BN, stride-carrying 3rd conv,
+    (728,1024,1024) exit + conv3/4/5 head) ->
+    models/inception.GluonXception65: eval-mode logits parity."""
+    import torch
+
+    gx = _load_vendored("gluon_xception")
+    torch.manual_seed(113)
+    ref = gx.Xception65(num_classes=1000)
+    rng = np.random.default_rng(113)
+    _advance_bn_and_eval(ref, rng, size=96)
+
+    from acr_wsss_tpu.models.convert import gluon_xception_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = gluon_xception_state_dict_to_flax(ref.state_dict())
+    model = create_model("gluon_xception65", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 96, 96, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 96, 96)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
 def test_dla_converted_forward_parity():
     """timm dla34 (dla.py:206-369: recursive aggregation trees, supplied
     shortcuts, root concat order [tree2, tree1, *children]) ->
