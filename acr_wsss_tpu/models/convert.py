@@ -2582,6 +2582,65 @@ def _map_gluon_xception_name(name: str):
     return None
 
 
+def xception_aligned_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm xception41/65/71 checkpoint (reference
+    ``models/xception_aligned.py:116-198``, tf_xception_* weights) ->
+    flax variables for ``models/inception.XceptionAligned``:
+    ``stem.{i}`` -> ``stem_{i}``, ``blocks.{i}.stack.conv{j}`` ->
+    ``blocks_{i}/conv{j}`` (conv_dw/bn_dw/conv_pw/bn_pw kept nested),
+    ``shortcut`` 1:1, ``head.fc`` -> ``fc``."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_xception_aligned_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_xception_aligned_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"head\.fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "fc", leaf), (_linear if leaf == "kernel" else ident)
+    m = re.match(r"stem\.(\d)\.(conv\.weight|bn\.(.+))$", name)
+    if m:
+        mod = (f"stem_{m.group(1)}",)
+        if m.group(2) == "conv.weight":
+            return ("params", *mod, "conv", "kernel"), _conv
+        if m.group(3) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[m.group(3)]
+            return (coll, *mod, "bn", leaf), ident
+        return None
+    m = re.match(r"blocks\.(\d+)\.shortcut\.(conv\.weight|bn\.(.+))$", name)
+    if m:
+        mod = (f"blocks_{m.group(1)}", "shortcut")
+        if m.group(2) == "conv.weight":
+            return ("params", *mod, "conv", "kernel"), _conv
+        if m.group(3) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[m.group(3)]
+            return (coll, *mod, "bn", leaf), ident
+        return None
+    m = re.match(r"blocks\.(\d+)\.stack\.(conv[123])\."
+                 r"((conv_dw|conv_pw)\.weight|(bn_dw|bn_pw)\.(.+))$", name)
+    if m:
+        mod = (f"blocks_{m.group(1)}", m.group(2))
+        if m.group(4):
+            return ("params", *mod, m.group(4), "kernel"), _conv
+        if m.group(6) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[m.group(6)]
+            return (coll, *mod, m.group(5), leaf), ident
+    return None
+
+
 def bit_npz_to_torch_names(weights: Mapping[str, "np.ndarray"],
                            prefix: str = "resnet/") -> Dict:
     """Official BiT ``.npz`` release -> the timm torch-layout key names

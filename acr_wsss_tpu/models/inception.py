@@ -734,14 +734,93 @@ class GluonXception65(nn.Module):
         return {"logits": logits, "features": x, "taps": taps}
 
 
+class AlignedSepConv(nn.Module):
+    """Aligned-Xception separable conv (reference
+    ``models/xception_aligned.py:43-78`` SeparableConv2d): dw 3x3 ->
+    BN -> [relu] -> pw 1x1 -> BN -> [relu]; internal relus only when the
+    owning module is the relu-less exit block (``act_inside``)."""
+
+    features: int
+    stride: int = 1
+    act_inside: bool = False
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def _bn(y, name):
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-3, dtype=jnp.float32,
+                             axis_name=self.bn_axis_name if train else None,
+                             name=name)(y)
+            return y.astype(self.dtype)
+
+        chs = x.shape[-1]
+        x = nn.Conv(chs, (3, 3), strides=(self.stride,) * 2,
+                    padding=[(1, 1)] * 2, feature_group_count=chs,
+                    use_bias=False, dtype=self.dtype, name="conv_dw")(x)
+        x = _bn(x, "bn_dw")
+        if self.act_inside:
+            x = nn.relu(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv_pw")(x)
+        x = _bn(x, "bn_pw")
+        if self.act_inside:
+            x = nn.relu(x)
+        return x
+
+
+class AlignedXceptionModule(nn.Module):
+    """Aligned-Xception module (reference
+    ``models/xception_aligned.py:81-113``): three separable convs, the
+    3rd carrying the stride, relu before each conv unless
+    ``start_with_relu=False`` (then relus move INSIDE the sepconvs);
+    1x1 ConvBN shortcut unless ``no_skip``."""
+
+    out_chs: Sequence[int] = (728, 728, 728)
+    stride: int = 1
+    start_with_relu: bool = True
+    no_skip: bool = False
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        skip = x
+        if not self.no_skip and (self.out_chs[-1] != x.shape[-1]
+                                 or self.stride != 1):
+            skip = Conv2dBN(self.out_chs[-1], (1, 1), stride=self.stride,
+                            apply_act=False, name="shortcut",
+                            **kw)(x, train)
+        y = x
+        for i in range(3):
+            if self.start_with_relu:
+                y = nn.relu(y)
+            y = AlignedSepConv(self.out_chs[i],
+                               stride=self.stride if i == 2 else 1,
+                               act_inside=not self.start_with_relu,
+                               name=f"conv{i + 1}", **kw)(y, train)
+        return y if self.no_skip else (y + skip).astype(self.dtype)
+
+
+# xception41 block plan (reference models/xception_aligned.py:181-198):
+# (out_chs 3-tuple, stride, start_with_relu, no_skip)
+_XCEPTION41_CFG = tuple(
+    [((128,) * 3, 2, True, False), ((256,) * 3, 2, True, False),
+     ((728,) * 3, 2, True, False)]
+    + [((728,) * 3, 1, True, False)] * 8
+    + [((728, 1024, 1024), 2, True, False),
+       ((1536, 1536, 2048), 1, False, True)])
+
+
 class XceptionAligned(nn.Module):
-    """xception41-style aligned variant (reference
-    ``models/xception_aligned.py:238``): 3-separable-conv stages with
-    stride-aligned downsampling per stage."""
+    """Modified Aligned Xception (reference
+    ``models/xception_aligned.py:116-198`` XceptionAligned /
+    tf_xception_41 weights): ConvBnAct stem pair then the block plan."""
 
     num_classes: int = 1000
-    stage_chs: Sequence[int] = (128, 256, 728, 728, 1024)
-    stage_reps: Sequence[int] = (1, 1, 1, 8, 1)
+    block_cfg: Sequence = _XCEPTION41_CFG
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -749,20 +828,18 @@ class XceptionAligned(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = x.astype(self.dtype)
-        x = ConvBN(32, 3, 2, name="stem1", **kw)(x, train)
-        x = ConvBN(64, 3, 1, name="stem2", **kw)(x, train)
+        x = Conv2dBN(32, (3, 3), stride=2, name="stem_0", **kw)(x, train)
+        x = Conv2dBN(64, (3, 3), name="stem_1", **kw)(x, train)
         taps: Dict[int, jnp.ndarray] = {}
         tap_i = 0
-        for si, (chs, reps) in enumerate(zip(self.stage_chs, self.stage_reps)):
-            for bi in range(reps):
-                stride = 2 if bi == reps - 1 and si != 3 else 1
-                x = XceptionBlock(chs, reps=3, stride=stride,
-                                  name=f"s{si}_b{bi}", **kw)(x, train)
-            if si in (0, 1, 3, 4):
+        for i, (chs, stride, swr, no_skip) in enumerate(self.block_cfg):
+            x = AlignedXceptionModule(chs, stride, start_with_relu=swr,
+                                      no_skip=no_skip, name=f"blocks_{i}",
+                                      **kw)(x, train)
+            if stride != 1 and tap_i < 3:
                 taps[tap_i] = x
                 tap_i += 1
-        x = nn.relu(SeparableConvBN(1536, name="head1", **kw)(x, train))
-        x = nn.relu(SeparableConvBN(2048, name="head2", **kw)(x, train))
+        taps[3] = x
         logits = classifier_head(x, self.num_classes, name="fc")
         return {"logits": logits, "features": x, "taps": taps}
 

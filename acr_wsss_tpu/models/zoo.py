@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 from typing import Dict, Optional
 
 import numpy as np
@@ -114,6 +115,8 @@ ZOO_URLS: Dict[str, str] = {
     "xception": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/xception-43020ad28.pth",
     # Gluon Xception65 (reference cfg models/gluon_xception.py:22-24)
     "gluon_xception65": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/gluon_xception-7015a15c.pth",
+    # Aligned Xception (tf_ ports; reference cfg models/xception_aligned.py:33-40)
+    "xception41": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_xception_41-e6439c97.pth",
     # Gluon ResNet-D (reference cfg models/gluon_resnet.py:37)
     "gluon_resnet50_v1d": "https://github.com/rwightman/pytorch-pretrained-gluonresnet/releases/download/v0.1/gluon_resnet50_v1d-818a1b1b.pth",
     # BiT preact ResNetV2 (reference cfg models/resnetv2.py:56-67; TF npz)
@@ -239,6 +242,12 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import xception_state_dict_to_flax
 
         return xception_state_dict_to_flax(state)
+    if re.match(r"xception\d+$", backbone):
+        from acr_wsss_tpu.models.convert import (
+            xception_aligned_state_dict_to_flax,
+        )
+
+        return xception_aligned_state_dict_to_flax(state)
     if backbone.startswith("gluon_xception"):
         from acr_wsss_tpu.models.convert import (
             gluon_xception_state_dict_to_flax,

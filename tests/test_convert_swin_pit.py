@@ -1135,6 +1135,41 @@ def test_gluon_xception_converted_forward_parity():
 
 
 @requires_reference
+def test_xception_aligned_converted_forward_parity():
+    """timm xception41 (xception_aligned.py:116-198: ConvBnAct stem,
+    XceptionModule stacks with per-sepconv dw/pw BNs, stride on the 3rd
+    conv, relu-less no-skip exit with internal acts) ->
+    models/inception.XceptionAligned: eval-mode logits parity."""
+    import torch
+
+    xa = _load_vendored("xception_aligned")
+    torch.manual_seed(127)
+    ref = xa.xception41(pretrained=False)
+    rng = np.random.default_rng(127)
+    _advance_bn_and_eval(ref, rng, size=96)
+
+    from acr_wsss_tpu.models.convert import (
+        xception_aligned_state_dict_to_flax,
+    )
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = xception_aligned_state_dict_to_flax(ref.state_dict())
+    model = create_model("xception41", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 96, 96, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 96, 96)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
 def test_dla_converted_forward_parity():
     """timm dla34 (dla.py:206-369: recursive aggregation trees, supplied
     shortcuts, root concat order [tree2, tree1, *children]) ->
