@@ -2314,6 +2314,66 @@ def _map_nf_resnet_name(name: str):
     return None
 
 
+def dm_nfnet_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """dm_nfnet_f* checkpoint (reference ``models/nfnet.py:198-212`` dm
+    cfg; DeepMind-compatible weights) -> flax variables for
+    ``models/nfnet.DmNFNet``: deep_quad ``stem.conv{i}`` ->
+    ``stem_conv{i}``, ``stages.{s}.{b}.conv{1,2,2b,3}`` / the avg-down
+    ``downsample.conv`` / the SE ``attn_last.fc{1,2}`` / the scalar
+    ``skipinit_gain``, ``final_conv``, ``head.fc`` -> ``fc``."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_dm_nfnet_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_dm_nfnet_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"stem\.(conv[1-4])\.(weight|bias|gain)$", name)
+    if m:
+        leaf, tr = _NF_CONV_LEAF[m.group(2)]
+        return ("params", f"stem_{m.group(1)}", leaf), tr
+    m = re.match(r"final_conv\.(weight|bias|gain)$", name)
+    if m:
+        leaf, tr = _NF_CONV_LEAF[m.group(1)]
+        return ("params", "final_conv", leaf), tr
+    m = re.match(r"head\.fc\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "fc", leaf), (_linear if leaf == "kernel"
+                                        else ident)
+    m = re.match(r"stages\.(\d+)\.(\d+)\.(.+)$", name)
+    if not m:
+        return None
+    base = f"s{m.group(1)}_b{m.group(2)}"
+    rest = m.group(3)
+    if rest == "skipinit_gain":
+        return ("params", base, "skipinit_gain"), (
+            lambda x: np.asarray(x).reshape(()))
+    mm = re.match(r"(conv1|conv2|conv2b|conv3)\.(weight|bias|gain)$", rest)
+    if mm:
+        leaf, tr = _NF_CONV_LEAF[mm.group(2)]
+        return ("params", base, mm.group(1), leaf), tr
+    mm = re.match(r"downsample\.conv\.(weight|bias|gain)$", rest)
+    if mm:
+        leaf, tr = _NF_CONV_LEAF[mm.group(1)]
+        return ("params", base, "downsample_conv", leaf), tr
+    mm = re.match(r"attn_last\.(fc[12])\.(weight|bias)$", rest)
+    if mm:
+        leaf = "kernel" if mm.group(2) == "weight" else "bias"
+        return ("params", base, "attn_last", mm.group(1), leaf), (
+            _conv if leaf == "kernel" else ident)
+    return None
+
+
 _INC4_A = {"branch0": ("b1",), "branch1.0": ("b2_1",),
            "branch1.1": ("b2_2",), "branch2.0": ("b3_1",),
            "branch2.1": ("b3_2",), "branch2.2": ("b3_3",),

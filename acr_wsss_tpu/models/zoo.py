@@ -69,6 +69,9 @@ ZOO_URLS: Dict[str, str] = {
     "mobilenetv3_large_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv3_large_100_ra-f55367f5.pth",
     # NF-ResNet (reference cfg models/nfnet.py:129-130)
     "nf_resnet50": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/nf_resnet50_ra2-9f236009.pth",
+    # dm-NFNet-F (DeepMind-compatible; reference cfg models/nfnet.py:46-67)
+    "dm_nfnet_f0": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-dnf-weights/dm_nfnet_f0-604f9c3a.pth",
+    "dm_nfnet_f1": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-dnf-weights/dm_nfnet_f1-fc540f82.pth",
     # SK-ResNet (reference cfg models/sknet.py:29-39)
     "skresnet18": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/skresnet18_ra-4eec2804.pth",
     "skresnet34": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/skresnet34_ra-bdc0ccde.pth",
@@ -302,6 +305,10 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import nf_resnet_state_dict_to_flax
 
         return nf_resnet_state_dict_to_flax(state)
+    if backbone.startswith("dm_nfnet"):
+        from acr_wsss_tpu.models.convert import dm_nfnet_state_dict_to_flax
+
+        return dm_nfnet_state_dict_to_flax(state)
     if backbone.startswith("skresnet"):
         from acr_wsss_tpu.models.convert import sknet_state_dict_to_flax
 

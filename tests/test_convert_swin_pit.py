@@ -1170,6 +1170,40 @@ def test_xception_aligned_converted_forward_parity():
 
 
 @requires_reference
+def test_dm_nfnet_converted_forward_parity():
+    """timm dm_nfnet_f0 (nfnet.py:198-212 dm cfg: deep_quad stem, gelu
+    GammaAct, ScaledStdConv2dSame eps 1e-4, extra grouped conv, SE x2
+    after conv3, skipinit) -> models/nfnet.DmNFNet: logits parity.
+    65px input exercises the asymmetric TF-SAME stride-2 paths."""
+    import torch
+
+    nf = _load_vendored("nfnet")
+    torch.manual_seed(131)
+    ref = nf.dm_nfnet_f0(pretrained=False)
+    ref.eval()
+
+    from acr_wsss_tpu.models.convert import dm_nfnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = dm_nfnet_state_dict_to_flax(ref.state_dict())
+    model = create_model("dm_nfnet_f0", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 65, 65, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    rng = np.random.default_rng(131)
+    img = rng.normal(size=(2, 3, 65, 65)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
 def test_dla_converted_forward_parity():
     """timm dla34 (dla.py:206-369: recursive aggregation trees, supplied
     shortcuts, root concat order [tree2, tree1, *children]) ->
