@@ -2374,6 +2374,55 @@ def _map_dm_nfnet_name(name: str):
     return None
 
 
+def pnasnet_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm/Cadene pnasnet5large checkpoint (reference
+    ``models/pnasnet.py:239-316``) -> flax variables for
+    ``models/nasnet.PNASNet5Large``. Cell/branch names carry over 1:1;
+    the only flattenings are ``conv_0.{conv,bn}`` -> ``conv_0_{conv,bn}``,
+    stem0's Sequential ``comb_iter_0_right.{conv,bn}`` ->
+    ``comb_iter_0_right_{conv,bn}`` and FactorizedReduction's
+    ``path_{1,2}.conv`` -> ``path_{1,2}_conv``."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_pnasnet_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_pnasnet_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"last_linear\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "last_linear", leaf), (
+            _linear if leaf == "kernel" else ident)
+    # flatten the Sequential/stem wrappers into the flax module names
+    name = (name.replace("conv_0.conv", "conv_0_conv")
+                .replace("conv_0.bn", "conv_0_bn")
+                .replace("comb_iter_0_right.conv", "comb_iter_0_right_conv")
+                .replace("comb_iter_0_right.bn", "comb_iter_0_right_bn")
+                .replace("path_1.conv", "path_1_conv")
+                .replace("path_2.conv", "path_2_conv"))
+    parts = name.split(".")
+    leaf = parts[-1]
+    if leaf == "weight" and len(parts) >= 2 and (
+            parts[-2].endswith("conv") or parts[-2].endswith("conv2d")):
+        return ("params", *parts[:-1], "kernel"), _conv
+    if leaf in _BN_LEAVES:
+        coll, bleaf = _BN_LEAVES[leaf]
+        return (coll, *parts[:-1], bleaf), ident
+    return None
+
+
 _INC4_A = {"branch0": ("b1",), "branch1.0": ("b2_1",),
            "branch1.1": ("b2_2",), "branch2.0": ("b3_1",),
            "branch2.1": ("b3_2",), "branch2.2": ("b3_3",),

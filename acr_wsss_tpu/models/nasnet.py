@@ -190,6 +190,242 @@ def nasnet_a_mobile(**kwargs):
 
 @register_model
 def pnasnet5large(**kwargs):
-    kwargs.setdefault("num_cells", 3)
-    kwargs.setdefault("base_chs", 216)
-    return NASNet(cell="pnasnet", **kwargs)
+    return PNASNet5Large(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# timm-exact PNASNet-5-Large (reference ``models/pnasnet.py:38-350``,
+# pad_type='same'): the checkpoint-loadable counterpart of the simplified
+# cells above. All convs are bias-free with TF SAME padding (except the
+# VALID conv_0 stem); BN eps 1e-3.
+# ---------------------------------------------------------------------------
+
+
+def _bn(dtype, bn_axis_name, train, name):
+    def apply(x):
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, dtype=jnp.float32,
+                         axis_name=bn_axis_name if train else None,
+                         name=name)(x)
+        return y.astype(dtype)
+    return apply
+
+
+class PnasSeparable(nn.Module):
+    """SeparableConv2d (reference ``models/pnasnet.py:39-51``): SAME-pad
+    depthwise kxk + pointwise 1x1, both bias-free, no BN inside."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        chs = x.shape[-1]
+        k = self.kernel
+        x = nn.Conv(chs, (k, k), strides=(self.stride,) * 2, padding="SAME",
+                    feature_group_count=chs, use_bias=False,
+                    dtype=self.dtype, name="depthwise_conv2d")(x)
+        return nn.Conv(self.features, (1, 1), use_bias=False,
+                       dtype=self.dtype, name="pointwise_conv2d")(x)
+
+
+class PnasBranchSeparables(nn.Module):
+    """BranchSeparables (reference ``models/pnasnet.py:54-77``):
+    (relu -> separable -> BN) twice; the first separable carries the
+    stride and, in stem cells, already widens to out_chs."""
+
+    out_chs: int
+    kernel: int
+    stride: int = 1
+    stem_cell: bool = False
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = self.out_chs if self.stem_cell else x.shape[-1]
+        bn = lambda n: _bn(self.dtype, self.bn_axis_name, train, n)
+        x = nn.relu(x)
+        x = PnasSeparable(mid, self.kernel, self.stride, dtype=self.dtype,
+                          name="separable_1")(x)
+        x = bn("bn_sep_1")(x)
+        x = nn.relu(x)
+        x = PnasSeparable(self.out_chs, self.kernel, dtype=self.dtype,
+                          name="separable_2")(x)
+        return bn("bn_sep_2")(x)
+
+
+class PnasActConvBn(nn.Module):
+    """ActConvBn (reference ``models/pnasnet.py:80-92``)."""
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (k, k), strides=(self.stride,) * 2,
+                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    name="conv")(x)
+        return _bn(self.dtype, self.bn_axis_name, train, "bn")(x)
+
+
+class PnasFactorizedReduction(nn.Module):
+    """FactorizedReduction (reference ``models/pnasnet.py:95-114``): relu,
+    two stride-2 subsample+1x1 paths (the second shifted by one pixel,
+    zero-padding the tail), concat, BN."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.relu(x)
+        p1 = nn.Conv(self.features // 2, (1, 1), use_bias=False,
+                     dtype=self.dtype, name="path_1_conv")(x[:, ::2, ::2, :])
+        shifted = jnp.pad(x[:, 1:, 1:, :],
+                          [(0, 0), (0, 1), (0, 1), (0, 0)])[:, ::2, ::2, :]
+        p2 = nn.Conv(self.features // 2, (1, 1), use_bias=False,
+                     dtype=self.dtype, name="path_2_conv")(shifted)
+        y = jnp.concatenate([p1, p2], axis=-1)
+        return _bn(self.dtype, self.bn_axis_name, train, "final_path_bn")(y)
+
+
+def _same_max_pool(x, stride):
+    return nn.max_pool(x, (3, 3), strides=(stride,) * 2, padding="SAME")
+
+
+class PnasCellStem0(nn.Module):
+    """CellStem0 (reference ``models/pnasnet.py:148-182``)."""
+
+    out_chs: int = 54          # out_chs_left == out_chs_right
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x_left, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        c = self.out_chs
+        x_right = PnasActConvBn(c, name="conv_1x1", **kw)(x_left, train)
+        ci0l = PnasBranchSeparables(c, 5, 2, stem_cell=True,
+                                    name="comb_iter_0_left",
+                                    **kw)(x_left, train)
+        y = _same_max_pool(x_left, 2)
+        y = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="comb_iter_0_right_conv")(y)
+        ci0r = _bn(self.dtype, self.bn_axis_name, train,
+                   "comb_iter_0_right_bn")(y)
+        ci0 = ci0l + ci0r
+        ci1 = (PnasBranchSeparables(c, 7, 2, name="comb_iter_1_left",
+                                    **kw)(x_right, train)
+               + _same_max_pool(x_right, 2))
+        ci2 = (PnasBranchSeparables(c, 5, 2, name="comb_iter_2_left",
+                                    **kw)(x_right, train)
+               + PnasBranchSeparables(c, 3, 2, name="comb_iter_2_right",
+                                      **kw)(x_right, train))
+        ci3 = (PnasBranchSeparables(c, 3, name="comb_iter_3_left",
+                                    **kw)(ci2, train)
+               + _same_max_pool(x_right, 2))
+        ci4 = (PnasBranchSeparables(c, 3, 2, stem_cell=True,
+                                    name="comb_iter_4_left",
+                                    **kw)(x_left, train)
+               + PnasActConvBn(c, 1, 2, name="comb_iter_4_right",
+                               **kw)(x_right, train))
+        return jnp.concatenate([ci0, ci1, ci2, ci3, ci4], axis=-1)
+
+
+class PnasCell(nn.Module):
+    """Cell (reference ``models/pnasnet.py:185-236``)."""
+
+    out_chs_left: int
+    out_chs_right: int
+    is_reduction: bool = False
+    match_prev_layer_dims: bool = False
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x_left, x_right, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        cl, cr = self.out_chs_left, self.out_chs_right
+        stride = 2 if self.is_reduction else 1
+        if self.match_prev_layer_dims:
+            x_left = PnasFactorizedReduction(
+                cl, name="conv_prev_1x1", **kw)(x_left, train)
+        else:
+            x_left = PnasActConvBn(cl, name="conv_prev_1x1",
+                                   **kw)(x_left, train)
+        x_right = PnasActConvBn(cr, name="conv_1x1", **kw)(x_right, train)
+        ci0 = (PnasBranchSeparables(cl, 5, stride, name="comb_iter_0_left",
+                                    **kw)(x_left, train)
+               + _same_max_pool(x_left, stride))
+        ci1 = (PnasBranchSeparables(cr, 7, stride, name="comb_iter_1_left",
+                                    **kw)(x_right, train)
+               + _same_max_pool(x_right, stride))
+        ci2 = (PnasBranchSeparables(cr, 5, stride, name="comb_iter_2_left",
+                                    **kw)(x_right, train)
+               + PnasBranchSeparables(cr, 3, stride,
+                                      name="comb_iter_2_right",
+                                      **kw)(x_right, train))
+        ci3 = (PnasBranchSeparables(cr, 3, name="comb_iter_3_left",
+                                    **kw)(ci2, train)
+               + _same_max_pool(x_right, stride))
+        ci4l = PnasBranchSeparables(cl, 3, stride, name="comb_iter_4_left",
+                                    **kw)(x_left, train)
+        if self.is_reduction:
+            ci4 = ci4l + PnasActConvBn(cr, 1, stride,
+                                       name="comb_iter_4_right",
+                                       **kw)(x_right, train)
+        else:
+            ci4 = ci4l + x_right
+        return jnp.concatenate([ci0, ci1, ci2, ci3, ci4], axis=-1)
+
+
+class PNASNet5Large(nn.Module):
+    """PNASNet-5-Large (reference ``models/pnasnet.py:239-316``): VALID
+    conv_0 stem (96, no act), CellStem0/Cell stem pair, 12 cells with
+    reductions at 4 and 8, relu head, 4320 features."""
+
+    num_classes: int = 1000
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = x.astype(self.dtype)
+        x = nn.Conv(96, (3, 3), strides=(2, 2), padding="VALID",
+                    use_bias=False, dtype=self.dtype, name="conv_0_conv")(x)
+        x_conv_0 = _bn(self.dtype, self.bn_axis_name, train, "conv_0_bn")(x)
+        x_stem_0 = PnasCellStem0(54, name="cell_stem_0",
+                                 **kw)(x_conv_0, train)
+        x_stem_1 = PnasCell(108, 108, is_reduction=True,
+                            match_prev_layer_dims=True, name="cell_stem_1",
+                            **kw)(x_conv_0, x_stem_0, train)
+        taps: Dict[int, jnp.ndarray] = {0: x_stem_0, 1: x_stem_1}
+        # (out_chs, is_reduction, match_prev) per cell_0..cell_11
+        plan = [(216, False, True), (216, False, False),
+                (216, False, False), (216, False, False),
+                (432, True, False), (432, False, True),
+                (432, False, False), (432, False, False),
+                (864, True, False), (864, False, True),
+                (864, False, False), (864, False, False)]
+        left, right = x_stem_0, x_stem_1
+        for i, (chs, red, match) in enumerate(plan):
+            out = PnasCell(chs, chs, is_reduction=red,
+                           match_prev_layer_dims=match, name=f"cell_{i}",
+                           **kw)(left, right, train)
+            left, right = right, out
+            if red:
+                taps[len(taps)] = out
+        x = nn.relu(right)
+        taps[len(taps)] = x
+        logits = classifier_head(x, self.num_classes, name="last_linear")
+        return {"logits": logits, "features": x, "taps": taps}

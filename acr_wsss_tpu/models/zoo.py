@@ -112,6 +112,8 @@ ZOO_URLS: Dict[str, str] = {
     "inception_v3": "https://download.pytorch.org/models/inception_v3_google-1a9a5a14.pth",
     # Inception-v4 (Cadene weights; reference cfg models/inception_v4.py:16-25)
     "inception_v4": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/inceptionv4-8e4777a0.pth",
+    # PNASNet-5-Large (Cadene port; reference cfg models/pnasnet.py:20-35)
+    "pnasnet5large": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/pnasnet5large-bf079911.pth",
     # Inception-ResNet-v2 (reference cfg models/inception_resnet_v2.py:16-30)
     "inception_resnet_v2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/inception_resnet_v2-940b1cd6.pth",
     # Xception (Cadene weights; reference cfg models/xception.py:30-48)
@@ -305,6 +307,10 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import nf_resnet_state_dict_to_flax
 
         return nf_resnet_state_dict_to_flax(state)
+    if backbone.startswith("pnasnet"):
+        from acr_wsss_tpu.models.convert import pnasnet_state_dict_to_flax
+
+        return pnasnet_state_dict_to_flax(state)
     if backbone.startswith("dm_nfnet"):
         from acr_wsss_tpu.models.convert import dm_nfnet_state_dict_to_flax
 

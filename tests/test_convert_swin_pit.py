@@ -1204,6 +1204,40 @@ def test_dm_nfnet_converted_forward_parity():
 
 
 @requires_reference
+def test_pnasnet_converted_forward_parity():
+    """timm/Cadene pnasnet5large (pnasnet.py:239-316: VALID conv_0, SAME
+    cells, CellStem0 + 12 cells, FactorizedReduction shifts) ->
+    models/nasnet.PNASNet5Large: eval-mode logits parity. 99px input
+    exercises the asymmetric TF-SAME stride-2 paths."""
+    import torch
+
+    pn = _load_vendored("pnasnet")
+    torch.manual_seed(137)
+    ref = pn.pnasnet5large(pretrained=False)
+    rng = np.random.default_rng(137)
+    _advance_bn_and_eval(ref, rng, steps=2, size=99)
+
+    from acr_wsss_tpu.models.convert import pnasnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = pnasnet_state_dict_to_flax(ref.state_dict())
+    model = create_model("pnasnet5large", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 99, 99, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(1, 3, 99, 99)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=3e-3, rtol=1e-3)
+
+
+@requires_reference
 def test_dla_converted_forward_parity():
     """timm dla34 (dla.py:206-369: recursive aggregation trees, supplied
     shortcuts, root concat order [tree2, tree1, *children]) ->
