@@ -2398,6 +2398,11 @@ def pnasnet_state_dict_to_flax(
     return variables
 
 
+# NASNet-A-Large uses the same key grammar (identical BranchSeparables /
+# ActConvBn / shifted-path modules, reference models/nasnet.py:35-227).
+nasnet_state_dict_to_flax = pnasnet_state_dict_to_flax
+
+
 def _map_pnasnet_name(name: str):
     ident = lambda x: x
     m = re.match(r"last_linear\.(weight|bias)$", name)
@@ -2406,12 +2411,19 @@ def _map_pnasnet_name(name: str):
         return ("params", "last_linear", leaf), (
             _linear if leaf == "kernel" else ident)
     # flatten the Sequential/stem wrappers into the flax module names
+    # (conv_0 is pnasnet's stem name, conv0 nasnet's — nasnet.py:437-439)
     name = (name.replace("conv_0.conv", "conv_0_conv")
                 .replace("conv_0.bn", "conv_0_bn")
-                .replace("comb_iter_0_right.conv", "comb_iter_0_right_conv")
-                .replace("comb_iter_0_right.bn", "comb_iter_0_right_bn")
+                .replace("conv0.conv", "conv0_conv")
+                .replace("conv0.bn", "conv0_bn")
                 .replace("path_1.conv", "path_1_conv")
                 .replace("path_2.conv", "path_2_conv"))
+    # stem0's Sequential pool/conv/bn — boundary-aware so nasnet's
+    # comb_iter_0_right.bn_sep_* (a BranchSeparables) is untouched
+    name = re.sub(r"comb_iter_0_right\.conv\.(?=weight$)",
+                  "comb_iter_0_right_conv.", name)
+    name = re.sub(r"comb_iter_0_right\.bn\.(?=\w+$)",
+                  "comb_iter_0_right_bn.", name)
     parts = name.split(".")
     leaf = parts[-1]
     if leaf == "weight" and len(parts) >= 2 and (

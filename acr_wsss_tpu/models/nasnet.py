@@ -178,9 +178,7 @@ class NASNet(nn.Module):
 
 @register_model
 def nasnetalarge(**kwargs):
-    kwargs.setdefault("num_cells", 6)
-    kwargs.setdefault("base_chs", 168)
-    return NASNet(cell="nasnet", **kwargs)
+    return NASNetALarge(**kwargs)
 
 
 @register_model
@@ -426,6 +424,253 @@ class PNASNet5Large(nn.Module):
             if red:
                 taps[len(taps)] = out
         x = nn.relu(right)
+        taps[len(taps)] = x
+        logits = classifier_head(x, self.num_classes, name="last_linear")
+        return {"logits": logits, "features": x, "taps": taps}
+
+
+# ---------------------------------------------------------------------------
+# timm-exact NASNet-A-Large (reference ``models/nasnet.py:35-567``,
+# pad_type='same'): shares SeparableConv2d / BranchSeparables / ActConvBn
+# with the PNASNet implementation above (identical definitions in the
+# reference, nasnet.py:35-88 vs pnasnet.py:39-92).
+# ---------------------------------------------------------------------------
+
+
+def _same_avg_pool(x, stride):
+    """3x3 SAME avg pool with count_include_pad=False (torch
+    ``create_pool2d('avg', 3, s, count_include_pad=False, 'same')``)."""
+    import jax
+    summed = nn.pool(x, 0.0, jax.lax.add, (3, 3), (stride,) * 2, "SAME")
+    counts = nn.pool(jnp.ones_like(x[..., :1]), 0.0, jax.lax.add,
+                     (3, 3), (stride,) * 2, "SAME")
+    return summed / counts
+
+
+def _nas_stem_paths(mod, x_relu, half, train):
+    """The shared shifted two-path reduction of CellStem1/FirstCell
+    (reference ``models/nasnet.py:146-160,215-227``): subsample + 1x1
+    conv twice (path 2 shifted one pixel, zero tail), concat, BN."""
+    p1 = nn.Conv(half, (1, 1), use_bias=False, dtype=mod.dtype,
+                 name="path_1_conv")(x_relu[:, ::2, ::2, :])
+    shifted = jnp.pad(x_relu[:, 1:, 1:, :],
+                      [(0, 0), (0, 1), (0, 1), (0, 0)])[:, ::2, ::2, :]
+    p2 = nn.Conv(half, (1, 1), use_bias=False, dtype=mod.dtype,
+                 name="path_2_conv")(shifted)
+    y = jnp.concatenate([p1, p2], axis=-1)
+    return _bn(mod.dtype, mod.bn_axis_name, train, "final_path_bn")(y)
+
+
+class NasCellStem0(nn.Module):
+    """CellStem0 (reference ``models/nasnet.py:91-133``): output is the
+    concat of comb iters 1-4 only (4 * num_channels)."""
+
+    stem_size: int = 96
+    num_channels: int = 42
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        c = self.num_channels
+        x1 = PnasActConvBn(c, name="conv_1x1", **kw)(x, train)
+        ci0 = (PnasBranchSeparables(c, 5, 2, name="comb_iter_0_left",
+                                    **kw)(x1, train)
+               + PnasBranchSeparables(c, 7, 2, stem_cell=True,
+                                      name="comb_iter_0_right",
+                                      **kw)(x, train))
+        ci1 = (_same_max_pool(x1, 2)
+               + PnasBranchSeparables(c, 7, 2, stem_cell=True,
+                                      name="comb_iter_1_right",
+                                      **kw)(x, train))
+        ci2 = (_same_avg_pool(x1, 2)
+               + PnasBranchSeparables(c, 5, 2, stem_cell=True,
+                                      name="comb_iter_2_right",
+                                      **kw)(x, train))
+        ci3 = _same_avg_pool(ci0, 1) + ci1
+        ci4 = (PnasBranchSeparables(c, 3, name="comb_iter_4_left",
+                                    **kw)(ci0, train)
+               + _same_max_pool(x1, 2))
+        return jnp.concatenate([ci1, ci2, ci3, ci4], axis=-1)
+
+
+class NasCellStem1(nn.Module):
+    """CellStem1 (reference ``models/nasnet.py:136-204``)."""
+
+    num_channels: int = 84
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x_conv0, x_stem_0, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        c = self.num_channels
+        x_left = PnasActConvBn(c, name="conv_1x1", **kw)(x_stem_0, train)
+        x_right = _nas_stem_paths(self, nn.relu(x_conv0), c // 2, train)
+        ci0 = (PnasBranchSeparables(c, 5, 2, name="comb_iter_0_left",
+                                    **kw)(x_left, train)
+               + PnasBranchSeparables(c, 7, 2, name="comb_iter_0_right",
+                                      **kw)(x_right, train))
+        ci1 = (_same_max_pool(x_left, 2)
+               + PnasBranchSeparables(c, 7, 2, name="comb_iter_1_right",
+                                      **kw)(x_right, train))
+        ci2 = (_same_avg_pool(x_left, 2)
+               + PnasBranchSeparables(c, 5, 2, name="comb_iter_2_right",
+                                      **kw)(x_right, train))
+        ci3 = _same_avg_pool(ci0, 1) + ci1
+        ci4 = (PnasBranchSeparables(c, 3, name="comb_iter_4_left",
+                                    **kw)(ci0, train)
+               + _same_max_pool(x_left, 2))
+        return jnp.concatenate([ci1, ci2, ci3, ci4], axis=-1)
+
+
+class NasFirstCell(nn.Module):
+    """FirstCell (reference ``models/nasnet.py:207-267``): the normal
+    cell whose LEFT input passes the shifted two-path reduction."""
+
+    out_chs_left: int
+    out_chs_right: int
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, x_prev, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        cl, cr = self.out_chs_left, self.out_chs_right
+        x_left = _nas_stem_paths(self, nn.relu(x_prev), cl, train)
+        x_right = PnasActConvBn(cr, name="conv_1x1", **kw)(x, train)
+        ci0 = (PnasBranchSeparables(cr, 5, name="comb_iter_0_left",
+                                    **kw)(x_right, train)
+               + PnasBranchSeparables(cr, 3, name="comb_iter_0_right",
+                                      **kw)(x_left, train))
+        ci1 = (PnasBranchSeparables(cr, 5, name="comb_iter_1_left",
+                                    **kw)(x_left, train)
+               + PnasBranchSeparables(cr, 3, name="comb_iter_1_right",
+                                      **kw)(x_left, train))
+        ci2 = _same_avg_pool(x_right, 1) + x_left
+        ci3 = _same_avg_pool(x_left, 1) + _same_avg_pool(x_left, 1)
+        ci4 = (PnasBranchSeparables(cr, 3, name="comb_iter_4_left",
+                                    **kw)(x_right, train)
+               + x_right)
+        return jnp.concatenate([x_left, ci0, ci1, ci2, ci3, ci4], axis=-1)
+
+
+class NasNormalCell(nn.Module):
+    """NormalCell (reference ``models/nasnet.py:270-309``)."""
+
+    out_chs_left: int
+    out_chs_right: int
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, x_prev, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        cl, cr = self.out_chs_left, self.out_chs_right
+        x_left = PnasActConvBn(cl, name="conv_prev_1x1", **kw)(x_prev, train)
+        x_right = PnasActConvBn(cr, name="conv_1x1", **kw)(x, train)
+        ci0 = (PnasBranchSeparables(cr, 5, name="comb_iter_0_left",
+                                    **kw)(x_right, train)
+               + PnasBranchSeparables(cl, 3, name="comb_iter_0_right",
+                                      **kw)(x_left, train))
+        ci1 = (PnasBranchSeparables(cl, 5, name="comb_iter_1_left",
+                                    **kw)(x_left, train)
+               + PnasBranchSeparables(cl, 3, name="comb_iter_1_right",
+                                      **kw)(x_left, train))
+        ci2 = _same_avg_pool(x_right, 1) + x_left
+        ci3 = _same_avg_pool(x_left, 1) + _same_avg_pool(x_left, 1)
+        ci4 = (PnasBranchSeparables(cr, 3, name="comb_iter_4_left",
+                                    **kw)(x_right, train)
+               + x_right)
+        return jnp.concatenate([x_left, ci0, ci1, ci2, ci3, ci4], axis=-1)
+
+
+class NasReductionCell(nn.Module):
+    """ReductionCell0/1 (reference ``models/nasnet.py:312-426``; the two
+    classes are line-for-line identical)."""
+
+    out_chs: int
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, x_prev, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        c = self.out_chs
+        x_left = PnasActConvBn(c, name="conv_prev_1x1", **kw)(x_prev, train)
+        x_right = PnasActConvBn(c, name="conv_1x1", **kw)(x, train)
+        ci0 = (PnasBranchSeparables(c, 5, 2, name="comb_iter_0_left",
+                                    **kw)(x_right, train)
+               + PnasBranchSeparables(c, 7, 2, name="comb_iter_0_right",
+                                      **kw)(x_left, train))
+        ci1 = (_same_max_pool(x_right, 2)
+               + PnasBranchSeparables(c, 7, 2, name="comb_iter_1_right",
+                                      **kw)(x_left, train))
+        ci2 = (_same_avg_pool(x_right, 2)
+               + PnasBranchSeparables(c, 5, 2, name="comb_iter_2_right",
+                                      **kw)(x_left, train))
+        ci3 = _same_avg_pool(ci0, 1) + ci1
+        ci4 = (PnasBranchSeparables(c, 3, name="comb_iter_4_left",
+                                    **kw)(ci0, train)
+               + _same_max_pool(x_right, 2))
+        return jnp.concatenate([ci1, ci2, ci3, ci4], axis=-1)
+
+
+class NASNetALarge(nn.Module):
+    """NASNet-A-Large 6@4032 (reference ``models/nasnet.py:412-535``):
+    VALID conv0 stem (96, no act), CellStem0/1, three 6-cell stages
+    joined by reduction cells, relu head, 4032 features."""
+
+    num_classes: int = 1000
+    stem_size: int = 96
+    channels: int = 168              # num_features // 24
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        ch = self.channels
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.stem_size, (3, 3), strides=(2, 2), padding="VALID",
+                    use_bias=False, dtype=self.dtype, name="conv0_conv")(x)
+        x_conv0 = _bn(self.dtype, self.bn_axis_name, train, "conv0_bn")(x)
+        x_stem_0 = NasCellStem0(self.stem_size, ch // 4, name="cell_stem_0",
+                                **kw)(x_conv0, train)
+        x_stem_1 = NasCellStem1(ch // 2, name="cell_stem_1",
+                                **kw)(x_conv0, x_stem_0, train)
+        taps: Dict[int, jnp.ndarray] = {0: x_stem_0, 1: x_stem_1}
+
+        prev, cur = x_stem_0, x_stem_1
+        cell_idx = 0
+        for stage in range(3):
+            mult = 2 ** stage
+            if stage > 0:
+                red = NasReductionCell(mult * ch,
+                                       name=f"reduction_cell_{stage - 1}",
+                                       **kw)(cur, prev, train)
+                taps[len(taps)] = red
+                # cell_6 = FirstCell(x=reduction_out, x_prev=x_cell_4):
+                # the prev input SKIPS the pre-reduction cell
+                # (nasnet.py:530-531)
+                first = NasFirstCell(mult * ch // 2, mult * ch,
+                                     name=f"cell_{cell_idx}",
+                                     **kw)(red, prev, train)
+                prev, cur = red, first
+            else:
+                first = NasFirstCell(mult * ch // 2, mult * ch,
+                                     name=f"cell_{cell_idx}",
+                                     **kw)(cur, prev, train)
+                prev, cur = cur, first
+            cell_idx += 1
+            for _ in range(5):
+                out = NasNormalCell(mult * ch, mult * ch,
+                                    name=f"cell_{cell_idx}",
+                                    **kw)(cur, prev, train)
+                prev, cur = cur, out
+                cell_idx += 1
+        x = nn.relu(cur)
         taps[len(taps)] = x
         logits = classifier_head(x, self.num_classes, name="last_linear")
         return {"logits": logits, "features": x, "taps": taps}

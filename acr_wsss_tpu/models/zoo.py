@@ -114,6 +114,8 @@ ZOO_URLS: Dict[str, str] = {
     "inception_v4": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/inceptionv4-8e4777a0.pth",
     # PNASNet-5-Large (Cadene port; reference cfg models/pnasnet.py:20-35)
     "pnasnet5large": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/pnasnet5large-bf079911.pth",
+    # NASNet-A-Large (Cadene weights; reference cfg models/nasnet.py:16-31)
+    "nasnetalarge": "http://data.lip6.fr/cadene/pretrainedmodels/nasnetalarge-a1897284.pth",
     # Inception-ResNet-v2 (reference cfg models/inception_resnet_v2.py:16-30)
     "inception_resnet_v2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/inception_resnet_v2-940b1cd6.pth",
     # Xception (Cadene weights; reference cfg models/xception.py:30-48)
@@ -307,7 +309,7 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import nf_resnet_state_dict_to_flax
 
         return nf_resnet_state_dict_to_flax(state)
-    if backbone.startswith("pnasnet"):
+    if backbone.startswith(("pnasnet", "nasnet")):
         from acr_wsss_tpu.models.convert import pnasnet_state_dict_to_flax
 
         return pnasnet_state_dict_to_flax(state)

@@ -228,10 +228,9 @@ def test_byob_families_forward(name, rng):
     assert np.isfinite(np.asarray(e["logits"])).all()
 
 
-@pytest.mark.parametrize("name", ["nasnet_a_mobile", "pnasnet5large"])
-def test_nas_cell_families_forward(name, rng):
-    model = create_model(name, num_classes=6, dtype=jnp.float32,
-                         num_cells=1, base_chs=16)
+def test_nas_cell_families_forward(rng):
+    model = create_model("nasnet_a_mobile", num_classes=6,
+                         dtype=jnp.float32, num_cells=1, base_chs=16)
     x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
     variables = model.init(jax.random.key(0), x, train=True)
     out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
@@ -239,6 +238,19 @@ def test_nas_cell_families_forward(name, rng):
     assert len(out["taps"]) == 4
     # five concatenated combine-node outputs per cell
     assert out["features"].shape[-1] == 5 * 16 * 4
+
+
+def test_nasnetalarge_timm_exact_forward(rng):
+    """The checkpoint-loadable NASNetALarge at reduced width (channels=24
+    -> 6-cell stages concat 6 * mult * 24 features)."""
+    model = create_model("nasnetalarge", num_classes=6, dtype=jnp.float32,
+                         channels=24, stem_size=24)
+    x = jnp.asarray(rng.normal(size=(1, 63, 63, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=True)
+    out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out["logits"].shape == (1, 6)
+    assert len(out["taps"]) == 5
+    assert out["features"].shape[-1] == 6 * 4 * 24
 
 
 def test_registry_has_no_stubs_left():

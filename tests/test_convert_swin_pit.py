@@ -1238,6 +1238,40 @@ def test_pnasnet_converted_forward_parity():
 
 
 @requires_reference
+def test_nasnet_converted_forward_parity():
+    """timm/Cadene nasnetalarge (nasnet.py:412-535: VALID conv0,
+    CellStem0/1 with shifted two-path reductions, FirstCell prev-skip
+    around reduction cells, 4032 features) -> models/nasnet.NASNetALarge:
+    eval-mode logits parity at 99px."""
+    import torch
+
+    na = _load_vendored("nasnet")
+    torch.manual_seed(139)
+    ref = na.NASNetALarge(num_classes=1000, pad_type="same")
+    rng = np.random.default_rng(139)
+    _advance_bn_and_eval(ref, rng, steps=2, size=99)
+
+    from acr_wsss_tpu.models.convert import nasnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = nasnet_state_dict_to_flax(ref.state_dict())
+    model = create_model("nasnetalarge", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 99, 99, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(1, 3, 99, 99)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=3e-3, rtol=1e-3)
+
+
+@requires_reference
 def test_dla_converted_forward_parity():
     """timm dla34 (dla.py:206-369: recursive aggregation trees, supplied
     shortcuts, root concat order [tree2, tree1, *children]) ->
