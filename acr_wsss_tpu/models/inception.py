@@ -860,6 +860,13 @@ def inception_resnet_v2(**kwargs):
 
 
 @register_model
+def ens_adv_inception_resnet_v2(**kwargs):
+    # same architecture, adversarially-trained weights (reference
+    # models/inception_resnet_v2.py:26-30,351-358)
+    return InceptionResNetV2(**kwargs)
+
+
+@register_model
 def xception(**kwargs):
     return Xception(**kwargs)
 

@@ -276,6 +276,13 @@ def coat_lite_tiny(**kwargs):
 
 
 @register_model
+def coat_lite_mini(**kwargs):
+    # reference models/coat.py:661-666: tiny with a wider tail
+    kwargs.setdefault("embed_dims", (64, 128, 320, 512))
+    return CoaTLite(**kwargs)
+
+
+@register_model
 def coat_lite_small(**kwargs):
     kwargs.setdefault("embed_dims", (64, 128, 320, 512))
     kwargs.setdefault("depths", (3, 4, 6, 3))

@@ -77,6 +77,7 @@ ZOO_URLS: Dict[str, str] = {
     "skresnet34": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/skresnet34_ra-bdc0ccde.pth",
     # CoaT-Lite (reference cfg models/coat.py:37-44)
     "coat_lite_tiny": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-coat-weights/coat_lite_tiny-461b07a7.pth",
+    "coat_lite_mini": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-coat-weights/coat_lite_mini-d7842000.pth",
     # TResNet (reference cfg models/tresnet.py:30-47)
     "tresnet_m": "https://miil-public-eu.oss-eu-central-1.aliyuncs.com/model-zoo/ImageNet_21K_P/models/timm/tresnet_m_1k_miil_83_1.pth",
     # DLA (reference cfg models/dla.py:27-48)
@@ -116,8 +117,11 @@ ZOO_URLS: Dict[str, str] = {
     "pnasnet5large": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/pnasnet5large-bf079911.pth",
     # NASNet-A-Large (Cadene weights; reference cfg models/nasnet.py:16-31)
     "nasnetalarge": "http://data.lip6.fr/cadene/pretrainedmodels/nasnetalarge-a1897284.pth",
-    # Inception-ResNet-v2 (reference cfg models/inception_resnet_v2.py:16-30)
+    # Inception-ResNet-v2 (reference cfg models/inception_resnet_v2.py:16-30;
+    # the ens_adv alias is the same architecture with the adversarially
+    # trained release, :26-30)
     "inception_resnet_v2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/inception_resnet_v2-940b1cd6.pth",
+    "ens_adv_inception_resnet_v2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/ens_adv_inception_resnet_v2-2592a550.pth",
     # Xception (Cadene weights; reference cfg models/xception.py:30-48)
     "xception": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/xception-43020ad28.pth",
     # Gluon Xception65 (reference cfg models/gluon_xception.py:22-24)
@@ -265,7 +269,8 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import ghostnet_state_dict_to_flax
 
         return ghostnet_state_dict_to_flax(state)
-    if backbone.startswith("inception_resnet_v2"):
+    if backbone.startswith(("inception_resnet_v2",
+                            "ens_adv_inception_resnet_v2")):
         from acr_wsss_tpu.models.convert import (
             inception_resnet_v2_state_dict_to_flax,
         )
