@@ -415,3 +415,208 @@ def skresnet18(**kwargs):
 @register_model
 def skresnet34(**kwargs):
     return SKResNet(layers=(3, 4, 6, 3), **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Legacy SENet family (reference ``models/senet.py:68-467``): the original
+# Cadene/Caffe SENet-154 / SE-ResNet / SE-ResNeXt layouts, kept by timm as
+# ``legacy_*`` names with their own pretrained releases. Quirks preserved:
+# Caffe ceil-mode stem maxpool, stride on conv1 (SE-ResNet bottleneck),
+# biased SE fc convs, Sequential downsample.
+# ---------------------------------------------------------------------------
+
+
+class LegacySEModule(nn.Module):
+    """SEModule (reference ``models/senet.py:68-84``): biased 1x1 fc
+    convs, relu, sigmoid gate."""
+
+    rd_chs: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        g = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        g = nn.Conv(self.rd_chs, (1, 1), dtype=jnp.float32, name="fc1")(g)
+        g = nn.relu(g)
+        g = nn.Conv(x.shape[-1], (1, 1), dtype=jnp.float32, name="fc2")(g)
+        return x * nn.sigmoid(g).astype(x.dtype)
+
+
+class LegacySENetBlock(nn.Module):
+    """The four legacy block layouts (reference ``models/senet.py:87-222``):
+    ``basic`` (SEResNetBlock), ``resnet`` (stride on conv1!), ``resnext``
+    (base_width 4), ``senet154`` (2x-wide conv1, grouped conv2 to 4x)."""
+
+    planes: int
+    kind: str = "resnet"
+    groups: int = 1
+    reduction: int = 16
+    stride: int = 1
+    ds_kernel: int = 1           # downsample conv kernel (senet154: 3, pad 1)
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def conv(chs, k, s, groups, name):
+            return nn.Conv(chs, (k, k), strides=(s,) * 2,
+                           padding=[(k // 2, k // 2)] * 2,
+                           feature_group_count=groups, use_bias=False,
+                           dtype=self.dtype, name=name)
+
+        def bn(name):
+            def f(y):
+                y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=jnp.float32,
+                                 axis_name=self.bn_axis_name if train
+                                 else None, name=name)(y)
+                return y.astype(self.dtype)
+            return f
+
+        p, s = self.planes, self.stride
+        exp = 1 if self.kind == "basic" else 4
+        out_chs = p * exp
+        if self.kind == "basic":
+            # SEResNetBlock relus after bn2 BEFORE the SE (senet.py:206-216)
+            y = nn.relu(bn("bn1")(conv(p, 3, s, 1, "conv1")(x)))
+            se_in = nn.relu(bn("bn2")(conv(p, 3, 1, self.groups,
+                                           "conv2")(y)))
+        elif self.kind == "resnet":
+            # Caffe quirk: the stride sits on the 1x1 conv1 (senet.py:141-162)
+            y = nn.relu(bn("bn1")(conv(p, 1, s, 1, "conv1")(x)))
+            y = nn.relu(bn("bn2")(conv(p, 3, 1, self.groups, "conv2")(y)))
+            se_in = bn("bn3")(conv(out_chs, 1, 1, 1, "conv3")(y))
+        elif self.kind == "resnext":
+            width = (p * 4 // 64) * self.groups
+            y = nn.relu(bn("bn1")(conv(width, 1, 1, 1, "conv1")(x)))
+            y = nn.relu(bn("bn2")(conv(width, 3, s, self.groups,
+                                       "conv2")(y)))
+            se_in = bn("bn3")(conv(out_chs, 1, 1, 1, "conv3")(y))
+        else:  # senet154
+            y = nn.relu(bn("bn1")(conv(2 * p, 1, 1, 1, "conv1")(x)))
+            y = nn.relu(bn("bn2")(conv(4 * p, 3, s, self.groups,
+                                       "conv2")(y)))
+            se_in = bn("bn3")(conv(out_chs, 1, 1, 1, "conv3")(y))
+        shortcut = x
+        if s != 1 or x.shape[-1] != out_chs:
+            k = self.ds_kernel
+            shortcut = bn("downsample_bn")(
+                conv(out_chs, k, s, 1, "downsample_conv")(x))
+        y = LegacySEModule(out_chs // self.reduction,
+                           dtype=self.dtype, name="se_module")(se_in)
+        return nn.relu(y + shortcut).astype(self.dtype)
+
+
+def _ceil_max_pool3(x):
+    """MaxPool2d(3, stride=2, ceil_mode=True) — Caffe-compat stem pool
+    (reference ``models/senet.py:299-300``)."""
+    h, w = x.shape[1], x.shape[2]
+    return nn.max_pool(x, (3, 3), strides=(2, 2),
+                       padding=[(0, (h - 3) % 2), (0, (w - 3) % 2)])
+
+
+class LegacySENet(nn.Module):
+    """Legacy SENet classifier (reference ``models/senet.py:225-404``)."""
+
+    num_classes: int = 1000
+    layers: Sequence[int] = (3, 4, 6, 3)
+    block_kind: str = "resnet"
+    groups: int = 1
+    reduction: int = 16
+    inplanes: int = 64
+    input_3x3: bool = False
+    ds_kernel: int = 1
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+
+        def bn(name):
+            def f(y):
+                y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=jnp.float32,
+                                 axis_name=self.bn_axis_name if train
+                                 else None, name=name)(y)
+                return y.astype(self.dtype)
+            return f
+
+        x = x.astype(self.dtype)
+        if self.input_3x3:   # senet154 stem (senet.py:280-290)
+            for i, (chs, s) in enumerate(
+                    [(64, 2), (64, 1), (self.inplanes, 1)]):
+                x = nn.Conv(chs, (3, 3), strides=(s,) * 2,
+                            padding=[(1, 1)] * 2, use_bias=False,
+                            dtype=self.dtype,
+                            name=f"layer0_conv{i + 1}")(x)
+                x = nn.relu(bn(f"layer0_bn{i + 1}")(x))
+        else:
+            x = nn.Conv(self.inplanes, (7, 7), strides=(2, 2),
+                        padding=[(3, 3)] * 2, use_bias=False,
+                        dtype=self.dtype, name="layer0_conv1")(x)
+            x = nn.relu(bn("layer0_bn1")(x))
+        x = _ceil_max_pool3(x)
+        taps: Dict[int, jnp.ndarray] = {}
+        for li, depth in enumerate(self.layers):
+            planes = 64 * (2 ** li)
+            for bi in range(depth):
+                x = LegacySENetBlock(
+                    planes, kind=self.block_kind, groups=self.groups,
+                    reduction=self.reduction,
+                    stride=2 if bi == 0 and li > 0 else 1,
+                    ds_kernel=self.ds_kernel if li > 0 else 1,
+                    name=f"layer{li + 1}_{bi}", **kw)(x, train)
+            taps[li] = x
+        logits = classifier_head(x, self.num_classes, name="last_linear")
+        return {"logits": logits, "features": x, "taps": taps}
+
+
+@register_model
+def legacy_seresnet18(**kwargs):
+    return LegacySENet(layers=(2, 2, 2, 2), block_kind="basic", **kwargs)
+
+
+@register_model
+def legacy_seresnet34(**kwargs):
+    return LegacySENet(layers=(3, 4, 6, 3), block_kind="basic", **kwargs)
+
+
+@register_model
+def legacy_seresnet50(**kwargs):
+    return LegacySENet(layers=(3, 4, 6, 3), **kwargs)
+
+
+@register_model
+def legacy_seresnet101(**kwargs):
+    return LegacySENet(layers=(3, 4, 23, 3), **kwargs)
+
+
+@register_model
+def legacy_seresnet152(**kwargs):
+    return LegacySENet(layers=(3, 8, 36, 3), **kwargs)
+
+
+@register_model
+def legacy_senet154(**kwargs):
+    return LegacySENet(layers=(3, 8, 36, 3), block_kind="senet154",
+                       groups=64, inplanes=128, input_3x3=True,
+                       ds_kernel=3, **kwargs)
+
+
+@register_model
+def legacy_seresnext26_32x4d(**kwargs):
+    return LegacySENet(layers=(2, 2, 2, 2), block_kind="resnext",
+                       groups=32, **kwargs)
+
+
+@register_model
+def legacy_seresnext50_32x4d(**kwargs):
+    return LegacySENet(layers=(3, 4, 6, 3), block_kind="resnext",
+                       groups=32, **kwargs)
+
+
+@register_model
+def legacy_seresnext101_32x4d(**kwargs):
+    return LegacySENet(layers=(3, 4, 23, 3), block_kind="resnext",
+                       groups=32, **kwargs)

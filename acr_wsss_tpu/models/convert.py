@@ -2398,6 +2398,68 @@ def pnasnet_state_dict_to_flax(
     return variables
 
 
+def legacy_senet_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """Legacy SENet checkpoint (reference ``models/senet.py:225-404``:
+    ``layer0`` Sequential stem, ``layer{L}.{i}`` blocks with
+    ``se_module.fc{1,2}`` biased convs and ``downsample.{0,1}``
+    Sequential) -> flax variables for ``models/cnn_attn.LegacySENet``."""
+    variables: Dict = {}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        mapped = _map_legacy_senet_name(name)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(variables, leaf_path, transform(v))
+    return variables
+
+
+def _map_legacy_senet_name(name: str):
+    ident = lambda x: x
+    m = re.match(r"last_linear\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", "last_linear", leaf), (
+            _linear if leaf == "kernel" else ident)
+    m = re.match(r"layer0\.(conv\d)\.weight$", name)
+    if m:
+        return ("params", f"layer0_{m.group(1)}", "kernel"), _conv
+    m = re.match(r"layer0\.(bn\d)\.(.+)$", name)
+    if m and m.group(2) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[m.group(2)]
+        return (coll, f"layer0_{m.group(1)}", leaf), ident
+    m = re.match(r"(layer\d)\.(\d+)\.(.+)$", name)
+    if not m:
+        return None
+    base = f"{m.group(1)}_{m.group(2)}"
+    rest = m.group(3)
+    mm = re.match(r"(conv\d)\.weight$", rest)
+    if mm:
+        return ("params", base, mm.group(1), "kernel"), _conv
+    mm = re.match(r"(bn\d)\.(.+)$", rest)
+    if mm and mm.group(2) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[mm.group(2)]
+        return (coll, base, mm.group(1), leaf), ident
+    mm = re.match(r"se_module\.(fc[12])\.(weight|bias)$", rest)
+    if mm:
+        leaf = "kernel" if mm.group(2) == "weight" else "bias"
+        return ("params", base, "se_module", mm.group(1), leaf), (
+            _conv if leaf == "kernel" else ident)
+    mm = re.match(r"downsample\.0\.weight$", rest)
+    if mm:
+        return ("params", base, "downsample_conv", "kernel"), _conv
+    mm = re.match(r"downsample\.1\.(.+)$", rest)
+    if mm and mm.group(1) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[mm.group(1)]
+        return (coll, base, "downsample_bn", leaf), ident
+    return None
+
+
 # NASNet-A-Large uses the same key grammar (identical BranchSeparables /
 # ActConvBn / shifted-path modules, reference models/nasnet.py:35-227).
 nasnet_state_dict_to_flax = pnasnet_state_dict_to_flax

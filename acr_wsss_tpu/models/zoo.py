@@ -106,6 +106,16 @@ ZOO_URLS: Dict[str, str] = {
     # models/res2net.py:25-44, models/resnest.py:29-52). sknet50 has NO
     # pretrained URL upstream either (models/sknet.py:38) — parity.
     "seresnet50": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/seresnet50_ra_224-8efdb4bb.pth",
+    # Legacy SENet family (reference cfg models/senet.py:38-58)
+    "legacy_seresnet18": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/seresnet18-4bb0ce65.pth",
+    "legacy_seresnet34": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/seresnet34-a4004e63.pth",
+    "legacy_seresnet50": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/se_resnet50-ce0d4300.pth",
+    "legacy_seresnet101": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/se_resnet101-7e38fcc6.pth",
+    "legacy_seresnet152": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-cadene/se_resnet152-d17c99b7.pth",
+    "legacy_senet154": "http://data.lip6.fr/cadene/pretrainedmodels/senet154-c7b49a05.pth",
+    "legacy_seresnext26_32x4d": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/seresnext26_32x4d-65ebdb501.pth",
+    "legacy_seresnext50_32x4d": "http://data.lip6.fr/cadene/pretrainedmodels/se_resnext50_32x4d-a260b3a4.pth",
+    "legacy_seresnext101_32x4d": "http://data.lip6.fr/cadene/pretrainedmodels/se_resnext101_32x4d-3b2fe3d8.pth",
     "res2net50": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-res2net/res2net50_26w_4s-06e79181.pth",
     "resnest50d": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-resnest/resnest50-528c19ca.pth",
     # Inception v3 (torchvision weights; reference cfg
@@ -243,6 +253,13 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import hrnet_state_dict_to_flax
 
         return hrnet_state_dict_to_flax(state)
+    if backbone.startswith(("legacy_seresnet", "legacy_senet",
+                            "legacy_seresnext")):
+        from acr_wsss_tpu.models.convert import (
+            legacy_senet_state_dict_to_flax,
+        )
+
+        return legacy_senet_state_dict_to_flax(state)
     if backbone.startswith(("seresnet", "res2net", "resnest")):
         from acr_wsss_tpu.models.convert import (
             attn_resnet_state_dict_to_flax,

@@ -1272,6 +1272,45 @@ def test_nasnet_converted_forward_parity():
 
 
 @requires_reference
+@pytest.mark.parametrize("variant,kind", [
+    ("legacy_seresnet50", "resnet"),
+    ("legacy_seresnet18", "basic"),
+    ("legacy_seresnext26_32x4d", "resnext"),
+    ("legacy_senet154", "senet154"),
+])
+def test_legacy_senet_converted_forward_parity(variant, kind):
+    """Legacy SENet family (senet.py:87-404: Caffe ceil-mode stem pool,
+    stride-on-conv1 SE-ResNet bottleneck, biased SE fc convs, Sequential
+    downsample) -> models/cnn_attn.LegacySENet: eval-mode logits parity.
+    65px input exercises the ceil-mode pool's odd-size branch."""
+    import torch
+
+    sn = _load_vendored("senet")
+    torch.manual_seed(149)
+    ref = getattr(sn, variant)(pretrained=False)
+    rng = np.random.default_rng(149)
+    _advance_bn_and_eval(ref, rng, steps=2, size=65)
+
+    from acr_wsss_tpu.models.convert import legacy_senet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = legacy_senet_state_dict_to_flax(ref.state_dict())
+    model = create_model(variant, num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 65, 65, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 65, 65)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
 def test_dla_converted_forward_parity():
     """timm dla34 (dla.py:206-369: recursive aggregation trees, supplied
     shortcuts, root concat order [tree2, tree1, *children]) ->
