@@ -18,8 +18,12 @@ Block types implemented:
   self-attention over the flattened map (the byoanet/BotNet mechanism).
 
 Registered configs: ``gernet_s`` (byobnet) — basic/bottle mix;
-``repvgg_a2`` (byobnet) — rep blocks; ``botnet26t_256`` (byoanet) —
-bottlenecks with self-attention in the last two stages.
+``repvgg_a2`` (byobnet) — rep blocks; and the full byoanet set —
+``botnet26t_256`` / ``botnet50t_224`` / ``botnet50t_c4c5_224`` (bolt
+all-pairs attention), ``halonet26t/50t/_h1/_h1_c4c5`` (blocked local
+attention with halo overlap), ``lambda_resnet26t/50t`` (lambda layers),
+``swinnet26t_256`` (windowed attention = halo at halo_size 0). None of
+these ship pretrained weights upstream (every byoanet cfg has url='').
 
 Contract: ``{"logits", "features", "taps"}``; SyncBN via ``bn_axis_name``.
 """
@@ -49,6 +53,13 @@ class BlockCfg:
     groups: int = 1
     se_ratio: float = 0.0
     num_heads: int = 4
+    # byoanet extensions (reference models/byoanet.py:96-250):
+    types: Sequence[str] = ()        # interleave pattern, e.g. (bottle,
+                                     # self_attn) alternating per block
+    attn: str = "bolt"               # bolt | halo | lambda (self_attn kind)
+    bottle_ratio: float = 0.25
+    block_size: int = 8              # halo: query block size
+    halo_size: int = 2               # halo: neighbourhood overlap
 
 
 class RepBlock(nn.Module):
@@ -76,25 +87,200 @@ class RepBlock(nn.Module):
         return nn.relu(y).astype(self.dtype)
 
 
+class HaloAttention(nn.Module):
+    """Halo attention (reference ``layers/halo_attn.py:97-167`` HaloAttn,
+    used by halonet* / swinnet cfgs): non-overlapping query blocks attend
+    to their block plus a ``halo_size`` ring of keys/values, with per-axis
+    relative position biases. swinnet's window attention is the
+    ``halo_size=0`` case. Block size clamps to the map size so small test
+    resolutions stay valid (the reference asserts divisibility instead)."""
+
+    dim_out: int
+    stride: int = 1
+    num_heads: int = 8
+    dim_head: int = 16
+    block_size: int = 8
+    halo_size: int = 2
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        B, H, W, _ = x.shape
+        s = self.stride
+        nh, dh = self.num_heads, self.dim_head
+        dv = self.dim_out // nh
+        blk = min(self.block_size, H, W)
+        halo = self.halo_size
+        win = blk + 2 * halo
+        bq = blk // s
+        nhb, nwb = H // blk, W // blk
+
+        q = nn.Conv(nh * dh, (1, 1), strides=(s, s), use_bias=False,
+                    dtype=self.dtype, name="q")(x)
+        kv = nn.Conv(nh * dh + self.dim_out, (1, 1), use_bias=False,
+                     dtype=self.dtype, name="kv")(x)
+        # blocked queries: (B, nhb, nwb, nh, bq*bq, dh)
+        q = q.reshape(B, nhb, bq, nwb, bq, nh, dh)
+        q = q.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+            B, nhb * nwb, nh, bq * bq, dh)
+        # overlapping kv windows via patch extraction:
+        # (B, C*win*win, nhb, nwb) with feature order (c, wi, wj)
+        patches = jax.lax.conv_general_dilated_patches(
+            kv.transpose(0, 3, 1, 2), (win, win), (blk, blk),
+            [(halo, halo), (halo, halo)])
+        C = kv.shape[-1]
+        patches = patches.reshape(B, C, win * win, nhb * nwb)
+        patches = patches.transpose(0, 3, 2, 1)  # (B, nb, win*win, C)
+        k = patches[..., :nh * dh].reshape(B, nhb * nwb, win * win, nh, dh)
+        v = patches[..., nh * dh:].reshape(B, nhb * nwb, win * win, nh, dv)
+        k = k.transpose(0, 1, 3, 2, 4)
+        v = v.transpose(0, 1, 3, 2, 4)
+        logits = jnp.einsum("bnhqd,bnhkd->bnhqk", q, k).astype(jnp.float32)
+        logits = logits * (dh ** -0.5)
+        # per-axis relative position bias: table (2*win-1, dh) indexed by
+        # the full-res distance between query pixel i*s+halo and key j
+        import numpy as _np
+
+        scale = dh ** -0.5
+        rel_h = self.param("rel_h", nn.initializers.normal(scale),
+                           (2 * win - 1, dh), jnp.float32)
+        rel_w = self.param("rel_w", nn.initializers.normal(scale),
+                           (2 * win - 1, dh), jnp.float32)
+        qi = _np.arange(bq) * s + halo
+        idx = _np.clip(_np.arange(win)[None, :] - qi[:, None] + win - 1,
+                       0, 2 * win - 2)                      # (bq, win)
+        q_ax = q.reshape(B, nhb * nwb, nh, bq, bq, dh)
+        lh = jnp.einsum("bnhijd,rd->bnhijr", q_ax,
+                        rel_h.astype(q.dtype))              # rows
+        lw = jnp.einsum("bnhijd,rd->bnhijr", q_ax,
+                        rel_w.astype(q.dtype))              # cols
+        # gather per-axis: bias[i,j,ki,kj] = lh[i,j,idx[i,ki]] + lw[i,j,idx[j,kj]]
+        lh_g = jnp.take_along_axis(
+            lh, jnp.asarray(idx)[None, None, None, :, None, :],
+            axis=5)                                         # (..,i,j,win)
+        lw_g = jnp.take_along_axis(
+            lw, jnp.asarray(idx)[None, None, None, None, :, :],
+            axis=5)                                         # broadcast i
+        bias = (lh_g[..., :, None] + lw_g[..., None, :]).astype(jnp.float32)
+        bias = bias.reshape(B, nhb * nwb, nh, bq * bq, win * win)
+        p = nn.softmax(logits + bias, axis=-1).astype(v.dtype)
+        y = jnp.einsum("bnhqk,bnhkd->bnhqd", p, v)
+        y = y.reshape(B, nhb, nwb, nh, bq, bq, dv)
+        y = y.transpose(0, 1, 4, 2, 5, 3, 6).reshape(
+            B, nhb * bq, nwb * bq, self.dim_out)
+        return y.astype(self.dtype)
+
+
+class LambdaLayer(nn.Module):
+    """Lambda layer (reference ``layers/lambda_layer.py:30-88``): content
+    lambda (softmax-k weighted values, shared across positions) plus local
+    position lambdas from an (r, r) conv over values; queries contract
+    against both. Stride via trailing 2x2 avg pool."""
+
+    dim_out: int
+    stride: int = 1
+    num_heads: int = 4
+    dim_head: int = 16
+    r: int = 7
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, _ = x.shape
+        nh, dk = self.num_heads, self.dim_head
+        dv = self.dim_out // nh
+        M = H * W
+        qkv = nn.Conv(nh * dk + dk + dv, (1, 1), use_bias=False,
+                      dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, [nh * dk, nh * dk + dk], axis=-1)
+
+        def bn(name, y):
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             axis_name=self.bn_axis_name if train else None,
+                             name=name)(y)
+            return y.astype(self.dtype)
+
+        q = bn("norm_q", q).reshape(B, M, nh, dk).transpose(0, 2, 1, 3)
+        v = bn("norm_v", v).reshape(B, M, dv)
+        k = nn.softmax(k.reshape(B, M, dk).astype(jnp.float32),
+                       axis=1).astype(self.dtype)
+        content_lam = jnp.einsum("bmk,bmv->bkv", k, v)
+        content_out = jnp.einsum("bhmk,bkv->bhmv", q, content_lam)
+        # position lambdas: shared (r, r) conv lifting each v channel to dk
+        v_maps = v.reshape(B, H, W, dv)
+        pos_kernel = self.param("lambda_conv", nn.initializers.normal(
+            dk ** -0.5), (self.r, self.r, 1, dk), jnp.float32)
+        v_flat = v_maps.transpose(0, 3, 1, 2).reshape(B * dv, H, W, 1)
+        import jax
+
+        plam = jax.lax.conv_general_dilated(
+            v_flat.astype(self.dtype), pos_kernel.astype(self.dtype),
+            (1, 1), [(self.r // 2,) * 2] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        plam = plam.reshape(B, dv, M, dk).transpose(0, 2, 3, 1)  # B,M,K,V
+        position_out = jnp.einsum("bhmk,bmkv->bhmv", q, plam)
+        out = (content_out + position_out).transpose(0, 2, 1, 3).reshape(
+            B, H, W, self.dim_out)
+        if self.stride == 2:
+            out = nn.avg_pool(out, (2, 2), strides=(2, 2))
+        return out.astype(self.dtype)
+
+
 class SelfAttnBlock(nn.Module):
-    """BotNet-style bottleneck: the 3x3 spatial conv is replaced by
-    multi-head self-attention over the (strided) feature map."""
+    """byoanet self-attention bottleneck (reference
+    ``models/byoanet.py:253-313`` ByoaBlock wiring): the 3x3 spatial conv
+    is replaced by the configured attention layer — ``bolt`` (BotNet
+    all-pairs + 2D rel-pos, the default), ``halo``, or ``lambda``."""
 
     out_chs: int
     stride: int = 1
     num_heads: int = 4
+    attn: str = "bolt"
+    bottle_ratio: float = 0.25
+    block_size: int = 8
+    halo_size: int = 2
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
-        mid = self.out_chs // 4
+        mid = max(1, int(self.out_chs * self.bottle_ratio))
         shortcut = x
         if self.stride != 1 or x.shape[-1] != self.out_chs:
             shortcut = ConvBN(self.out_chs, 1, self.stride, apply_act=False,
                               name="downsample", **kw)(x, train)
         y = ConvBN(mid, 1, name="conv1", **kw)(x, train)
+        if self.attn == "halo":
+            y = HaloAttention(mid, stride=self.stride, num_heads=8,
+                              dim_head=16, block_size=self.block_size,
+                              halo_size=self.halo_size, dtype=self.dtype,
+                              name="attn")(y)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             axis_name=self.bn_axis_name if train else None,
+                             name="bn_attn")(y)
+            y = nn.relu(y).astype(self.dtype)
+            y = ConvBN(self.out_chs, 1, apply_act=False, name="conv3",
+                       **kw)(y, train)
+            return nn.relu(y + shortcut).astype(self.dtype)
+        if self.attn == "lambda":
+            y = LambdaLayer(mid, stride=self.stride, num_heads=4,
+                            dim_head=16, dtype=self.dtype,
+                            bn_axis_name=self.bn_axis_name,
+                            name="attn")(y, train)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             axis_name=self.bn_axis_name if train else None,
+                             name="bn_attn")(y)
+            y = nn.relu(y).astype(self.dtype)
+            y = ConvBN(self.out_chs, 1, apply_act=False, name="conv3",
+                       **kw)(y, train)
+            return nn.relu(y + shortcut).astype(self.dtype)
         if self.stride != 1:
             y = nn.avg_pool(y, (2, 2), strides=(2, 2))
         B, H, W, C = y.shape
@@ -127,6 +313,7 @@ class SelfAttnBlock(nn.Module):
 class ByobBlock(nn.Module):
     cfg: BlockCfg
     stride: int = 1
+    block_type: str = ""    # override for interleaved stages (cfg.types)
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -134,12 +321,14 @@ class ByobBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         c = self.cfg
-        t = c.type
+        t = self.block_type or c.type
         if t == "rep":
             return RepBlock(c.channels, self.stride, **kw)(x, train)
         if t == "self_attn":
             return SelfAttnBlock(c.channels, self.stride, c.num_heads,
-                                 **kw)(x, train)
+                                 attn=c.attn, bottle_ratio=c.bottle_ratio,
+                                 block_size=c.block_size,
+                                 halo_size=c.halo_size, **kw)(x, train)
         shortcut = x
         if self.stride != 1 or x.shape[-1] != c.channels:
             shortcut = ConvBN(c.channels, 1, self.stride, apply_act=False,
@@ -195,12 +384,29 @@ class ByobNet(nn.Module):
         if self.stem_type == "rep":
             x = RepBlock(self.stem_chs, 2, dtype=self.dtype,
                          bn_axis_name=self.bn_axis_name, name="stem")(x, train)
+        elif self.stem_type == "tiered":
+            # byobnet.py 'tiered' stem: 3x3 convs (3c/8, c/2, c) + maxpool
+            x = ConvBN(3 * self.stem_chs // 8, 3, 2, name="stem1",
+                       **kw)(x, train)
+            x = ConvBN(self.stem_chs // 2, 3, 1, name="stem2", **kw)(x, train)
+            x = ConvBN(self.stem_chs, 3, 1, name="stem3", **kw)(x, train)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        elif self.stem_type == "tiered_nopool":
+            x = ConvBN(3 * self.stem_chs // 8, 3, 2, name="stem1",
+                       **kw)(x, train)
+            x = ConvBN(self.stem_chs // 2, 3, 1, name="stem2", **kw)(x, train)
+            x = ConvBN(self.stem_chs, 3, 1, name="stem3", **kw)(x, train)
+        elif self.stem_type == "7x7":
+            x = ConvBN(self.stem_chs, 7, 2, name="stem", **kw)(x, train)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
         else:
             x = ConvBN(self.stem_chs, 3, 2, name="stem", **kw)(x, train)
         taps: Dict[int, jnp.ndarray] = {}
         for si, cfg in enumerate(self.blocks):
             for bi in range(cfg.depth):
+                bt = cfg.types[bi % len(cfg.types)] if cfg.types else ""
                 x = ByobBlock(cfg, stride=cfg.stride if bi == 0 else 1,
+                              block_type=bt,
                               name=f"s{si}_b{bi}", **kw)(x, train)
             taps[si] = x
         if self.head_chs:
@@ -245,4 +451,143 @@ def botnet26t_256(**kwargs):
         BlockCfg("self_attn", 2, 2048, 2),
     ))
     kwargs.setdefault("stem_chs", 64)
+    return ByobNet(**kwargs)
+
+
+# byoanet attention variants (reference models/byoanet.py:96-250 cfgs,
+# :410-482 entrypoints). None ship pretrained weights upstream (every cfg
+# has url='') — parity with the reference's no-pretrained status.
+
+_IL = ("bottle", "self_attn")      # every=1 interleave pattern
+
+
+@register_model
+def halonet26t(**kwargs):
+    kwargs.setdefault("blocks", (
+        BlockCfg("bottle", 2, 256, 1),
+        BlockCfg("bottle", 2, 512, 2),
+        BlockCfg("self_attn", 2, 1024, 2, types=_IL, attn="halo"),
+        BlockCfg("self_attn", 2, 2048, 2, attn="halo"),
+    ))
+    kwargs.setdefault("stem_chs", 64)
+    kwargs.setdefault("stem_type", "tiered")
+    return ByobNet(**kwargs)
+
+
+@register_model
+def halonet50t(**kwargs):
+    kwargs.setdefault("blocks", (
+        BlockCfg("bottle", 3, 256, 1),
+        BlockCfg("bottle", 4, 512, 2),
+        BlockCfg("bottle", 6, 1024, 2),
+        BlockCfg("self_attn", 3, 2048, 2, attn="halo"),
+    ))
+    kwargs.setdefault("stem_chs", 64)
+    kwargs.setdefault("stem_type", "tiered")
+    return ByobNet(**kwargs)
+
+
+@register_model
+def halonet_h1(**kwargs):
+    kwargs.setdefault("blocks", (
+        BlockCfg("self_attn", 3, 64, 1, attn="halo", bottle_ratio=1.0,
+                 halo_size=3),
+        BlockCfg("self_attn", 3, 128, 2, attn="halo", bottle_ratio=1.0,
+                 halo_size=3),
+        BlockCfg("self_attn", 10, 256, 2, attn="halo", bottle_ratio=1.0,
+                 halo_size=3),
+        BlockCfg("self_attn", 3, 512, 2, attn="halo", bottle_ratio=1.0,
+                 halo_size=3),
+    ))
+    kwargs.setdefault("stem_chs", 64)
+    kwargs.setdefault("stem_type", "7x7")
+    return ByobNet(**kwargs)
+
+
+@register_model
+def halonet_h1_c4c5(**kwargs):
+    kwargs.setdefault("blocks", (
+        BlockCfg("bottle", 3, 64, 1, bottle_ratio=1.0),
+        BlockCfg("bottle", 3, 128, 2, bottle_ratio=1.0),
+        BlockCfg("self_attn", 10, 256, 2, attn="halo", bottle_ratio=1.0,
+                 halo_size=3),
+        BlockCfg("self_attn", 3, 512, 2, attn="halo", bottle_ratio=1.0,
+                 halo_size=3),
+    ))
+    kwargs.setdefault("stem_chs", 64)
+    kwargs.setdefault("stem_type", "tiered")
+    return ByobNet(**kwargs)
+
+
+@register_model
+def lambda_resnet26t(**kwargs):
+    kwargs.setdefault("blocks", (
+        BlockCfg("bottle", 2, 256, 1),
+        BlockCfg("bottle", 2, 512, 2),
+        BlockCfg("self_attn", 2, 1024, 2, types=_IL, attn="lambda"),
+        BlockCfg("self_attn", 2, 2048, 2, attn="lambda"),
+    ))
+    kwargs.setdefault("stem_chs", 64)
+    kwargs.setdefault("stem_type", "tiered")
+    return ByobNet(**kwargs)
+
+
+@register_model
+def lambda_resnet50t(**kwargs):
+    kwargs.setdefault("blocks", (
+        BlockCfg("bottle", 3, 256, 1),
+        BlockCfg("bottle", 4, 512, 2),
+        # interleave every=3, d=6 -> attn only at index 3 (byoanet.py:84-93)
+        BlockCfg("self_attn", 6, 1024, 2, attn="lambda",
+                 types=("bottle", "bottle", "bottle", "self_attn",
+                        "bottle", "bottle")),
+        BlockCfg("self_attn", 3, 2048, 2, attn="lambda"),
+    ))
+    kwargs.setdefault("stem_chs", 64)
+    kwargs.setdefault("stem_type", "tiered")
+    return ByobNet(**kwargs)
+
+
+@register_model
+def botnet50t_224(**kwargs):
+    kwargs.setdefault("blocks", (
+        BlockCfg("bottle", 3, 256, 2),
+        BlockCfg("bottle", 4, 512, 2),
+        BlockCfg("bottle", 6, 1024, 2),
+        BlockCfg("self_attn", 3, 2048, 1),
+    ))
+    kwargs.setdefault("stem_chs", 64)
+    kwargs.setdefault("stem_type", "tiered_nopool")
+    return ByobNet(**kwargs)
+
+
+@register_model
+def botnet50t_c4c5_224(**kwargs):
+    kwargs.setdefault("blocks", (
+        BlockCfg("bottle", 3, 256, 1),
+        BlockCfg("bottle", 4, 512, 2),
+        BlockCfg("self_attn", 1, 1024, 2),
+        BlockCfg("bottle", 5, 1024, 1),
+        BlockCfg("self_attn", 1, 2048, 2),
+        BlockCfg("bottle", 2, 2048, 1),
+    ))
+    kwargs.setdefault("stem_chs", 64)
+    kwargs.setdefault("stem_type", "tiered")
+    return ByobNet(**kwargs)
+
+
+@register_model
+def swinnet26t_256(**kwargs):
+    # 'swin' self_attn = non-overlapping window attention with relative
+    # position bias == the halo mechanism at halo_size 0 (win_size 8)
+    kwargs.setdefault("blocks", (
+        BlockCfg("bottle", 2, 256, 1),
+        BlockCfg("bottle", 2, 512, 2),
+        BlockCfg("self_attn", 2, 1024, 2, types=_IL, attn="halo",
+                 block_size=8, halo_size=0),
+        BlockCfg("self_attn", 2, 2048, 2, attn="halo", block_size=8,
+                 halo_size=0),
+    ))
+    kwargs.setdefault("stem_chs", 64)
+    kwargs.setdefault("stem_type", "tiered")
     return ByobNet(**kwargs)

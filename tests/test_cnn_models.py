@@ -253,6 +253,21 @@ def test_nasnetalarge_timm_exact_forward(rng):
     assert out["features"].shape[-1] == 6 * 4 * 24
 
 
+@pytest.mark.parametrize("name", ["halonet26t", "lambda_resnet26t",
+                                  "swinnet26t_256"])
+def test_byoanet_attention_families_forward(name, rng):
+    """halo / lambda / windowed self-attention byoanet variants
+    (reference models/byoanet.py:96-250; no upstream weights)."""
+    model = create_model(name, num_classes=6, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 128, 128, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=True)
+    out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out["logits"].shape == (1, 6)
+    assert out["features"].shape == (1, 4, 4, 2048)
+    e = model.apply(variables, x, train=False)
+    assert np.isfinite(np.asarray(e["logits"])).all()
+
+
 def test_registry_has_no_stubs_left():
     """Every reference-zoo family resolves to a real builder."""
     from acr_wsss_tpu.models.registry import _STUB_FAMILIES, list_models
