@@ -2337,7 +2337,7 @@ def dm_nfnet_state_dict_to_flax(
 
 def _map_dm_nfnet_name(name: str):
     ident = lambda x: x
-    m = re.match(r"stem\.(conv[1-4])\.(weight|bias|gain)$", name)
+    m = re.match(r"stem\.(conv[1-4]?)\.(weight|bias|gain)$", name)
     if m:
         leaf, tr = _NF_CONV_LEAF[m.group(2)]
         return ("params", f"stem_{m.group(1)}", leaf), tr
@@ -2366,11 +2366,15 @@ def _map_dm_nfnet_name(name: str):
     if mm:
         leaf, tr = _NF_CONV_LEAF[mm.group(1)]
         return ("params", base, "downsample_conv", leaf), tr
-    mm = re.match(r"attn_last\.(fc[12])\.(weight|bias)$", rest)
+    mm = re.match(r"(attn|attn_last)\.(fc[12])\.(weight|bias)$", rest)
     if mm:
-        leaf = "kernel" if mm.group(2) == "weight" else "bias"
-        return ("params", base, "attn_last", mm.group(1), leaf), (
+        leaf = "kernel" if mm.group(3) == "weight" else "bias"
+        return ("params", base, mm.group(1), mm.group(2), leaf), (
             _conv if leaf == "kernel" else ident)
+    mm = re.match(r"attn_last\.conv\.weight$", rest)
+    if mm:  # ECA 1D conv: (1, 1, k) -> (k, 1, 1)
+        return ("params", base, "attn_last", "conv", "kernel"), (
+            lambda x: x.transpose(2, 1, 0))
     return None
 
 

@@ -319,85 +319,193 @@ class DmSE(nn.Module):
         return x * jax.nn.sigmoid(g).astype(x.dtype)
 
 
-class DmNFBlock(nn.Module):
-    """dm-NFNet-F NormFreeBlock (reference ``models/nfnet.py:303-380``,
-    dm cfg :198-205: bottle_ratio 0.5, group_size 128, extra_conv,
-    skipinit, SE-after-conv3 with attn_gain 2.0, gelu-with-gamma):
-    ``shortcut + alpha * skipinit_gain * f(act(x) * beta)``."""
+_SILU_GAMMA = 1.7881293296813965     # _nonlin_gamma['silu']
 
-    out_chs: int
-    stride: int = 1
-    alpha: float = 0.2
-    beta: float = 1.0
-    group_size: int = 128
+
+def _silu_gamma(x):
+    return jax.nn.silu(x.astype(jnp.float32)) * _SILU_GAMMA
+
+
+class NFEca(nn.Module):
+    """EcaModule (reference ``layers/eca.py:41-65``): 1D conv over the
+    channel-pooled vector, adaptive odd kernel from log2(C)."""
+
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
+        import math
+
+        C = x.shape[-1]
+        t = int(abs(math.log2(C) + 1) / 2)
+        k = max(t if t % 2 else t + 1, 3)
+        g = jnp.mean(x.astype(jnp.float32), axis=(1, 2))      # (B, C)
+        g = g[..., None]                                      # (B, C, 1)
+        g = nn.Conv(1, (k,), padding=[(k // 2, k // 2)], use_bias=False,
+                    dtype=jnp.float32, name="conv")(g)
+        g = jax.nn.sigmoid(g)[:, None, :, 0]                  # (B, 1, C)
+        return x * g[:, :, None, :].astype(x.dtype)
+
+
+class NFBlockT(nn.Module):
+    """timm-exact NormFreeBlock (reference ``models/nfnet.py:303-380``)
+    covering the dm-NFNet-F, nfnet_l0/eca_nfnet, and nf_regnet cfgs:
+    ``shortcut + alpha * [skipinit_gain *] f(act(x) * beta)`` with
+    pre-act avg-down shortcut, grouped 3x3(s), optional extra conv,
+    SE-in-middle (reg) or SE/ECA-after-conv3 (x2 attn gain)."""
+
+    in_chs: int
+    out_chs: int
+    stride: int = 1
+    alpha: float = 0.2
+    beta: float = 1.0
+    bottle_ratio: float = 0.5
+    group_size: int = 128
+    extra_conv: bool = True
+    skipinit: bool = False
+    reg: bool = False                 # EfficientNet-like (nf_regnet)
+    attn: str = "se"                  # se | eca
+    attn_rd_ratio: float = 0.5
+    act: str = "gelu"
+    gamma_in_act: bool = False
+    eps: float = 1e-5
+    same_pad: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = {"gelu": _GELU_GAMMA, "silu": _SILU_GAMMA}[self.act]
+        if self.gamma_in_act:
+            act = _gelu_gamma if self.act == "gelu" else _silu_gamma
+            conv_gamma = 1.0
+        else:
+            act = ((lambda t: jax.nn.gelu(t.astype(jnp.float32),
+                                          approximate=False))
+                   if self.act == "gelu"
+                   else (lambda t: jax.nn.silu(t.astype(jnp.float32))))
+            conv_gamma = gamma
         conv = lambda *a, **k: TimmScaledStdConv(  # noqa: E731
-            *a, eps=1e-4, same_pad=True, dtype=self.dtype, **k)
-        mid = _make_divisible(self.out_chs * 0.5)
-        groups = mid // self.group_size
-        mid = self.group_size * groups   # group-size-corrected width
-        out = (_gelu_gamma(x) * self.beta).astype(self.dtype)
+            *a, gamma=conv_gamma, eps=self.eps, same_pad=self.same_pad,
+            dtype=self.dtype, **k)
+        # reg scales the bottleneck from in_chs, others from out_chs
+        mid = _make_divisible(
+            (self.in_chs if self.reg else self.out_chs) * self.bottle_ratio)
+        groups = 1 if not self.group_size else mid // self.group_size
+        if self.group_size and self.group_size % 8 == 0:
+            mid = self.group_size * groups
+        out = (act(x) * self.beta).astype(self.dtype)
         shortcut = x
         if self.stride != 1 or x.shape[-1] != self.out_chs:
             s = _avg_pool2_ceil(out) if self.stride != 1 else out
             shortcut = conv(self.out_chs, 1, name="downsample_conv")(s)
         y = conv(mid, 1, name="conv1")(out)
         y = conv(mid, 3, self.stride, groups=groups,
-                 name="conv2")(_gelu_gamma(y).astype(self.dtype))
-        y = conv(mid, 3, groups=groups,
-                 name="conv2b")(_gelu_gamma(y).astype(self.dtype))
-        y = conv(self.out_chs, 1,
-                 name="conv3")(_gelu_gamma(y).astype(self.dtype))
-        y = 2.0 * DmSE(_make_divisible(self.out_chs * 0.5),
-                       dtype=self.dtype, name="attn_last")(y)
-        sg = self.param("skipinit_gain", nn.initializers.zeros, ())
-        return (shortcut
-                + y * (self.alpha * sg.astype(y.dtype))).astype(self.dtype)
+                 name="conv2")(act(y).astype(self.dtype))
+        if self.extra_conv:
+            y = conv(mid, 3, groups=groups,
+                     name="conv2b")(act(y).astype(self.dtype))
+        if self.reg:   # attention between conv2 and conv3 (nfnet.py:340-343)
+            y = 2.0 * DmSE(_make_divisible(mid * self.attn_rd_ratio),
+                           dtype=self.dtype, name="attn")(y)
+        y = conv(self.out_chs, 1, name="conv3")(act(y).astype(self.dtype))
+        if not self.reg:
+            if self.attn == "eca":
+                y = 2.0 * NFEca(dtype=self.dtype, name="attn_last")(y)
+            else:
+                y = 2.0 * DmSE(
+                    _make_divisible(self.out_chs * self.attn_rd_ratio),
+                    dtype=self.dtype, name="attn_last")(y)
+        if self.skipinit:
+            sg = self.param("skipinit_gain", nn.initializers.zeros, ())
+            y = y * sg.astype(y.dtype)
+        return (shortcut + y * self.alpha).astype(self.dtype)
 
 
-class DmNFNet(nn.Module):
-    """dm-NFNet-F classifier (reference ``models/nfnet.py:437-560`` with
-    the dm cfg :198-212): deep_quad scaled-std stem (16/32/64/128, gelu
-    gamma in the ACTIVATION, conv eps 1e-4, TF SAME padding), stage-0
-    stride 1, 2x final conv, gelu head."""
+class NormFreeNetT(nn.Module):
+    """timm-exact NormFreeNet (reference ``models/nfnet.py:437-599``):
+    deep_quad or 3x3 scaled-std stem, variance-tracked betas, optional
+    final head conv. dm cfg: gelu gamma-in-act, eps 1e-4, TF SAME,
+    skipinit; l0/eca/regnet cfgs: silu gamma-in-conv, eps 1e-5."""
 
     num_classes: int = 1000
-    depths: Sequence[int] = (1, 2, 6, 3)       # dm_nfnet_f0
+    depths: Sequence[int] = (1, 2, 6, 3)
     channels: Sequence[int] = (256, 512, 1536, 1536)
     alpha: float = 0.2
+    stem_type: str = "deep_quad"      # deep_quad | 3x3
+    stem_chs: int = 128
+    width_factor: float = 1.0
+    num_features: int = 3072          # final conv width (0 = none)
+    bottle_ratio: float = 0.5
+    group_size: int = 128
+    extra_conv: bool = True
+    skipinit: bool = False
+    reg: bool = False
+    attn: str = "se"
+    attn_rd_ratio: float = 0.5
+    act: str = "gelu"
+    gamma_in_act: bool = False
+    eps: float = 1e-5
+    same_pad: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        gamma = {"gelu": _GELU_GAMMA, "silu": _SILU_GAMMA}[self.act]
+        if self.gamma_in_act:
+            act = _gelu_gamma if self.act == "gelu" else _silu_gamma
+            conv_gamma = 1.0
+        else:
+            act = ((lambda t: jax.nn.gelu(t.astype(jnp.float32),
+                                          approximate=False))
+                   if self.act == "gelu"
+                   else (lambda t: jax.nn.silu(t.astype(jnp.float32))))
+            conv_gamma = gamma
         conv = lambda *a, **k: TimmScaledStdConv(  # noqa: E731
-            *a, eps=1e-4, same_pad=True, dtype=self.dtype, **k)
+            *a, gamma=conv_gamma, eps=self.eps, same_pad=self.same_pad,
+            dtype=self.dtype, **k)
+        stem_chs = _make_divisible(self.stem_chs * self.width_factor)
         x = x.astype(self.dtype)
-        x = conv(16, 3, 2, name="stem_conv1")(x)
-        x = conv(32, 3, name="stem_conv2")(_gelu_gamma(x).astype(self.dtype))
-        x = conv(64, 3, name="stem_conv3")(_gelu_gamma(x).astype(self.dtype))
-        x = conv(128, 3, 2,
-                 name="stem_conv4")(_gelu_gamma(x).astype(self.dtype))
+        if self.stem_type == "deep_quad":
+            cs = (stem_chs // 8, stem_chs // 4, stem_chs // 2, stem_chs)
+            x = conv(cs[0], 3, 2, name="stem_conv1")(x)
+            for i, c in enumerate(cs[1:], start=2):
+                x = conv(c, 3, 2 if i == 4 else 1,
+                         name=f"stem_conv{i}")(act(x).astype(self.dtype))
+            stem_stride = 4
+        else:  # '3x3'
+            x = conv(stem_chs, 3, 2, name="stem_conv")(x)
+            stem_stride = 2
         taps: Dict[int, jnp.ndarray] = {}
         expected_var = 1.0
+        prev_chs = stem_chs
         for si, (depth, width) in enumerate(zip(self.depths, self.channels)):
+            out_chs = _make_divisible(width * self.width_factor)
+            stage_stride = 1 if si == 0 and stem_stride > 2 else 2
             for bi in range(depth):
-                x = DmNFBlock(width,
-                              stride=2 if bi == 0 and si > 0 else 1,
-                              alpha=self.alpha,
-                              beta=1.0 / expected_var ** 0.5,
-                              dtype=self.dtype,
-                              name=f"s{si}_b{bi}")(x)
+                first_block = bi == 0 and si == 0
+                x = NFBlockT(
+                    prev_chs, out_chs,
+                    stride=stage_stride if bi == 0 else 1,
+                    alpha=self.alpha, beta=1.0 / expected_var ** 0.5,
+                    bottle_ratio=(1.0 if self.reg and first_block
+                                  else self.bottle_ratio),
+                    group_size=self.group_size,
+                    extra_conv=self.extra_conv, skipinit=self.skipinit,
+                    reg=self.reg, attn=self.attn,
+                    attn_rd_ratio=self.attn_rd_ratio, act=self.act,
+                    gamma_in_act=self.gamma_in_act, eps=self.eps,
+                    same_pad=self.same_pad, dtype=self.dtype,
+                    name=f"s{si}_b{bi}")(x)
                 if bi == 0:
                     expected_var = 1.0
                 expected_var += self.alpha ** 2
+                prev_chs = out_chs
             taps[si] = x
-        # no pre-activation before final_conv (nfnet.py:594-599:
-        # stages -> final_conv -> final_act)
-        x = conv(2 * self.channels[-1], 1, name="final_conv")(x)
-        x = _gelu_gamma(x)
+        if self.num_features:
+            nf = _make_divisible(self.num_features * self.width_factor)
+            # no pre-activation before final_conv (nfnet.py:594-599)
+            x = conv(nf, 1, name="final_conv")(x)
+        x = act(x)
         pooled = jnp.mean(x, axis=(1, 2))
         logits = nn.Dense(self.num_classes, dtype=jnp.float32,
                           name="fc")(pooled)
@@ -405,11 +513,55 @@ class DmNFNet(nn.Module):
                 "taps": taps}
 
 
+def _dm_kwargs(depths, **kw):
+    kw.setdefault("depths", depths)
+    kw.setdefault("gamma_in_act", True)
+    kw.setdefault("eps", 1e-4)
+    kw.setdefault("same_pad", True)
+    kw.setdefault("skipinit", True)
+    return kw
+
+
 @register_model
 def dm_nfnet_f0(**kwargs):
-    return DmNFNet(**kwargs)
+    return NormFreeNetT(**_dm_kwargs((1, 2, 6, 3), **kwargs))
 
 
 @register_model
 def dm_nfnet_f1(**kwargs):
-    return DmNFNet(depths=(2, 4, 12, 6), **kwargs)
+    return NormFreeNetT(**_dm_kwargs((2, 4, 12, 6), **kwargs))
+
+
+def _l0_kwargs(**kw):
+    kw.setdefault("depths", (1, 2, 6, 3))
+    kw.setdefault("num_features", 2304)       # 1536 * 1.5
+    kw.setdefault("group_size", 64)
+    kw.setdefault("bottle_ratio", 0.25)
+    kw.setdefault("act", "silu")
+    return kw
+
+
+@register_model
+def nfnet_l0(**kwargs):
+    return NormFreeNetT(**_l0_kwargs(attn_rd_ratio=0.25, **kwargs))
+
+
+@register_model
+def eca_nfnet_l0(**kwargs):
+    return NormFreeNetT(**_l0_kwargs(attn="eca", **kwargs))
+
+
+@register_model
+def eca_nfnet_l1(**kwargs):
+    kwargs.setdefault("depths", (2, 4, 12, 6))
+    kwargs.setdefault("num_features", 3072)
+    return NormFreeNetT(**_l0_kwargs(attn="eca", **kwargs))
+
+
+@register_model
+def nf_regnet_b1(**kwargs):
+    return NormFreeNetT(
+        depths=(2, 4, 7, 7), channels=(48, 104, 208, 440),
+        stem_type="3x3", stem_chs=48, width_factor=0.75,
+        num_features=1280, bottle_ratio=2.25, group_size=8,
+        extra_conv=False, reg=True, act="silu", **kwargs)

@@ -72,6 +72,11 @@ ZOO_URLS: Dict[str, str] = {
     # dm-NFNet-F (DeepMind-compatible; reference cfg models/nfnet.py:46-67)
     "dm_nfnet_f0": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-dnf-weights/dm_nfnet_f0-604f9c3a.pth",
     "dm_nfnet_f1": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-dnf-weights/dm_nfnet_f1-fc540f82.pth",
+    # timm NFNet-L / ECA-NFNet / NF-RegNet (reference cfg models/nfnet.py:103-117)
+    "nfnet_l0": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/nfnet_l0_ra2-45c6688d.pth",
+    "eca_nfnet_l0": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/ecanfnet_l0_ra2-e3e9ac50.pth",
+    "eca_nfnet_l1": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/ecanfnet_l1_ra2-7dce93cd.pth",
+    "nf_regnet_b1": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/nf_regnet_b1_256_ra2-ad85cfef.pth",
     # SK-ResNet (reference cfg models/sknet.py:29-39)
     "skresnet18": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/skresnet18_ra-4eec2804.pth",
     "skresnet34": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/skresnet34_ra-bdc0ccde.pth",
@@ -335,7 +340,8 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import pnasnet_state_dict_to_flax
 
         return pnasnet_state_dict_to_flax(state)
-    if backbone.startswith("dm_nfnet"):
+    if backbone.startswith(("dm_nfnet", "nfnet_l", "eca_nfnet",
+                            "nf_regnet")):
         from acr_wsss_tpu.models.convert import dm_nfnet_state_dict_to_flax
 
         return dm_nfnet_state_dict_to_flax(state)

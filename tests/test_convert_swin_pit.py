@@ -1311,6 +1311,41 @@ def test_legacy_senet_converted_forward_parity(variant, kind):
 
 
 @requires_reference
+@pytest.mark.parametrize("variant", ["nfnet_l0", "eca_nfnet_l0",
+                                     "nf_regnet_b1"])
+def test_timm_nfnet_converted_forward_parity(variant):
+    """timm nfnet_l0 / eca_nfnet_l0 / nf_regnet_b1 (nfnet.py:103-117,
+    238-251: silu gamma-in-conv, group 64 or reg-mode EffNet blocks,
+    SE rd 0.25 / adaptive-kernel ECA / SE-in-middle) ->
+    models/nfnet.NormFreeNetT: logits parity at 65px."""
+    import torch
+
+    nf = _load_vendored("nfnet")
+    torch.manual_seed(151)
+    ref = getattr(nf, variant)(pretrained=False)
+    ref.eval()
+
+    from acr_wsss_tpu.models.convert import dm_nfnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = dm_nfnet_state_dict_to_flax(ref.state_dict())
+    model = create_model(variant, num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 65, 65, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    rng = np.random.default_rng(151)
+    img = rng.normal(size=(2, 3, 65, 65)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
 def test_dla_converted_forward_parity():
     """timm dla34 (dla.py:206-369: recursive aggregation trees, supplied
     shortcuts, root concat order [tree2, tree1, *children]) ->
