@@ -331,3 +331,94 @@ def densenet121(**kwargs):
 def densenet169(**kwargs):
     kwargs.setdefault("block_config", (6, 12, 32, 32))
     return DenseNet(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Variant/alias breadth (reference models/resnet.py:1440-2100 registry):
+# same layouts as the families above, different checkpoints or size cfgs.
+# ---------------------------------------------------------------------------
+
+
+@register_model
+def resnet26(**kwargs):
+    kwargs.setdefault("layers", (2, 2, 2, 2))
+    return ResNet(**kwargs)
+
+
+@register_model
+def wide_resnet101_2(**kwargs):
+    kwargs.setdefault("layers", (3, 4, 23, 3))
+    kwargs.setdefault("base_width", 128)
+    return ResNet(**kwargs)
+
+
+def _register_resnet_alias(name, layers, bottleneck=True, cardinality=1,
+                           base_width=64):
+    def builder(**kwargs):
+        kwargs.setdefault("layers", layers)
+        kwargs.setdefault("bottleneck", bottleneck)
+        kwargs.setdefault("cardinality", cardinality)
+        kwargs.setdefault("base_width", base_width)
+        return ResNet(**kwargs)
+
+    builder.__name__ = name
+    register_model(builder)
+
+
+# torchvision-weight aliases + semi(-weakly)-supervised / Instagram
+# releases (reference models/resnet.py cfg table) — all plain layouts
+for _n, _l, _b in [("tv_resnet34", (3, 4, 6, 3), False),
+                   ("tv_resnet50", (3, 4, 6, 3), True),
+                   ("tv_resnet101", (3, 4, 23, 3), True),
+                   ("tv_resnet152", (3, 8, 36, 3), True),
+                   ("ssl_resnet18", (2, 2, 2, 2), False),
+                   ("swsl_resnet18", (2, 2, 2, 2), False),
+                   ("ssl_resnet50", (3, 4, 6, 3), True),
+                   ("swsl_resnet50", (3, 4, 6, 3), True)]:
+    _register_resnet_alias(_n, _l, bottleneck=_b)
+
+for _n, _l, _bw in [("tv_resnext50_32x4d", (3, 4, 6, 3), 4),
+                    ("ssl_resnext50_32x4d", (3, 4, 6, 3), 4),
+                    ("swsl_resnext50_32x4d", (3, 4, 6, 3), 4),
+                    ("ssl_resnext101_32x4d", (3, 4, 23, 3), 4),
+                    ("swsl_resnext101_32x4d", (3, 4, 23, 3), 4),
+                    ("ssl_resnext101_32x8d", (3, 4, 23, 3), 8),
+                    ("swsl_resnext101_32x8d", (3, 4, 23, 3), 8),
+                    ("ssl_resnext101_32x16d", (3, 4, 23, 3), 16),
+                    ("swsl_resnext101_32x16d", (3, 4, 23, 3), 16),
+                    ("ig_resnext101_32x8d", (3, 4, 23, 3), 8),
+                    ("ig_resnext101_32x16d", (3, 4, 23, 3), 16),
+                    ("ig_resnext101_32x32d", (3, 4, 23, 3), 32),
+                    ("ig_resnext101_32x48d", (3, 4, 23, 3), 48)]:
+    _register_resnet_alias(_n, _l, cardinality=32, base_width=_bw)
+
+
+@register_model
+def densenet161(**kwargs):
+    kwargs.setdefault("growth_rate", 48)
+    kwargs.setdefault("block_config", (6, 12, 36, 24))
+    return DenseNet(**kwargs)
+
+
+@register_model
+def densenet201(**kwargs):
+    kwargs.setdefault("block_config", (6, 12, 48, 32))
+    return DenseNet(**kwargs)
+
+
+@register_model
+def tv_densenet121(**kwargs):
+    kwargs.setdefault("block_config", (6, 12, 24, 16))
+    return DenseNet(**kwargs)
+
+
+@register_model
+def vgg11(**kwargs):
+    return VGG(cfg=(64, "M", 128, "M", 256, 256, "M",
+                    512, 512, "M", 512, 512, "M"), **kwargs)
+
+
+@register_model
+def vgg13(**kwargs):
+    return VGG(cfg=(64, 64, "M", 128, 128, "M", 256, 256, "M",
+                    512, 512, "M", 512, 512, "M"), **kwargs)

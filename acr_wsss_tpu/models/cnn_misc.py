@@ -151,6 +151,7 @@ class DPN(nn.Module):
     groups: int = 32
     init_chs: int = 10
     b: bool = False
+    small: bool = True     # small=False: 7x7 stem + 4x stage widths (:166-199)
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -158,9 +159,10 @@ class DPN(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = x.astype(self.dtype)
-        x = nn.Conv(self.init_chs, (3, 3), strides=(2, 2),
-                    padding=[(1, 1)] * 2, use_bias=False, dtype=self.dtype,
-                    name="conv1_conv")(x)
+        sk = 3 if self.small else 7
+        x = nn.Conv(self.init_chs, (sk, sk), strides=(2, 2),
+                    padding=[(sk // 2, sk // 2)] * 2, use_bias=False,
+                    dtype=self.dtype, name="conv1_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-3, dtype=jnp.float32,
                          axis_name=self.bn_axis_name if train else None,
@@ -171,8 +173,9 @@ class DPN(nn.Module):
         taps: Dict[int, jnp.ndarray] = {}
         for si, (depth, inc) in enumerate(zip(self.stage_blocks,
                                               self.inc_sec)):
-            bw = 64 * (2 ** si)
-            r = (self.k_r * bw) // 64
+            bwf = 1 if self.small else 4   # dpn.py:179 bw_factor
+            bw = 64 * bwf * (2 ** si)
+            r = (self.k_r * bw) // (64 * bwf)
             for bi in range(depth):
                 btype = ("proj" if si == 0 else "down") if bi == 0 \
                     else "normal"
@@ -715,11 +718,25 @@ class SelecSLSBlock(nn.Module):
         return out, (out if self.is_first else skip)
 
 
+# (mid, out, is_first, stride) unit plans (reference selecsls.py:199-276)
+_SELECSLS42B_CFG = ((64, 64, True, 2), (64, 128, False, 1),
+                    (144, 144, True, 2), (144, 288, False, 1),
+                    (304, 304, True, 2), (304, 480, False, 1))
+_SELECSLS60_CFG = ((64, 64, True, 2), (64, 128, False, 1),
+                   (128, 128, True, 2), (128, 128, False, 1),
+                   (128, 288, False, 1), (288, 288, True, 2),
+                   (288, 288, False, 1), (288, 288, False, 1),
+                   (288, 416, False, 1))
+
+
 class SelecSLS(nn.Module):
-    """SelecSLS42b classifier (reference ``models/selecsls.py:140-229``):
-    conv-bn stem, six skip-carrying units, a 4-conv head, Dense fc."""
+    """SelecSLS classifier (reference ``models/selecsls.py:140-276``):
+    conv-bn stem, skip-carrying units per ``cfg``, a 4-conv ``head``."""
 
     num_classes: int = 1000
+    cfg: Sequence = _SELECSLS42B_CFG
+    head: Sequence = ((960, 3, 2), (1024, 3, 1),
+                      (1280, 3, 2), (1024, 1, 1))   # 42b head (:221-229)
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -729,22 +746,16 @@ class SelecSLS(nn.Module):
         x = x.astype(self.dtype)
         x = ConvBN(32, 3, 2, name="stem", **kw)(x, train)
         taps: Dict[int, jnp.ndarray] = {}
-        # (mid, out, is_first, stride) — selecsls.py:199-208 cfg 42b
-        cfg = ((64, 64, True, 2), (64, 128, False, 1),
-               (144, 144, True, 2), (144, 288, False, 1),
-               (304, 304, True, 2), (304, 480, False, 1))
         skip = x
-        for bi, (mid, out, first, s) in enumerate(cfg):
+        for bi, (mid, out, first, s) in enumerate(self.cfg):
             x, skip = SelecSLSBlock(mid, out, s, is_first=first,
                                     name=f"b{bi}", **kw)(x, skip, train)
             if not first:
                 taps[len(taps)] = x
-        # 42b head (selecsls.py:221-229)
-        x = ConvBN(960, 3, 2, name="h0", **kw)(x, train)
-        x = ConvBN(1024, 3, 1, name="h1", **kw)(x, train)
-        taps[len(taps)] = x
-        x = ConvBN(1280, 3, 2, name="h2", **kw)(x, train)
-        x = ConvBN(1024, 1, 1, name="h3", **kw)(x, train)
+        for hi, (chs, k, s) in enumerate(self.head):
+            x = ConvBN(chs, k, s, name=f"h{hi}", **kw)(x, train)
+            if hi == 1:
+                taps[len(taps)] = x
         return {"logits": _head(x, self.num_classes), "features": x,
                 "taps": taps}
 
@@ -1062,3 +1073,104 @@ def gluon_resnet50_v1d(**kwargs):
 @register_model
 def hardcorenas_a(**kwargs):
     return HardCoReNAS(**kwargs)
+
+
+@register_model
+def selecsls60(**kwargs):
+    kwargs.setdefault("cfg", _SELECSLS60_CFG)
+    kwargs.setdefault("head", ((756, 3, 2), (1024, 3, 1),
+                               (1024, 3, 2), (1280, 1, 1)))
+    return SelecSLS(**kwargs)
+
+
+@register_model
+def selecsls60b(**kwargs):
+    kwargs.setdefault("cfg", _SELECSLS60_CFG)
+    kwargs.setdefault("head", ((756, 3, 2), (1024, 3, 1),
+                               (1280, 3, 2), (1024, 1, 1)))
+    return SelecSLS(**kwargs)
+
+
+@register_model
+def rexnet_130(**kwargs):
+    return ReXNet(width_mult=1.3, **kwargs)
+
+
+@register_model
+def rexnet_150(**kwargs):
+    return ReXNet(width_mult=1.5, **kwargs)
+
+
+@register_model
+def rexnet_200(**kwargs):
+    return ReXNet(width_mult=2.0, **kwargs)
+
+
+@register_model
+def tresnet_l(**kwargs):
+    # tresnet.py:256-259: width_factor 1.2, layers (4, 5, 18, 3)
+    kwargs.setdefault("layers", (4, 5, 18, 3))
+    kwargs.setdefault("width", int(64 * 1.2))
+    return TResNet(**kwargs)
+
+
+@register_model
+def tresnet_xl(**kwargs):
+    # tresnet.py:262-265: width_factor 1.3, layers (4, 5, 24, 3)
+    kwargs.setdefault("layers", (4, 5, 24, 3))
+    kwargs.setdefault("width", int(64 * 1.3))
+    return TResNet(**kwargs)
+
+
+@register_model
+def dpn92(**kwargs):
+    # dpn.py:288-292: big stem (64), k_r 96, groups 32
+    kwargs.setdefault("stage_blocks", (3, 4, 20, 3))
+    kwargs.setdefault("inc_sec", (16, 32, 24, 128))
+    kwargs.setdefault("k_r", 96)
+    kwargs.setdefault("init_chs", 64)
+    kwargs.setdefault("small", False)
+    return DPN(**kwargs)
+
+
+@register_model
+def dpn98(**kwargs):
+    # dpn.py:296-299
+    kwargs.setdefault("stage_blocks", (3, 6, 20, 3))
+    kwargs.setdefault("inc_sec", (16, 32, 32, 128))
+    kwargs.setdefault("k_r", 160)
+    kwargs.setdefault("groups", 40)
+    kwargs.setdefault("init_chs", 96)
+    kwargs.setdefault("small", False)
+    return DPN(**kwargs)
+
+
+@register_model
+def dpn131(**kwargs):
+    # dpn.py:304-307
+    kwargs.setdefault("stage_blocks", (4, 8, 28, 3))
+    kwargs.setdefault("inc_sec", (16, 32, 32, 128))
+    kwargs.setdefault("k_r", 160)
+    kwargs.setdefault("groups", 40)
+    kwargs.setdefault("init_chs", 128)
+    kwargs.setdefault("small", False)
+    return DPN(**kwargs)
+
+
+@register_model
+def dpn107(**kwargs):
+    # dpn.py:310-315
+    kwargs.setdefault("stage_blocks", (4, 8, 20, 3))
+    kwargs.setdefault("inc_sec", (20, 64, 64, 128))
+    kwargs.setdefault("k_r", 200)
+    kwargs.setdefault("groups", 50)
+    kwargs.setdefault("init_chs", 128)
+    kwargs.setdefault("small", False)
+    return DPN(**kwargs)
+
+
+@register_model
+def tresnet_m_miil_in21k(**kwargs):
+    # same architecture as tresnet_m; ImageNet-21k-P checkpoint
+    kwargs.setdefault("num_classes", 11221)
+    return TResNet(**kwargs)

@@ -158,8 +158,84 @@ ZOO_URLS: Dict[str, str] = {
     "ghostnet_100": "https://github.com/huawei-noah/CV-backbones/releases/download/ghostnet_pth/ghostnet_1x.pth",
     "densenet121": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/densenet121_ra-50efcf5c.pth",
     "densenet169": "https://download.pytorch.org/models/densenet169-b2777c0a.pth",
+    "densenet201": "https://download.pytorch.org/models/densenet201-c1103571.pth",
+    "densenet161": "https://download.pytorch.org/models/densenet161-8d451a50.pth",
+    "tv_densenet121": "https://download.pytorch.org/models/densenet121-a639ec97.pth",
+    "vgg11": "https://download.pytorch.org/models/vgg11-bbd30ac9.pth",
+    "vgg13": "https://download.pytorch.org/models/vgg13-c768596a.pth",
     "vgg16": "https://download.pytorch.org/models/vgg16-397923af.pth",
     "vgg19": "https://download.pytorch.org/models/vgg19-dcbb9e9d.pth",
+    # ResNet alias breadth (reference cfg models/resnet.py:46-134):
+    # torchvision originals, Facebook SSL/SWSL releases, Instagram ResNeXts.
+    "resnet26": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/resnet26-9aa10e23.pth",
+    "wide_resnet101_2": "https://download.pytorch.org/models/wide_resnet101_2-32ee1156.pth",
+    "tv_resnet34": "https://download.pytorch.org/models/resnet34-333f7ec4.pth",
+    "tv_resnet50": "https://download.pytorch.org/models/resnet50-19c8e357.pth",
+    "tv_resnet101": "https://download.pytorch.org/models/resnet101-5d3b4d8f.pth",
+    "tv_resnet152": "https://download.pytorch.org/models/resnet152-b121ed2d.pth",
+    "tv_resnext50_32x4d": "https://download.pytorch.org/models/resnext50_32x4d-7cdf4587.pth",
+    "ssl_resnet18": "https://dl.fbaipublicfiles.com/semiweaksupervision/model_files/semi_supervised_resnet18-d92f0530.pth",
+    "ssl_resnet50": "https://dl.fbaipublicfiles.com/semiweaksupervision/model_files/semi_supervised_resnet50-08389792.pth",
+    "ssl_resnext50_32x4d": "https://dl.fbaipublicfiles.com/semiweaksupervision/model_files/semi_supervised_resnext50_32x4-ddb3e555.pth",
+    "ssl_resnext101_32x4d": "https://dl.fbaipublicfiles.com/semiweaksupervision/model_files/semi_supervised_resnext101_32x4-dc43570a.pth",
+    "ssl_resnext101_32x8d": "https://dl.fbaipublicfiles.com/semiweaksupervision/model_files/semi_supervised_resnext101_32x8-2cfe2f8b.pth",
+    "ssl_resnext101_32x16d": "https://dl.fbaipublicfiles.com/semiweaksupervision/model_files/semi_supervised_resnext101_32x16-15fffa57.pth",
+    "swsl_resnet18": "https://dl.fbaipublicfiles.com/semiweaksupervision/model_files/semi_weakly_supervised_resnet18-118f1556.pth",
+    "swsl_resnet50": "https://dl.fbaipublicfiles.com/semiweaksupervision/model_files/semi_weakly_supervised_resnet50-16a12f1b.pth",
+    "swsl_resnext50_32x4d": "https://dl.fbaipublicfiles.com/semiweaksupervision/model_files/semi_weakly_supervised_resnext50_32x4-72679e44.pth",
+    "swsl_resnext101_32x4d": "https://dl.fbaipublicfiles.com/semiweaksupervision/model_files/semi_weakly_supervised_resnext101_32x4-3f87e46b.pth",
+    "swsl_resnext101_32x8d": "https://dl.fbaipublicfiles.com/semiweaksupervision/model_files/semi_weakly_supervised_resnext101_32x8-b4712904.pth",
+    "swsl_resnext101_32x16d": "https://dl.fbaipublicfiles.com/semiweaksupervision/model_files/semi_weakly_supervised_resnext101_32x16-f3559a9c.pth",
+    "ig_resnext101_32x8d": "https://download.pytorch.org/models/ig_resnext101_32x8-c38310e5.pth",
+    "ig_resnext101_32x16d": "https://download.pytorch.org/models/ig_resnext101_32x16-c6f796b0.pth",
+    "ig_resnext101_32x32d": "https://download.pytorch.org/models/ig_resnext101_32x32-e4b90b00.pth",
+    "ig_resnext101_32x48d": "https://download.pytorch.org/models/ig_resnext101_32x48-3e41cc8a.pth",
+    # DPN big-stem variants (reference cfg models/dpn.py:40-49)
+    "dpn92": "https://github.com/rwightman/pytorch-dpn-pretrained/releases/download/v0.1/dpn92_extra-b040e4a9b.pth",
+    "dpn98": "https://github.com/rwightman/pytorch-dpn-pretrained/releases/download/v0.1/dpn98-5b90dec4d.pth",
+    "dpn131": "https://github.com/rwightman/pytorch-dpn-pretrained/releases/download/v0.1/dpn131-71dfe43e0.pth",
+    "dpn107": "https://github.com/rwightman/pytorch-dpn-pretrained/releases/download/v0.1/dpn107_extra-1ac7121e2.pth",
+    # SelecSLS 60/60b (reference cfg models/selecsls.py:44-49)
+    "selecsls60": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-selecsls/selecsls60-bbf87526.pth",
+    "selecsls60b": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-selecsls/selecsls60b-94e619b5.pth",
+    # ReXNet width variants (reference cfg models/rexnet.py:33-41)
+    "rexnet_130": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-rexnet/rexnetv1_130-590d768e.pth",
+    "rexnet_150": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-rexnet/rexnetv1_150-bd1a6aa8.pth",
+    "rexnet_200": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-rexnet/rexnetv1_200-8c0b7f2d.pth",
+    # Standalone timm ViT/DeiT classifiers (reference cfg tables
+    # models/vision_transformer.py:49-132, vision_transformer_hybrid.py:36-47;
+    # vit_huge_patch14_224_in21k ships via hf_hub only — no URL upstream
+    # either). ACR short names above ("vitb", "deit", ...) stay the ACR-
+    # layout converts; these vit_* names convert to ViTClassifier layout.
+    "vit_small_patch16_224": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/vit_small_p16_224-15ec54c9.pth",
+    "vit_base_patch16_224": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_base_p16_224-80ecf9dd.pth",
+    "vit_base_patch16_384": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_base_p16_384-83fb41ba.pth",
+    "vit_base_patch32_384": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_base_p32_384-830016f5.pth",
+    "vit_large_patch16_224": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_large_p16_224-4ee7a4dc.pth",
+    "vit_large_patch16_384": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_large_p16_384-b3be5167.pth",
+    "vit_large_patch32_384": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_large_p32_384-9b920ba8.pth",
+    "vit_base_patch16_224_in21k": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_base_patch16_224_in21k-e5005f0a.pth",
+    "vit_base_patch32_224_in21k": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_base_patch32_224_in21k-8db57226.pth",
+    "vit_large_patch16_224_in21k": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_large_patch16_224_in21k-606da67d.pth",
+    "vit_large_patch32_224_in21k": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_large_patch32_224_in21k-9046d2e7.pth",
+    "vit_deit_tiny_patch16_224": "https://dl.fbaipublicfiles.com/deit/deit_tiny_patch16_224-a1311bcf.pth",
+    "vit_deit_small_patch16_224": "https://dl.fbaipublicfiles.com/deit/deit_small_patch16_224-cd65a155.pth",
+    "vit_deit_base_patch16_224": "https://dl.fbaipublicfiles.com/deit/deit_base_patch16_224-b5f2ef4d.pth",
+    "vit_deit_base_patch16_384": "https://dl.fbaipublicfiles.com/deit/deit_base_patch16_384-8de9b5d1.pth",
+    "vit_deit_tiny_distilled_patch16_224": "https://dl.fbaipublicfiles.com/deit/deit_tiny_distilled_patch16_224-b40b3cf7.pth",
+    "vit_deit_small_distilled_patch16_224": "https://dl.fbaipublicfiles.com/deit/deit_small_distilled_patch16_224-649709d9.pth",
+    "vit_deit_base_distilled_patch16_224": "https://dl.fbaipublicfiles.com/deit/deit_base_distilled_patch16_224-df68dfff.pth",
+    "vit_deit_base_distilled_patch16_384": "https://dl.fbaipublicfiles.com/deit/deit_base_distilled_patch16_384-d0272ac0.pth",
+    "vit_base_patch16_224_miil_in21k": "https://miil-public-eu.oss-eu-central-1.aliyuncs.com/model-zoo/ImageNet_21K_P/models/timm/vit_base_patch16_224_in21k_miil.pth",
+    "vit_base_patch16_224_miil": "https://miil-public-eu.oss-eu-central-1.aliyuncs.com/model-zoo/ImageNet_21K_P/models/timm/vit_base_patch16_224_1k_miil_84_4.pth",
+    "vit_base_r50_s16_224_in21k": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_base_resnet50_224_in21k-6f7c7740.pth",
+    "vit_base_resnet50_224_in21k": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_base_resnet50_224_in21k-6f7c7740.pth",
+    "vit_base_r50_s16_384": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_base_resnet50_384-9fd3c705.pth",
+    "vit_base_resnet50_384": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_base_resnet50_384-9fd3c705.pth",
+    # TResNet variants (reference cfg models/tresnet.py:30-47)
+    "tresnet_l": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-tresnet/tresnet_l_81_5-235b486c.pth",
+    "tresnet_xl": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-tresnet/tresnet_xl_82_0-a2d51b00.pth",
+    "tresnet_m_miil_in21k": "https://miil-public-eu.oss-eu-central-1.aliyuncs.com/model-zoo/ImageNet_21K_P/models/timm/tresnet_m_miil_in21k.pth",
 }
 
 
@@ -250,7 +326,11 @@ def convert_state_dict(backbone: str, state: Dict):
         )
 
         return resnetv2_bit_state_dict_to_flax(state)
-    if backbone.startswith(("resnet", "resnext", "wide_resnet")):
+    if backbone.startswith(("resnet", "resnext", "wide_resnet", "tv_resnet",
+                            "tv_resnext", "ssl_resne", "swsl_resne",
+                            "ig_resnext")):
+        # tv_/ssl_/swsl_/ig_ prefixed aliases all use the plain
+        # torchvision-layout checkpoints (reference resnet.py:76-134).
         from acr_wsss_tpu.models.convert import resnet_state_dict_to_flax
 
         return resnet_state_dict_to_flax(state)
@@ -320,7 +400,7 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import vgg_state_dict_to_flax
 
         return vgg_state_dict_to_flax(state)
-    if backbone.startswith("densenet"):
+    if backbone.startswith(("densenet", "tv_densenet")):
         from acr_wsss_tpu.models.convert import densenet_state_dict_to_flax
 
         return densenet_state_dict_to_flax(state)
@@ -395,6 +475,13 @@ def convert_state_dict(backbone: str, state: Dict):
         )
 
         return mobilenetv3_state_dict_to_flax(state)
+
+    if backbone.startswith("vit_"):
+        # standalone timm ViT/DeiT classifier checkpoints (incl. hybrids
+        # and distilled heads) -> ViTClassifier layout
+        from acr_wsss_tpu.models.convert import vit_timm_state_dict_to_flax
+
+        return vit_timm_state_dict_to_flax(state)
 
     from acr_wsss_tpu.models.acr import resolve_backbone
     from acr_wsss_tpu.models.convert import torch_state_dict_to_flax

@@ -284,6 +284,15 @@ def test_registry_has_no_stubs_left():
     ("efficientnet_b3", {}),
     ("efficientnet_b4", {}),
     ("hrnet_w48", {}),
+    ("resnet26", {}),
+    ("tv_resnet50", {}),
+    ("ssl_resnext50_32x4d", {}),
+    ("dpn92", {}),
+    ("selecsls60b", {}),
+    ("rexnet_130", {}),
+    ("tresnet_l", {}),
+    ("tv_densenet121", {}),
+    ("vgg11", {}),
 ])
 def test_registry_variant_breadth_cnn(name, kwargs, rng):
     """Common reference-registry variants added as configs of the existing
@@ -387,3 +396,17 @@ def test_tap_resolution_contract(name, rng):
     assert all(hs[i] >= hs[i + 1] for i in range(3)), f"{name}: {hs}"
     assert all(size % h == 0 for h in hs), f"{name}: {hs}"
     assert hs[-1] == min(hs)
+
+
+@pytest.mark.parametrize("name", ["vit_base_patch32_224",
+                                  "vit_deit_tiny_patch16_224",
+                                  "vit_base_r50_s16_384"])
+def test_vit_classifier_registry(name, rng):
+    """Standalone timm ViT classifier names build and forward (reference
+    models/vision_transformer.py registry; vit_classifier.py)."""
+    model = create_model(name, num_classes=5, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    out = model.apply(variables, x)
+    assert out["logits"].shape == (1, 5)
+    assert np.isfinite(np.asarray(out["logits"])).all()

@@ -1065,6 +1065,71 @@ def test_dpn68b_converted_forward_parity():
 
 
 @requires_reference
+def test_dpn92_converted_forward_parity():
+    """timm dpn92 (dpn.py:288-292: small=False — 7x7/64 stem, bw_factor 4
+    stage widths, k_r 96) -> models/cnn_misc.DPN(small=False): eval-mode
+    logits parity. Exercises the big-stem width arithmetic the dpn68
+    tests never touch."""
+    import torch
+
+    dp = _load_vendored("dpn")
+    torch.manual_seed(101)
+    ref = dp.dpn92(pretrained=False)
+    rng = np.random.default_rng(101)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import dpn_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = dpn_state_dict_to_flax(ref.state_dict())
+    model = create_model("dpn92", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_selecsls60b_converted_forward_parity():
+    """timm selecsls60b (selecsls.py:240-270: 9-unit cfg, 756-wide head)
+    -> models/cnn_misc.SelecSLS(cfg=60): eval-mode logits parity.
+    Exercises the parameterized cfg/head path added for the 60 family."""
+    import torch
+
+    ss = _load_vendored("selecsls")
+    torch.manual_seed(103)
+    ref = ss.selecsls60b(pretrained=False)
+    rng = np.random.default_rng(103)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import selecsls_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = selecsls_state_dict_to_flax(ref.state_dict())
+    model = create_model("selecsls60b", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-4)
+
+
+@requires_reference
 def test_inception_resnet_v2_converted_forward_parity():
     """timm/Cadene inception_resnet_v2 (inception_resnet_v2.py:229-330:
     conv2d stem, Mixed_5b/6a/7a, 10/20/9 residual repeats + no-relu
@@ -1564,5 +1629,67 @@ def test_inception_v4_converted_forward_parity():
         logits_t = ref(torch.from_numpy(img)).numpy()
     out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
                       train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_vit_deit_tiny_distilled_converted_forward_parity():
+    """timm vit_deit_tiny_distilled_patch16_224 (vision_transformer.py:
+    822-830: dist token, head + head_dist averaged at eval) ->
+    models/vit_classifier.ViTClassifier(distilled=True): eval-mode logits
+    parity at the native 224 grid."""
+    import torch
+
+    vt = _load_vendored("vision_transformer")
+    torch.manual_seed(107)
+    ref = vt.vit_deit_tiny_distilled_patch16_224(pretrained=False)
+    ref.eval()
+
+    from acr_wsss_tpu.models.convert import vit_timm_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = vit_timm_state_dict_to_flax(ref.state_dict())
+    model = create_model("vit_deit_tiny_distilled_patch16_224",
+                         num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 224, 224, 3))
+    expected = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
+    assert_trees_match(expected, variables)
+
+    rng = np.random.default_rng(107)
+    img = rng.normal(size=(2, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-4)
+
+
+@requires_reference
+def test_vit_in21k_pre_logits_converted_forward_parity():
+    """timm vit_base_patch32_224_in21k (vision_transformer.py:738-746:
+    tanh pre_logits representation layer, 21843 classes) ->
+    ViTClassifier(representation_size=768): eval-mode logits parity."""
+    import torch
+
+    vt = _load_vendored("vision_transformer")
+    torch.manual_seed(109)
+    ref = vt.vit_base_patch32_224_in21k(pretrained=False, num_classes=21843)
+    ref.eval()
+
+    from acr_wsss_tpu.models.convert import vit_timm_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = vit_timm_state_dict_to_flax(ref.state_dict())
+    model = create_model("vit_base_patch32_224_in21k", dtype=jnp.float32)
+    x = jnp.zeros((1, 224, 224, 3))
+    expected = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
+    assert_trees_match(expected, variables)
+
+    rng = np.random.default_rng(109)
+    img = rng.normal(size=(1, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-3, rtol=1e-3)
