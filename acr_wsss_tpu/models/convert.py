@@ -81,6 +81,44 @@ def torch_state_dict_to_flax(
     return params
 
 
+def vit_timm_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """Standalone timm ViT/DeiT checkpoint (reference
+    ``models/vision_transformer.py`` / ``vision_transformer_hybrid.py``
+    layout: bare ``cls_token``/``blocks.N``/... keys plus ``head``,
+    optional ``head_dist`` and ``pre_logits.fc``) -> flax variables for
+    ``models/vit_classifier.ViTClassifier``.
+
+    Trunk keys reuse the ACR mapping (:84) by re-prefixing with the ACR
+    checkpoint's ``pretrained.model.`` namespace."""
+    params: Dict = {}
+
+    def np_of(v):
+        return (v.detach().cpu().numpy()
+                if hasattr(v, "detach") else np.asarray(v))
+
+    for name, value in state_dict.items():
+        v = np_of(value).astype(np.float32)
+        m = re.match(r"(head|head_dist)\.(weight|bias)$", name)
+        if m:
+            leaf = "kernel" if m.group(2) == "weight" else "bias"
+            _set(params, ("params", m.group(1), leaf),
+                 _linear(v) if leaf == "kernel" else v)
+            continue
+        m = re.match(r"pre_logits\.fc\.(weight|bias)$", name)
+        if m:
+            leaf = "kernel" if m.group(1) == "weight" else "bias"
+            _set(params, ("params", "pre_logits", leaf),
+                 _linear(v) if leaf == "kernel" else v)
+            continue
+        mapped = _map_name("pretrained.model." + name, v)
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        _set(params, ("params",) + leaf_path, transform(v))
+    return params
+
+
 def _map_name(name: str, v: np.ndarray):
     """Return ((flax path tuple), transform) or None to skip."""
     # classification head
