@@ -293,15 +293,19 @@ def pit_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
     flax (1, gh, gw, C). The pool attached to torch stage s runs AFTER its
     blocks; our ``pool{s}`` runs BEFORE stage s, so torch
     ``transformers.s.pool`` maps to flax ``pool{s+1}``. ``head_dist`` is
-    dropped (distilled variants only); ``head`` converts like Swin's.
+    converts to the distilled head (reference pit.py:194, distilled
+    variants); ``head`` converts like Swin's.
     """
     params: Dict = {}
     for name, value in state_dict.items():
-        if name.startswith("head_dist."):
-            continue
         v = (value.detach().cpu().numpy()
              if hasattr(value, "detach") else np.asarray(value))
         v = v.astype(np.float32)
+        if name.startswith("head_dist."):
+            leaf = "kernel" if name.endswith("weight") else "bias"
+            _set(params, ("params", "head_dist", leaf),
+                 _linear(v) if leaf == "kernel" else v)
+            continue
         mapped = _map_pit_name(name)
         if mapped is None:
             continue

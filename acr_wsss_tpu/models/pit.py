@@ -50,6 +50,10 @@ class PoolingVisionTransformer(nn.Module):
     depths: Sequence[int] = (3, 6, 4)
     heads: Sequence[int] = (4, 8, 16)
     mlp_ratio: float = 4.0
+    # DeiT-style distillation token (reference pit.py:166,229-238): a 2nd
+    # cls token carried through every stage; head/head_dist averaged at
+    # inference.
+    distilled: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -64,9 +68,10 @@ class PoolingVisionTransformer(nn.Module):
         pos = self.param("pos_embed", trunc_normal_init(0.02),
                          (1, gh, gw, dim0), jnp.float32)
         x = (x + pos.astype(x.dtype)).reshape(B, gh * gw, dim0)
+        num_tokens = 2 if self.distilled else 1
         cls = self.param("cls_token", trunc_normal_init(0.02),
-                         (1, 1, dim0), jnp.float32)
-        cls = jnp.broadcast_to(cls, (B, 1, dim0)).astype(x.dtype)
+                         (1, num_tokens, dim0), jnp.float32)
+        cls = jnp.broadcast_to(cls, (B, num_tokens, dim0)).astype(x.dtype)
 
         grid = (gh, gw)
         probs_all: List[jnp.ndarray] = []
@@ -83,17 +88,25 @@ class PoolingVisionTransformer(nn.Module):
                     name=f"stage{si}_block{bi}")(tokens, export=export)
                 if probs is not None:
                     probs_all.append(probs)
-            cls, x = tokens[:, :1], tokens[:, 1:]
+            cls, x = tokens[:, :num_tokens], tokens[:, num_tokens:]
 
         cls = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(
             cls.astype(jnp.float32))
         logits = nn.Dense(self.num_classes, dtype=jnp.float32,
                           name="head")(cls[:, 0])
-        return {
-            "logits": logits,
+        out: Dict[str, Any] = {
             "probs_per_block": probs_all,  # per block (B, N_stage, N_stage)
             "grid": grid,
         }
+        if self.distilled:
+            dist_logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                                   name="head_dist")(cls[:, 1])
+            out["head_logits"] = logits
+            out["dist_logits"] = dist_logits
+            # inference semantics (reference pit.py:233-238)
+            logits = (logits + dist_logits) / 2
+        out["logits"] = logits
+        return out
 
 
 @register_model
@@ -110,3 +123,36 @@ def pit_s(**kwargs):
                                     base_dims=(48, 48, 48),
                                     depths=(2, 6, 4), heads=(3, 6, 12),
                                     **kwargs)
+
+
+# timm registry names (reference pit.py:276-391): the _224 classifier
+# variants (num_classes 1000) + the distilled releases.
+_PIT_CFGS = {
+    "pit_b_224": dict(patch_size=14, stride=7, base_dims=(64, 64, 64),
+                      depths=(3, 6, 4), heads=(4, 8, 16)),
+    "pit_s_224": dict(patch_size=16, stride=8, base_dims=(48, 48, 48),
+                      depths=(2, 6, 4), heads=(3, 6, 12)),
+    "pit_xs_224": dict(patch_size=16, stride=8, base_dims=(48, 48, 48),
+                       depths=(2, 6, 4), heads=(2, 4, 8)),
+    "pit_ti_224": dict(patch_size=16, stride=8, base_dims=(32, 32, 32),
+                       depths=(2, 6, 4), heads=(2, 4, 8)),
+}
+
+
+def _register_pit(name, distilled=False, **cfg):
+    def builder(**kwargs):
+        kwargs.setdefault("num_classes", 1000)
+        if distilled:
+            kwargs.setdefault("distilled", True)
+        for k, v in cfg.items():
+            kwargs.setdefault(k, v)
+        return PoolingVisionTransformer(**kwargs)
+
+    builder.__name__ = name
+    register_model(builder)
+
+
+for _n, _cfg in _PIT_CFGS.items():
+    _register_pit(_n, **_cfg)
+    _base = _n[:-4]  # strip '_224'
+    _register_pit(f"{_base}_distilled_224", distilled=True, **_cfg)

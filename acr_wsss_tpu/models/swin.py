@@ -261,3 +261,44 @@ def swin_large_384(**kwargs):
     kwargs.setdefault("window_size", 12)
     return SwinTransformer(embed_dim=192, depths=(2, 2, 18, 2),
                            num_heads=(6, 12, 24, 48), **kwargs)
+
+
+# timm registry names (reference swin_transformer.py:45-90,564-651):
+# classifier variants at 1000 classes, _in22k releases at 21841.
+_SWIN_CFGS = {
+    "swin_tiny_patch4_window7_224": dict(
+        embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+        window_size=7),
+    "swin_small_patch4_window7_224": dict(
+        embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24),
+        window_size=7),
+    "swin_base_patch4_window7_224": dict(
+        embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
+        window_size=7),
+    "swin_base_patch4_window12_384": dict(
+        embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
+        window_size=12),
+    "swin_large_patch4_window7_224": dict(
+        embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48),
+        window_size=7),
+    "swin_large_patch4_window12_384": dict(
+        embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48),
+        window_size=12),
+}
+
+
+def _register_swin(name, num_classes=1000, **cfg):
+    def builder(**kwargs):
+        kwargs.setdefault("num_classes", num_classes)
+        for k, v in cfg.items():
+            kwargs.setdefault(k, v)
+        return SwinTransformer(**kwargs)
+
+    builder.__name__ = name
+    register_model(builder)
+
+
+for _n, _cfg in _SWIN_CFGS.items():
+    _register_swin(_n, **_cfg)
+    if "tiny" not in _n and "small" not in _n:
+        _register_swin(f"{_n}_in22k", num_classes=21841, **_cfg)

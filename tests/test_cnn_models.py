@@ -410,3 +410,16 @@ def test_vit_classifier_registry(name, rng):
     out = model.apply(variables, x)
     assert out["logits"].shape == (1, 5)
     assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+@pytest.mark.parametrize("name", ["swin_tiny_patch4_window7_224",
+                                  "pit_ti_distilled_224"])
+def test_swin_pit_timm_names(name, rng):
+    """timm full-name Swin/PiT classifier variants build and forward."""
+    kwargs = {"window_size": 4} if name.startswith("swin") else {}
+    model = create_model(name, num_classes=5, dtype=jnp.float32, **kwargs)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    out = model.apply(variables, x)
+    assert out["logits"].shape == (1, 5)
+    assert np.isfinite(np.asarray(out["logits"])).all()

@@ -1693,3 +1693,36 @@ def test_vit_in21k_pre_logits_converted_forward_parity():
     out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_pit_distilled_converted_forward_parity():
+    """Distilled PiT (reference pit.py:166,229-238: 2-token cls carried
+    through the stage pools, head/head_dist averaged at eval) ->
+    PoolingVisionTransformer(distilled=True): eval-mode logits parity."""
+    import torch
+
+    pit = _load_vendored("pit")
+    torch.manual_seed(113)
+    ref = pit.PoolingVisionTransformer(
+        img_size=56, patch_size=14, stride=7, base_dims=[16, 16, 16],
+        depth=[1, 1, 1], heads=[2, 4, 8], mlp_ratio=4, num_classes=1000,
+        distilled=True)
+    ref.eval()
+
+    params = pit_state_dict_to_flax(ref.state_dict())
+    model = PoolingVisionTransformer(
+        num_classes=1000, patch_size=14, stride=7, base_dims=(16, 16, 16),
+        depths=(1, 1, 1), heads=(2, 4, 8), distilled=True,
+        dtype=jnp.float32)
+    x = jnp.zeros((1, 56, 56, 3))
+    expected = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
+    assert_trees_match(expected, params)
+
+    rng = np.random.default_rng(113)
+    img = rng.normal(size=(2, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(params, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-4, rtol=1e-4)
