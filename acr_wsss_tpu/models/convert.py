@@ -2927,3 +2927,55 @@ def _iter_leaves(tree):
 
 if __name__ == "__main__":
     main()
+
+
+def generic_effnet_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """Any timm efficientnet-builder checkpoint (reference
+    ``models/efficientnet.py`` layout: ``conv_stem``/``bn1``,
+    ``blocks.{s}.{b}.{conv_pw,bn1,conv_dw,bn2,se.conv_reduce,...}``,
+    ``conv_head``/``bn2``, ``classifier``) -> flax variables for
+    ``models/effnet_builder.GenericEfficientNet``.
+
+    The flax module names mirror the torch names one-to-one, so this map
+    is purely mechanical and block-type agnostic — it covers EfficientNet
+    b0-l2/lite/edge/v2s, the tf_ SAME-padding ports, MnasNet/SemNASNet,
+    MobileNetV2, FBNet-C and Single-Path NAS alike."""
+    variables: Dict = {}
+    ident = lambda x: x
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        m = re.match(r"classifier\.(weight|bias)$", name)
+        if m:
+            leaf = "kernel" if m.group(1) == "weight" else "bias"
+            _set(variables, ("params", "classifier", leaf),
+                 _linear(v) if leaf == "kernel" else v)
+            continue
+        m = re.match(r"blocks\.(\d+)\.(\d+)\.(.+)$", name)
+        if m:
+            base, rest = f"blocks_{m.group(1)}_{m.group(2)}", m.group(3)
+        else:
+            base, rest = None, name
+        mm = re.match(r"(conv_\w+|conv)\.weight$", rest)
+        if mm:
+            _set(variables, ("params",) + ((base,) if base else ())
+                 + (mm.group(1), "kernel"), _conv(v))
+            continue
+        mm = re.match(r"se\.conv_(reduce|expand)\.(weight|bias)$", rest)
+        if mm and base:
+            leaf = "kernel" if mm.group(2) == "weight" else "bias"
+            _set(variables, ("params", base, "se", f"conv_{mm.group(1)}",
+                             leaf), _conv(v) if leaf == "kernel" else v)
+            continue
+        mm = re.match(r"(bn\d)\.(weight|bias|running_mean|running_var)$",
+                      rest)
+        if mm:
+            coll, leaf = _BN_LEAVES[mm.group(2)]
+            _set(variables, (coll,) + ((base,) if base else ())
+                 + (mm.group(1), leaf), v)
+            continue
+    return variables

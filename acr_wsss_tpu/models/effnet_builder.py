@@ -1,0 +1,600 @@
+"""Generic MBConv-stack builder — the flax counterpart of the reference's
+``models/efficientnet_builder.py`` arch-string machinery.
+
+The reference defines its whole mobile zoo (EfficientNet B0-L2 + lite +
+edge + v2s, MnasNet, MobileNetV2, FBNet-C, Single-Path NAS, the tf_ SAME-
+padding ports) as *data*: per-stage block-definition strings like
+``ir_r2_k3_s2_e6_c24_se0.25`` decoded into block stacks
+(``models/efficientnet_builder.py:36-214``, ``models/efficientnet.py:
+480-860``). This module reimplements the decoder exactly and drives one
+flax model from it, so each registry name is a config line and every
+variant shares the same compiled block kernels.
+
+Flax submodule names deliberately mirror timm's checkpoint keys
+(``conv_pw``/``bn1``/``conv_dw``/``se``/``conv_pwl``...) so one mechanical
+converter (``convert.generic_effnet_state_dict_to_flax``) loads the entire
+family's pretrained weights.
+
+Block types (reference ``efficientnet_blocks.py``):
+  ds  — depthwise-separable (conv_dw/bn1, se, conv_pw/bn2, no pw act)
+  dsa — ds with pw act + noskip
+  ir  — inverted residual (conv_pw/bn1, conv_dw/bn2, se, conv_pwl/bn3)
+  er  — edge residual / FusedMBConv (conv_exp/bn1 kxk strided, se,
+        conv_pwl/bn2)
+  cn  — plain conv-bn-act
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from acr_wsss_tpu.models.registry import register_model
+
+Dtype = Any
+
+
+def make_divisible(v: float, divisor: int = 8,
+                   min_value: Optional[int] = None) -> int:
+    """reference ``models/layers/helpers.py:25``."""
+    min_value = min_value or divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+def round_channels(chs: float, multiplier: float = 1.0, divisor: int = 8,
+                   channel_min: Optional[int] = None) -> int:
+    if not multiplier:
+        return int(chs)
+    return make_divisible(chs * multiplier, divisor, channel_min)
+
+
+def _parse_ksize(ss: str) -> Tuple[int, ...]:
+    return tuple(int(k) for k in ss.split("."))
+
+
+_ACTS = {"re": "relu", "r6": "relu6", "hs": "hardswish", "sw": "silu"}
+
+
+def _decode_block_str(block_str: str) -> Tuple[Dict[str, Any], int]:
+    """reference ``efficientnet_builder.py:36-152`` (sans condconv)."""
+    ops = block_str.split("_")
+    block_type = ops[0]
+    options: Dict[str, str] = {}
+    noskip = False
+    for op in ops[1:]:
+        if op == "noskip":
+            noskip = True
+        elif op.startswith("n"):
+            if op[1:] in _ACTS:
+                options["n"] = op[1:]
+        else:
+            splits = re.split(r"(\d.*)", op)
+            if len(splits) >= 2:
+                options[splits[0]] = splits[1]
+
+    act = _ACTS.get(options.get("n", ""), None)
+    num_repeat = int(options["r"])
+    ba: Dict[str, Any] = dict(
+        block_type=block_type,
+        out_chs=int(options["c"]),
+        stride=int(options["s"]),
+        act=act,
+        se_ratio=float(options["se"]) if "se" in options else 0.0,
+        noskip=noskip,
+    )
+    if block_type in ("ds", "dsa"):
+        ba.update(dw_kernel_size=_parse_ksize(options["k"]),
+                  pw_act=block_type == "dsa",
+                  noskip=block_type == "dsa" or noskip)
+    elif block_type == "ir":
+        ba.update(dw_kernel_size=_parse_ksize(options["k"]),
+                  exp_kernel_size=_parse_ksize(options.get("a", "1")),
+                  pw_kernel_size=_parse_ksize(options.get("p", "1")),
+                  exp_ratio=float(options["e"]))
+    elif block_type == "er":
+        ba.update(exp_kernel_size=_parse_ksize(options["k"]),
+                  pw_kernel_size=_parse_ksize(options.get("p", "1")),
+                  exp_ratio=float(options["e"]),
+                  fake_in_chs=int(options.get("fc", 0)))
+    elif block_type == "cn":
+        ba.update(kernel_size=int(options["k"]))
+    else:
+        raise ValueError(f"unknown block type {block_type!r}")
+    return ba, num_repeat
+
+
+def _scale_stage_depth(stack_args, repeats, depth_multiplier=1.0):
+    """reference ``efficientnet_builder.py:155-190`` ('ceil' trunc)."""
+    num_repeat = sum(repeats)
+    num_repeat_scaled = int(math.ceil(num_repeat * depth_multiplier))
+    repeats_scaled = []
+    for r in repeats[::-1]:
+        rs = max(1, round((r / num_repeat * num_repeat_scaled)))
+        repeats_scaled.append(rs)
+        num_repeat -= r
+        num_repeat_scaled -= rs
+    repeats_scaled = repeats_scaled[::-1]
+    out = []
+    for ba, rep in zip(stack_args, repeats_scaled):
+        out.extend([dict(ba) for _ in range(rep)])
+    return out
+
+
+def decode_arch_def(arch_def: Sequence[Sequence[str]],
+                    depth_multiplier: float = 1.0,
+                    fix_first_last: bool = False):
+    """reference ``efficientnet_builder.py:193-214``."""
+    arch_args = []
+    for stack_idx, block_strings in enumerate(arch_def):
+        stack_args, repeats = [], []
+        for block_str in block_strings:
+            ba, rep = _decode_block_str(block_str)
+            stack_args.append(ba)
+            repeats.append(rep)
+        dm = (1.0 if fix_first_last
+              and stack_idx in (0, len(arch_def) - 1) else depth_multiplier)
+        arch_args.append(_scale_stage_depth(stack_args, repeats, dm))
+    return arch_args
+
+
+def _act_fn(name: str):
+    return {"relu": nn.relu, "relu6": lambda x: jnp.minimum(nn.relu(x), 6.0),
+            "silu": nn.silu,
+            "hardswish": lambda x: x * jnp.clip(x / 6.0 + 0.5, 0.0, 1.0),
+            }[name]
+
+
+def _pad(k: int, same: bool):
+    return "SAME" if same else [(k // 2, k // 2)] * 2
+
+
+def _bn(eps: float, axis_name: Optional[str], train: bool, name: str):
+    """BatchNorm submodule constructor; call inside ``nn.compact``."""
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=eps,
+        dtype=jnp.float32, axis_name=axis_name if train else None,
+        name=name)
+
+
+class _SE(nn.Module):
+    """reference ``efficientnet_blocks.py:105-121`` — 1x1 reduce/expand
+    convs with bias over the pooled map; reduction base = block INPUT
+    channels (``resolve_se_args`` default, divisor 1)."""
+
+    reduced_chs: int
+    act: str = "relu"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        y = nn.Conv(self.reduced_chs, (1, 1), dtype=jnp.float32,
+                    name="conv_reduce")(pooled)
+        y = _act_fn(self.act)(y)
+        y = nn.Conv(x.shape[-1], (1, 1), dtype=jnp.float32,
+                    name="conv_expand")(y)
+        return (x.astype(jnp.float32) * nn.sigmoid(y)).astype(x.dtype)
+
+
+class _DSBlock(nn.Module):
+    """ds/dsa (reference ``efficientnet_blocks.py:147-204``)."""
+
+    out_chs: int
+    dw_kernel_size: int = 3
+    stride: int = 1
+    se_ratio: float = 0.0
+    act: str = "relu"
+    pw_act: bool = False
+    noskip: bool = False
+    same_pad: bool = False
+    bn_eps: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_chs = x.shape[-1]
+        act = _act_fn(self.act)
+        k = self.dw_kernel_size
+        y = nn.Conv(in_chs, (k, k), strides=(self.stride,) * 2,
+                    padding=_pad(k, self.same_pad), feature_group_count=in_chs,
+                    use_bias=False, dtype=self.dtype, name="conv_dw")(x)
+        y = act(_bn(self.bn_eps, self.bn_axis_name, train, "bn1")(y))
+        if self.se_ratio > 0:
+            y = _SE(make_divisible(in_chs * self.se_ratio, 1), act=self.act,
+                    dtype=self.dtype, name="se")(y)
+        y = nn.Conv(self.out_chs, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv_pw")(y)
+        y = _bn(self.bn_eps, self.bn_axis_name, train, "bn2")(y)
+        if self.pw_act:
+            y = act(y)
+        if (self.stride == 1 and in_chs == self.out_chs
+                and not self.noskip):
+            y = y + x
+        return y.astype(self.dtype)
+
+
+class _IRBlock(nn.Module):
+    """ir (reference ``efficientnet_blocks.py:207-290``)."""
+
+    out_chs: int
+    dw_kernel_size: int = 3
+    stride: int = 1
+    exp_ratio: float = 6.0
+    se_ratio: float = 0.0
+    act: str = "relu"
+    noskip: bool = False
+    same_pad: bool = False
+    bn_eps: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_chs = x.shape[-1]
+        act = _act_fn(self.act)
+        mid = make_divisible(in_chs * self.exp_ratio)
+        y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv_pw")(x)
+        y = act(_bn(self.bn_eps, self.bn_axis_name, train, "bn1")(y))
+        k = self.dw_kernel_size
+        y = nn.Conv(mid, (k, k), strides=(self.stride,) * 2,
+                    padding=_pad(k, self.same_pad), feature_group_count=mid,
+                    use_bias=False, dtype=self.dtype, name="conv_dw")(y)
+        y = act(_bn(self.bn_eps, self.bn_axis_name, train, "bn2")(y))
+        if self.se_ratio > 0:
+            y = _SE(make_divisible(in_chs * self.se_ratio, 1), act=self.act,
+                    dtype=self.dtype, name="se")(y)
+        y = nn.Conv(self.out_chs, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv_pwl")(y)
+        y = _bn(self.bn_eps, self.bn_axis_name, train, "bn3")(y)
+        if (self.stride == 1 and in_chs == self.out_chs
+                and not self.noskip):
+            y = y + x
+        return y.astype(self.dtype)
+
+
+class _ERBlock(nn.Module):
+    """er / FusedMBConv (reference ``efficientnet_blocks.py:342-410``)."""
+
+    out_chs: int
+    exp_kernel_size: int = 3
+    stride: int = 1
+    exp_ratio: float = 4.0
+    fake_in_chs: int = 0
+    se_ratio: float = 0.0
+    act: str = "relu"
+    noskip: bool = False
+    same_pad: bool = False
+    bn_eps: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_chs = x.shape[-1]
+        act = _act_fn(self.act)
+        mid = make_divisible((self.fake_in_chs or in_chs) * self.exp_ratio)
+        k = self.exp_kernel_size
+        y = nn.Conv(mid, (k, k), strides=(self.stride,) * 2,
+                    padding=_pad(k, self.same_pad), use_bias=False,
+                    dtype=self.dtype, name="conv_exp")(x)
+        y = act(_bn(self.bn_eps, self.bn_axis_name, train, "bn1")(y))
+        if self.se_ratio > 0:
+            y = _SE(make_divisible(in_chs * self.se_ratio, 1), act=self.act,
+                    dtype=self.dtype, name="se")(y)
+        y = nn.Conv(self.out_chs, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv_pwl")(y)
+        y = _bn(self.bn_eps, self.bn_axis_name, train, "bn2")(y)
+        if (self.stride == 1 and in_chs == self.out_chs
+                and not self.noskip):
+            y = y + x
+        return y.astype(self.dtype)
+
+
+class _CNBlock(nn.Module):
+    """cn — plain conv-bn-act (reference ``efficientnet_blocks.py:124``)."""
+
+    out_chs: int
+    kernel_size: int = 3
+    stride: int = 1
+    act: str = "relu"
+    same_pad: bool = False
+    bn_eps: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel_size
+        y = nn.Conv(self.out_chs, (k, k), strides=(self.stride,) * 2,
+                    padding=_pad(k, self.same_pad), use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        y = _bn(self.bn_eps, self.bn_axis_name, train, "bn1")(y)
+        return _act_fn(self.act)(y).astype(self.dtype)
+
+
+class GenericEfficientNet(nn.Module):
+    """The reference ``models/efficientnet.py:EfficientNet`` trunk driven by
+    decoded arch strings: conv_stem/bn1 -> block stacks -> conv_head/bn2 ->
+    pooled classifier. taps = trunk outputs at strides 4/8/16/32."""
+
+    arch: Tuple[Tuple[str, ...], ...]
+    num_classes: int = 1000
+    channel_mult: float = 1.0
+    depth_mult: float = 1.0
+    stem_size: int = 32
+    fix_stem: bool = False
+    num_features: int = 0            # 0 = the class default 1280, unscaled
+    scale_features: bool = False     # True = round_channels(1280 * cm)
+    fix_first_last: bool = False
+    act: str = "silu"
+    bn_eps: float = 1e-5
+    same_pad: bool = False
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        stages = decode_arch_def([list(s) for s in self.arch],
+                                 self.depth_mult, self.fix_first_last)
+        kw = dict(same_pad=self.same_pad, bn_eps=self.bn_eps,
+                  dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+
+        stem_chs = (self.stem_size if self.fix_stem
+                    else round_channels(self.stem_size, self.channel_mult))
+        x = x.astype(self.dtype)
+        x = nn.Conv(stem_chs, (3, 3), strides=(2, 2),
+                    padding=_pad(3, self.same_pad), use_bias=False,
+                    dtype=self.dtype, name="conv_stem")(x)
+        x = _act_fn(self.act)(
+            _bn(self.bn_eps, self.bn_axis_name, train, "bn1")(x))
+
+        taps: Dict[int, jnp.ndarray] = {}
+        stride = 2
+        for si, stage in enumerate(stages):
+            for bi, ba in enumerate(stage):
+                ba = dict(ba)
+                btype = ba.pop("block_type")
+                ba["out_chs"] = round_channels(ba["out_chs"],
+                                               self.channel_mult)
+                if ba.get("fake_in_chs"):
+                    ba["fake_in_chs"] = round_channels(ba["fake_in_chs"],
+                                                       self.channel_mult)
+                ba["act"] = ba["act"] or self.act
+                s = ba["stride"] if bi == 0 else 1
+                ba["stride"] = s
+                if s > 1 and stride >= 4:
+                    taps[len(taps)] = x   # last map of the finished level
+                stride *= s
+                for key in ("exp_kernel_size", "pw_kernel_size",
+                            "dw_kernel_size"):
+                    if key in ba:
+                        ks = ba[key]
+                        if len(ks) != 1:
+                            raise NotImplementedError(
+                                "mixed kernels (MixNet) not supported here")
+                        ba[key] = ks[0]
+                # exp/pw 1x1 kernels are always 1 in the supported archs
+                # (lists only appear in MixNet) — drop keys the flax blocks
+                # don't parameterize.
+                if ba.pop("pw_kernel_size", 1) != 1:
+                    raise NotImplementedError("pw_kernel_size != 1")
+                if btype == "ir" and ba.pop("exp_kernel_size", 1) != 1:
+                    raise NotImplementedError("ir exp_kernel_size != 1")
+                cls = {"ds": _DSBlock, "dsa": _DSBlock, "ir": _IRBlock,
+                       "er": _ERBlock, "cn": _CNBlock}[btype]
+                if btype == "cn":
+                    ba.pop("se_ratio", None)
+                    ba.pop("noskip", None)
+                x = cls(**ba, **kw, name=f"blocks_{si}_{bi}")(x, train)
+
+        feat = self.num_features or 1280
+        if self.scale_features:
+            feat = round_channels(feat, self.channel_mult)
+        x = nn.Conv(feat, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv_head")(x)
+        x = _act_fn(self.act)(
+            _bn(self.bn_eps, self.bn_axis_name, train, "bn2")(x))
+        taps[len(taps)] = x
+
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          name="classifier")(pooled)
+        # keep the deepest 4 pyramid levels as taps 0..3
+        keys = sorted(taps)[-4:]
+        return {"logits": logits, "features": x,
+                "taps": {i: taps[k] for i, k in enumerate(keys)}}
+
+
+# ---------------------------------------------------------------------------
+# Arch tables (reference models/efficientnet.py:480-860, verbatim strings)
+# ---------------------------------------------------------------------------
+
+ARCH_EFFNET = (
+    ("ds_r1_k3_s1_e1_c16_se0.25",),
+    ("ir_r2_k3_s2_e6_c24_se0.25",),
+    ("ir_r2_k5_s2_e6_c40_se0.25",),
+    ("ir_r3_k3_s2_e6_c80_se0.25",),
+    ("ir_r3_k5_s1_e6_c112_se0.25",),
+    ("ir_r4_k5_s2_e6_c192_se0.25",),
+    ("ir_r1_k3_s1_e6_c320_se0.25",),
+)
+ARCH_EFFNET_LITE = (
+    ("ds_r1_k3_s1_e1_c16",),
+    ("ir_r2_k3_s2_e6_c24",),
+    ("ir_r2_k5_s2_e6_c40",),
+    ("ir_r3_k3_s2_e6_c80",),
+    ("ir_r3_k5_s1_e6_c112",),
+    ("ir_r4_k5_s2_e6_c192",),
+    ("ir_r1_k3_s1_e6_c320",),
+)
+ARCH_EFFNET_EDGE = (
+    ("er_r1_k3_s1_e4_c24_fc24_noskip",),
+    ("er_r2_k3_s2_e8_c32",),
+    ("er_r4_k3_s2_e8_c48",),
+    ("ir_r5_k5_s2_e8_c96",),
+    ("ir_r4_k5_s1_e8_c144",),
+    ("ir_r2_k5_s2_e8_c192",),
+)
+ARCH_EFFNET_V2S = (
+    ("er_r2_k3_s1_e1_c24",),
+    ("er_r4_k3_s2_e4_c48",),
+    ("er_r4_k3_s2_e4_c64",),
+    ("ir_r6_k3_s2_e4_c128_se0.25",),
+    ("ir_r9_k3_s1_e6_c160_se0.25",),
+    ("ir_r15_k3_s2_e6_c272_se0.25",),
+)
+ARCH_MNASNET_A1 = (
+    ("ds_r1_k3_s1_e1_c16_noskip",),
+    ("ir_r2_k3_s2_e6_c24",),
+    ("ir_r3_k5_s2_e3_c40_se0.25",),
+    ("ir_r4_k3_s2_e6_c80",),
+    ("ir_r2_k3_s1_e6_c112_se0.25",),
+    ("ir_r3_k5_s2_e6_c160_se0.25",),
+    ("ir_r1_k3_s1_e6_c320",),
+)
+ARCH_MNASNET_B1 = (
+    ("ds_r1_k3_s1_c16_noskip",),
+    ("ir_r3_k3_s2_e3_c24",),
+    ("ir_r3_k5_s2_e3_c40",),
+    ("ir_r3_k5_s2_e6_c80",),
+    ("ir_r2_k3_s1_e6_c96",),
+    ("ir_r4_k5_s2_e6_c192",),
+    ("ir_r1_k3_s1_e6_c320_noskip",),
+)
+ARCH_MNASNET_SMALL = (
+    ("ds_r1_k3_s1_c8",),
+    ("ir_r1_k3_s2_e3_c16",),
+    ("ir_r2_k3_s2_e6_c16",),
+    ("ir_r4_k5_s2_e6_c32_se0.25",),
+    ("ir_r3_k3_s1_e6_c32_se0.25",),
+    ("ir_r3_k5_s2_e6_c88_se0.25",),
+    ("ir_r1_k3_s1_e6_c144",),
+)
+ARCH_MOBILENET_V2 = (
+    ("ds_r1_k3_s1_c16",),
+    ("ir_r2_k3_s2_e6_c24",),
+    ("ir_r3_k3_s2_e6_c32",),
+    ("ir_r4_k3_s2_e6_c64",),
+    ("ir_r3_k3_s1_e6_c96",),
+    ("ir_r3_k3_s2_e6_c160",),
+    ("ir_r1_k3_s1_e6_c320",),
+)
+ARCH_FBNETC = (
+    ("ir_r1_k3_s1_e1_c16",),
+    ("ir_r1_k3_s2_e6_c24", "ir_r2_k3_s1_e1_c24"),
+    ("ir_r1_k5_s2_e6_c32", "ir_r1_k5_s1_e3_c32", "ir_r1_k5_s1_e6_c32",
+     "ir_r1_k3_s1_e6_c32"),
+    ("ir_r1_k5_s2_e6_c64", "ir_r1_k5_s1_e3_c64", "ir_r2_k5_s1_e6_c64"),
+    ("ir_r3_k5_s1_e6_c112", "ir_r1_k5_s1_e3_c112"),
+    ("ir_r4_k5_s2_e6_c184",),
+    ("ir_r1_k3_s1_e6_c352",),
+)
+ARCH_SPNASNET = (
+    ("ds_r1_k3_s1_c16_noskip",),
+    ("ir_r3_k3_s2_e3_c24",),
+    ("ir_r1_k5_s2_e6_c40", "ir_r3_k3_s1_e3_c40"),
+    ("ir_r1_k5_s2_e6_c80", "ir_r3_k3_s1_e3_c80"),
+    ("ir_r1_k5_s1_e6_c96", "ir_r3_k5_s1_e3_c96"),
+    ("ir_r4_k5_s2_e6_c192",),
+    ("ir_r1_k3_s1_e6_c320_noskip",),
+)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+# EfficientNet scaling table (reference :687-696):
+# name -> (channel_multiplier, depth_multiplier)
+_EFFNET_SCALE = {
+    "b0": (1.0, 1.0), "b1": (1.0, 1.1), "b2": (1.1, 1.2), "b3": (1.2, 1.4),
+    "b4": (1.4, 1.8), "b5": (1.6, 2.2), "b6": (1.8, 2.6), "b7": (2.0, 3.1),
+    "b8": (2.2, 3.6), "l2": (4.3, 5.3),
+}
+_LITE_SCALE = {"lite0": (1.0, 1.0), "lite1": (1.0, 1.1), "lite2": (1.1, 1.2),
+               "lite3": (1.2, 1.4), "lite4": (1.4, 1.8)}
+# EdgeTPU variants (reference :882-920)
+_EDGE_SCALE = {"es": (1.0, 1.0), "em": (1.0, 1.1), "el": (1.2, 1.4)}
+
+
+def _register(name, **cfg):
+    def builder(**kwargs):
+        for k, v in cfg.items():
+            kwargs.setdefault(k, v)
+        return GenericEfficientNet(**kwargs)
+
+    builder.__name__ = name
+    register_model(builder)
+
+
+def _register_effnet_family(prefix: str, tf: bool = False):
+    tfkw = dict(same_pad=True, bn_eps=1e-3) if tf else {}
+    for v, (cm, dm) in _EFFNET_SCALE.items():
+        base = dict(arch=ARCH_EFFNET, channel_mult=cm, depth_mult=dm,
+                    scale_features=True, act="silu", **tfkw)
+        if not tf:
+            if v in ("b2", "b3"):   # b2a/b3a: same arch, 288/320-px cfg
+                _register(f"{prefix}_{v}a", **base)
+            if v not in ("b0", "b1", "b2", "b3", "b4"):  # b0-b4 pre-exist
+                _register(f"{prefix}_{v}", **base)
+        else:
+            _register(f"{prefix}_{v}", **base)
+            if v != "l2":
+                _register(f"{prefix}_{v}_ap", **base)   # AdvProp releases
+            if v in ("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7"):
+                _register(f"{prefix}_{v}_ns", **base)   # NoisyStudent
+        if tf and v == "l2":
+            _register(f"{prefix}_l2_ns", **base)
+            _register(f"{prefix}_l2_ns_475", **base)
+    for v, (cm, dm) in _LITE_SCALE.items():
+        _register(f"{prefix}_{v}", arch=ARCH_EFFNET_LITE, channel_mult=cm,
+                  depth_mult=dm, fix_stem=True, fix_first_last=True,
+                  num_features=1280, act="relu6", **tfkw)
+    for v, (cm, dm) in _EDGE_SCALE.items():
+        _register(f"{prefix}_{v}", arch=ARCH_EFFNET_EDGE, channel_mult=cm,
+                  depth_mult=dm, scale_features=True, act="relu", **tfkw)
+
+
+_register_effnet_family("efficientnet", tf=False)
+_register_effnet_family("tf_efficientnet", tf=True)
+# es/el "pruned" releases are the SAME architecture, pruned weights
+# (reference cfg :118-121) — pure checkpoint aliases.
+_register("efficientnet_es_pruned", arch=ARCH_EFFNET_EDGE,
+          scale_features=True, act="relu")
+_register("efficientnet_el_pruned", arch=ARCH_EFFNET_EDGE, channel_mult=1.2,
+          depth_mult=1.4, scale_features=True, act="relu")
+_register("efficientnet_v2s", arch=ARCH_EFFNET_V2S, stem_size=24,
+          num_features=1792, scale_features=True, act="silu")
+
+for _v, (_cm,) in {"050": (0.5,), "075": (0.75,), "100": (1.0,),
+                   "140": (1.4,)}.items():
+    _register(f"mnasnet_{_v}", arch=ARCH_MNASNET_B1, channel_mult=_cm,
+              act="relu")
+    _register(f"semnasnet_{_v}", arch=ARCH_MNASNET_A1, channel_mult=_cm,
+              act="relu")
+_register("mnasnet_b1", arch=ARCH_MNASNET_B1, act="relu")
+_register("mnasnet_a1", arch=ARCH_MNASNET_A1, act="relu")
+_register("mnasnet_small", arch=ARCH_MNASNET_SMALL, stem_size=8, act="relu")
+
+_register("mobilenetv2_100", arch=ARCH_MOBILENET_V2, act="relu6",
+          scale_features=True)
+_register("mobilenetv2_140", arch=ARCH_MOBILENET_V2, channel_mult=1.4,
+          act="relu6", scale_features=True)
+_register("mobilenetv2_110d", arch=ARCH_MOBILENET_V2, channel_mult=1.1,
+          depth_mult=1.2, fix_stem=True, fix_first_last=True,
+          num_features=1280, act="relu6")
+_register("mobilenetv2_120d", arch=ARCH_MOBILENET_V2, channel_mult=1.2,
+          depth_mult=1.4, fix_stem=True, fix_first_last=True,
+          num_features=1280, act="relu6")
+_register("fbnetc_100", arch=ARCH_FBNETC, stem_size=16, num_features=1984,
+          act="relu")
+_register("spnasnet_100", arch=ARCH_SPNASNET, act="relu")

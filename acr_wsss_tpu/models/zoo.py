@@ -255,6 +255,60 @@ ZOO_URLS: Dict[str, str] = {
     "tresnet_l": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-tresnet/tresnet_l_81_5-235b486c.pth",
     "tresnet_xl": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-tresnet/tresnet_xl_82_0-a2d51b00.pth",
     "tresnet_m_miil_in21k": "https://miil-public-eu.oss-eu-central-1.aliyuncs.com/model-zoo/ImageNet_21K_P/models/timm/tresnet_m_miil_in21k.pth",
+    # Generic efficientnet-builder zoo (reference cfg
+    # models/efficientnet.py:40-260). b5-b8/l2 and the ap/ns-variant
+    # checkpoints without upstream URLs are omitted here too — parity.
+    "mnasnet_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mnasnet_b1-74cb7081.pth",
+    "semnasnet_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mnasnet_a1-d9418771.pth",
+    "mobilenetv2_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv2_100_ra-b33bc2c4.pth",
+    "mobilenetv2_110d": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv2_110d_ra-77090ade.pth",
+    "mobilenetv2_120d": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv2_120d_ra-5987e2ed.pth",
+    "mobilenetv2_140": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv2_140_ra-21a4e913.pth",
+    "fbnetc_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/fbnetc_100-c345b898.pth",
+    "spnasnet_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/spnasnet_100-048bc3f4.pth",
+    "efficientnet_es": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_es_ra-f111e99c.pth",
+    "efficientnet_em": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_em_ra2-66250f76.pth",
+    "efficientnet_el": "https://github.com/DeGirum/pruned-models/releases/download/efficientnet_v1.0/efficientnet_el.pth",
+    "efficientnet_es_pruned": "https://github.com/DeGirum/pruned-models/releases/download/efficientnet_v1.0/efficientnet_es_pruned75.pth",
+    "efficientnet_el_pruned": "https://github.com/DeGirum/pruned-models/releases/download/efficientnet_v1.0/efficientnet_el_pruned70.pth",
+    "efficientnet_lite0": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_lite0_ra-37913777.pth",
+    "efficientnet_v2s": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_v2s_ra2_288-a6477665.pth",
+    "tf_efficientnet_b0": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b0_aa-827b6e33.pth",
+    "tf_efficientnet_b1": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b1_aa-ea7a6ee0.pth",
+    "tf_efficientnet_b2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b2_aa-60c94f97.pth",
+    "tf_efficientnet_b3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b3_aa-84b4657e.pth",
+    "tf_efficientnet_b4": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b4_aa-818f208c.pth",
+    "tf_efficientnet_b5": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b5_ra-9a3e5369.pth",
+    "tf_efficientnet_b6": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b6_aa-80ba17e4.pth",
+    "tf_efficientnet_b7": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b7_ra-6c08e654.pth",
+    "tf_efficientnet_b8": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b8_ra-572d5dd9.pth",
+    "tf_efficientnet_b0_ap": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b0_ap-f262efe1.pth",
+    "tf_efficientnet_b1_ap": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b1_ap-44ef0a3d.pth",
+    "tf_efficientnet_b2_ap": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b2_ap-2f8e7636.pth",
+    "tf_efficientnet_b3_ap": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b3_ap-aad25bdd.pth",
+    "tf_efficientnet_b4_ap": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b4_ap-dedb23e6.pth",
+    "tf_efficientnet_b5_ap": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b5_ap-9e82fae8.pth",
+    "tf_efficientnet_b6_ap": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b6_ap-4ffb161f.pth",
+    "tf_efficientnet_b7_ap": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b7_ap-ddb28fec.pth",
+    "tf_efficientnet_b8_ap": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b8_ap-00e169fa.pth",
+    "tf_efficientnet_b0_ns": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b0_ns-c0e6a31c.pth",
+    "tf_efficientnet_b1_ns": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b1_ns-99dd0c41.pth",
+    "tf_efficientnet_b2_ns": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b2_ns-00306e48.pth",
+    "tf_efficientnet_b3_ns": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b3_ns-9d44bf68.pth",
+    "tf_efficientnet_b4_ns": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b4_ns-d6313a46.pth",
+    "tf_efficientnet_b5_ns": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b5_ns-6f26d0cf.pth",
+    "tf_efficientnet_b6_ns": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b6_ns-51548356.pth",
+    "tf_efficientnet_b7_ns": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_b7_ns-1dbc32de.pth",
+    "tf_efficientnet_l2_ns_475": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_l2_ns_475-bebbd00a.pth",
+    "tf_efficientnet_l2_ns": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_l2_ns-df73bb44.pth",
+    "tf_efficientnet_es": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_es-ca1afbfe.pth",
+    "tf_efficientnet_em": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_em-e78cfe58.pth",
+    "tf_efficientnet_el": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_el-5143854e.pth",
+    "tf_efficientnet_lite0": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_lite0-0aa007d2.pth",
+    "tf_efficientnet_lite1": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_lite1-bde8b488.pth",
+    "tf_efficientnet_lite2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_lite2-dcccb7df.pth",
+    "tf_efficientnet_lite3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_lite3-b733e338.pth",
+    "tf_efficientnet_lite4": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_lite4-741542c3.pth",
 }
 
 
@@ -409,6 +463,19 @@ def convert_state_dict(backbone: str, state: Dict):
         )
 
         return inception_v3_state_dict_to_flax(state)
+    if (backbone.startswith(("tf_efficientnet", "mnasnet", "semnasnet",
+                             "mobilenetv2", "fbnetc", "spnasnet"))
+            or (backbone.startswith("efficientnet")
+                and backbone not in ("efficientnet_b0", "efficientnet_b1",
+                                     "efficientnet_b2", "efficientnet_b3",
+                                     "efficientnet_b4"))):
+        # all GenericEfficientNet targets (effnet b5-l2/lite/edge/v2s,
+        # tf_ ports, mnasnet family, mbv2, fbnetc, spnasnet)
+        from acr_wsss_tpu.models.convert import (
+            generic_effnet_state_dict_to_flax,
+        )
+
+        return generic_effnet_state_dict_to_flax(state)
     if backbone.startswith("efficientnet"):
         from acr_wsss_tpu.models.convert import (
             efficientnet_state_dict_to_flax,

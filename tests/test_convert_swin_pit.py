@@ -1726,3 +1726,51 @@ def test_pit_distilled_converted_forward_parity():
     out = model.apply(params, jnp.asarray(img.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-4, rtol=1e-4)
+
+
+@requires_reference
+@pytest.mark.parametrize("name,size", [
+    ("efficientnet_lite0", 64),      # ds+ir, fix_stem, relu6
+    ("efficientnet_es", 64),         # edge-residual blocks incl. fc24
+    ("efficientnet_b5", 64),         # ceil depth scaling + channel rounding
+    ("efficientnet_v2s", 64),        # er+ir mix, stem 24, feat 1792
+    ("tf_efficientnet_b0", 65),      # TF SAME padding + bn eps 1e-3
+    ("tf_efficientnet_lite1", 65),   # TF SAME + lite + depth mult
+    ("mnasnet_100", 64),             # b1 arch, relu
+    ("semnasnet_100", 64),           # a1 arch + SE
+    ("mobilenetv2_110d", 64),        # fix_stem_head + depth scaling
+    ("fbnetc_100", 64),              # multi-def stages, stem 16, feat 1984
+    ("spnasnet_100", 64),
+])
+def test_generic_effnet_converted_forward_parity(name, size):
+    """Every GenericEfficientNet block type / padding mode / scaling path
+    vs the vendored timm models (reference models/efficientnet.py
+    registry): eval-mode logits parity through the one mechanical
+    converter."""
+    import torch
+
+    ef = _load_vendored("efficientnet")
+    torch.manual_seed(hash(name) % 2**31)
+    ref = getattr(ef, name)(pretrained=False)
+    rng = np.random.default_rng(hash(name) % 2**31)
+    _advance_bn_and_eval(ref, rng, size=size)
+
+    from acr_wsss_tpu.models.convert import (
+        generic_effnet_state_dict_to_flax,
+    )
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = generic_effnet_state_dict_to_flax(ref.state_dict())
+    model = create_model(name, num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, size, size, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, size, size)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
