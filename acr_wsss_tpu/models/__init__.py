@@ -14,6 +14,7 @@ from acr_wsss_tpu.models import cnn_attn as _cnna  # noqa: F401  (senet/sknet/re
 from acr_wsss_tpu.models import inception as _inc  # noqa: F401  (inception v3/v4/resnet-v2, xception x3)
 from acr_wsss_tpu.models import cnn_misc as _cnnx  # noqa: F401  (dpn/dla/csp/vovnet/ghost/rexnet/selecsls/tresnet/gluon-d/hardcorenas)
 from acr_wsss_tpu.models import vit_classifier as _vitc  # noqa: F401  (timm ViT/DeiT classifier registry)
+from acr_wsss_tpu.models import resnet_timm as _rtimm  # noqa: F401  (generalized timm-ResNet long tail: d/t stems, eca, rs, blur, senet154, gluon)
 from acr_wsss_tpu.models import effnet_builder as _effb  # noqa: F401  (generic MBConv-stack zoo: effnet b5-l2/lite/edge/v2s, tf_ ports, mnasnet/mbv2/fbnetc/spnasnet)
 from acr_wsss_tpu.models import hrnet as _hrnet  # noqa: F401  (hrnet w18/w32)
 from acr_wsss_tpu.models import nfnet as _nfnet  # noqa: F401  (nfnet_f0/nf_resnet50)

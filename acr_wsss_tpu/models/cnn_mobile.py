@@ -346,3 +346,48 @@ def regnety_002(**kwargs):
 def regnetx_032(**kwargs):
     return RegNet(depths=(2, 6, 15, 2), widths=(96, 192, 432, 1008),
                   group_width=48, **kwargs)
+
+
+# Full RegNet X/Y sweep. Stage (depths, widths, group_width) derived with
+# the reference's own quantization pipeline (``models/regnet.py:102-125``
+# generate_regnet + adjust_widths_groups_comp over the model_cfgs table
+# :24-59); Y variants add SE 0.25.
+_REGNET_CFGS = {
+    "regnetx_004": ((1, 2, 7, 12), (32, 64, 160, 384), 16, 0.0),
+    "regnetx_006": ((1, 3, 5, 7), (48, 96, 240, 528), 24, 0.0),
+    "regnetx_008": ((1, 3, 7, 5), (64, 128, 288, 672), 16, 0.0),
+    "regnetx_016": ((2, 4, 10, 2), (72, 168, 408, 912), 24, 0.0),
+    "regnetx_040": ((2, 5, 14, 2), (80, 240, 560, 1360), 40, 0.0),
+    "regnetx_064": ((2, 4, 10, 1), (168, 392, 784, 1624), 56, 0.0),
+    "regnetx_080": ((2, 5, 15, 1), (80, 240, 720, 1920), 80, 0.0),
+    "regnetx_120": ((2, 5, 11, 1), (224, 448, 896, 2240), 112, 0.0),
+    "regnetx_160": ((2, 6, 13, 1), (256, 512, 896, 2048), 128, 0.0),
+    "regnetx_320": ((2, 7, 13, 1), (336, 672, 1344, 2520), 168, 0.0),
+    "regnety_004": ((1, 3, 6, 6), (48, 104, 208, 440), 8, 0.25),
+    "regnety_006": ((1, 3, 7, 4), (48, 112, 256, 608), 16, 0.25),
+    "regnety_008": ((1, 3, 8, 2), (64, 128, 320, 768), 16, 0.25),
+    "regnety_016": ((2, 6, 17, 2), (48, 120, 336, 888), 24, 0.25),
+    "regnety_032": ((2, 5, 13, 1), (72, 216, 576, 1512), 24, 0.25),
+    "regnety_040": ((2, 6, 12, 2), (128, 192, 512, 1088), 64, 0.25),
+    "regnety_064": ((2, 7, 14, 2), (144, 288, 576, 1296), 72, 0.25),
+    "regnety_080": ((2, 4, 10, 1), (168, 448, 896, 2016), 56, 0.25),
+    "regnety_120": ((2, 5, 11, 1), (224, 448, 896, 2240), 112, 0.25),
+    "regnety_160": ((2, 4, 11, 1), (224, 448, 1232, 3024), 112, 0.25),
+    "regnety_320": ((2, 5, 12, 1), (232, 696, 1392, 3712), 232, 0.25),
+}
+
+
+def _register_regnet(name, depths, widths, gw, se):
+    def builder(**kwargs):
+        kwargs.setdefault("depths", depths)
+        kwargs.setdefault("widths", widths)
+        kwargs.setdefault("group_width", gw)
+        kwargs.setdefault("se_ratio", se)
+        return RegNet(**kwargs)
+
+    builder.__name__ = name
+    register_model(builder)
+
+
+for _n, (_d, _w, _g, _s) in _REGNET_CFGS.items():
+    _register_regnet(_n, _d, _w, _g, _s)

@@ -2979,3 +2979,96 @@ def generic_effnet_state_dict_to_flax(
                  + (mm.group(1), leaf), v)
             continue
     return variables
+
+
+def timm_resnet_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """Any timm-ResNet-family checkpoint (reference ``models/resnet.py`` /
+    ``gluon_resnet.py`` layout) -> flax variables for
+    ``models/resnet_timm.TimmResNet``.
+
+    Handles every constructor surface the class exposes: single/deep
+    stems (``conv1`` vs ``conv1.{0,3,6}`` + interleaved BNs), the
+    ResNet-RS stem-pool conv (``maxpool.{0,1}``), conv vs avg-pool
+    downsampling (``downsample.{0,1}`` vs ``.{1,2}``), SE (``se.fc1/2``)
+    and ECA (``se.conv``) attention."""
+    variables: Dict = {}
+    _stem_bn = {"1": "bn1_0", "4": "bn1_1"}
+    _stem_conv = {"0": "conv1_0", "3": "conv1_1", "6": "conv1_2"}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        m = re.match(r"fc\.(weight|bias)$", name)
+        if m:
+            leaf = "kernel" if m.group(1) == "weight" else "bias"
+            _set(variables, ("params", "fc", leaf),
+                 _linear(v) if leaf == "kernel" else v)
+            continue
+        if name == "conv1.weight":
+            _set(variables, ("params", "conv1", "kernel"), _conv(v))
+            continue
+        m = re.match(r"conv1\.(\d)\.(.+)$", name)
+        if m:  # deep stem Sequential
+            idx, rest = m.group(1), m.group(2)
+            if rest == "weight" and v.ndim == 4:
+                _set(variables, ("params", _stem_conv[idx], "kernel"),
+                     _conv(v))
+            else:
+                coll, leaf = _BN_LEAVES[rest]
+                _set(variables, (coll, _stem_bn[idx], leaf), v)
+            continue
+        m = re.match(r"bn1\.(weight|bias|running_mean|running_var)$", name)
+        if m:
+            coll, leaf = _BN_LEAVES[m.group(1)]
+            _set(variables, (coll, "bn1", leaf), v)
+            continue
+        m = re.match(r"maxpool\.(\d)\.(.+)$", name)
+        if m:  # ResNet-RS replace_stem_pool conv+bn
+            rest = m.group(2)
+            if rest == "weight" and v.ndim == 4:
+                _set(variables, ("params", "stempool_conv", "kernel"),
+                     _conv(v))
+            else:
+                coll, leaf = _BN_LEAVES[rest]
+                _set(variables, (coll, "stempool_bn", leaf), v)
+            continue
+        m = re.match(r"layer(\d)\.(\d+)\.(.+)$", name)
+        if not m:
+            continue
+        base, rest = f"layer{m.group(1)}_{m.group(2)}", m.group(3)
+        mm = re.match(r"conv(\d)\.weight$", rest)
+        if mm:
+            _set(variables, ("params", base, f"conv{mm.group(1)}",
+                             "kernel"), _conv(v))
+            continue
+        mm = re.match(r"bn(\d)\.(weight|bias|running_mean|running_var)$",
+                      rest)
+        if mm:
+            coll, leaf = _BN_LEAVES[mm.group(2)]
+            _set(variables, (coll, base, f"bn{mm.group(1)}", leaf), v)
+            continue
+        mm = re.match(r"se\.fc(\d)\.(weight|bias)$", rest)
+        if mm:
+            leaf = "kernel" if mm.group(2) == "weight" else "bias"
+            _set(variables, ("params", base, "se", f"fc{mm.group(1)}",
+                             leaf), _conv(v) if leaf == "kernel" else v)
+            continue
+        if rest == "se.conv.weight":  # ECA: torch (1, 1, k) -> flax (k,1,1)
+            _set(variables, ("params", base, "se", "conv", "kernel"),
+                 v.transpose(2, 1, 0))
+            continue
+        mm = re.match(r"downsample\.(\d)\.(.+)$", rest)
+        if mm:
+            idx, leaf_name = mm.group(1), mm.group(2)
+            if leaf_name == "weight" and v.ndim == 4:
+                _set(variables, ("params", base, "downsample",
+                                 "downsample_conv", "kernel"), _conv(v))
+            else:
+                coll, leaf = _BN_LEAVES[leaf_name]
+                _set(variables, (coll, base, "downsample",
+                                 "downsample_bn", leaf), v)
+            continue
+    return variables

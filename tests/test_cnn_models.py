@@ -293,6 +293,10 @@ def test_registry_has_no_stubs_left():
     ("tresnet_l", {}),
     ("tv_densenet121", {}),
     ("vgg11", {}),
+    ("regnetx_016", {}),
+    ("regnety_032", {}),
+    ("seresnet34", {}),
+    ("resnext101_64x4d", {}),
 ])
 def test_registry_variant_breadth_cnn(name, kwargs, rng):
     """Common reference-registry variants added as configs of the existing

@@ -1774,3 +1774,46 @@ def test_generic_effnet_converted_forward_parity(name, size):
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+@pytest.mark.parametrize("name,size", [
+    ("resnet18d", 64),            # BasicBlock + deep stem + avg-down
+    ("resnet50t", 64),            # tiered stem
+    ("ecaresnet26t", 64),         # ECA attention + tiered stem
+    ("seresnext26d_32x4d", 64),   # SE + cardinality + deep stem
+    ("senet154", 64),             # reduce_first 2, 3x3 downsample, deep64
+    ("resnetrs50", 64),           # replace_stem_pool + SE ratio 0.25
+    ("resnetblur50", 64),         # BlurPool anti-aliased striding
+    ("gluon_resnet50_v1s", 64),   # deep stem width 64, conv downsample
+])
+def test_timm_resnet_converted_forward_parity(name, size):
+    """Every TimmResNet constructor surface vs the vendored timm models
+    (reference models/resnet.py + gluon_resnet.py): eval-mode logits
+    parity through the one mechanical converter."""
+    import torch
+
+    mod = _load_vendored("gluon_resnet" if name.startswith("gluon")
+                         else "resnet")
+    torch.manual_seed(hash(name) % 2**31)
+    ref = getattr(mod, name)(pretrained=False)
+    rng = np.random.default_rng(hash(name) % 2**31)
+    _advance_bn_and_eval(ref, rng, size=size)
+
+    from acr_wsss_tpu.models.convert import timm_resnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = timm_resnet_state_dict_to_flax(ref.state_dict())
+    model = create_model(name, num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, size, size, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, size, size)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
