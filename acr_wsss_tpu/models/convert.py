@@ -2353,6 +2353,16 @@ def _map_nf_resnet_name(name: str):
     if mm:
         leaf, tr = _NF_CONV_LEAF[mm.group(1)]
         return ("params", base, "downsample", leaf), tr
+    # nf_seresnet: attn_last SE fc1/fc2 1x1 convs with bias
+    mm = re.match(r"attn_last\.fc(\d)\.(weight|bias)$", rest)
+    if mm:
+        leaf = "kernel" if mm.group(2) == "weight" else "bias"
+        return ("params", base, "attn_last", f"fc{mm.group(1)}", leaf), (
+            _conv if leaf == "kernel" else (lambda x: x))
+    # nf_ecaresnet: attn_last ECA 1D conv, torch (1,1,k) -> flax (k,1,1)
+    if rest == "attn_last.conv.weight":
+        return ("params", base, "attn_last", "conv", "kernel"), (
+            lambda x: x.transpose(2, 1, 0))
     return None
 
 

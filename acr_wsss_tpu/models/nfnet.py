@@ -21,7 +21,7 @@ sync). Contract: ``{"logits", "features", "taps"}``.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -208,6 +208,10 @@ class NFResBlock(nn.Module):
     stride: int = 1
     alpha: float = 0.2
     beta: float = 1.0
+    # nf_seresnet / nf_ecaresnet (reference nfnet.py:263-268): attn_last
+    # after conv3, scaled by attn_gain 2.0 (:366-367). SE uses
+    # reduction_ratio 1/16.
+    attn: Optional[str] = None
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -231,6 +235,14 @@ class NFResBlock(nn.Module):
         y = nn.relu(y.astype(jnp.float32)).astype(self.dtype)
         y = TimmScaledStdConv(self.out_chs, 1, gamma=_NFRES_GAMMA,
                               dtype=self.dtype, name="conv3")(y)
+        if self.attn is not None:
+            from acr_wsss_tpu.models.resnet_timm import EcaModule, SEModule
+
+            mod = (SEModule(reduction_ratio=1 / 16, dtype=self.dtype,
+                            name="attn_last") if self.attn == "se"
+                   else EcaModule(self.out_chs, dtype=self.dtype,
+                                  name="attn_last"))
+            y = 2.0 * mod(y)
         return (y * self.alpha + shortcut).astype(self.dtype)
 
 
@@ -243,6 +255,7 @@ class NFResNet(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     widths: Sequence[int] = (256, 512, 1024, 2048)
     alpha: float = 0.2
+    attn: Optional[str] = None     # 'se' | 'eca' (nf_seresnet/nf_ecaresnet)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -259,6 +272,7 @@ class NFResNet(nn.Module):
                                stride=2 if bi == 0 and si > 0 else 1,
                                alpha=self.alpha,
                                beta=1.0 / expected_var ** 0.5,
+                               attn=self.attn,
                                dtype=self.dtype,
                                name=f"s{si}_b{bi}")(x)
                 if bi == 0:
@@ -565,3 +579,74 @@ def nf_regnet_b1(**kwargs):
         stem_type="3x3", stem_chs=48, width_factor=0.75,
         num_features=1280, bottle_ratio=2.25, group_size=8,
         extra_conv=False, reg=True, act="silu", **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Sweep registrations (reference model_cfgs, nfnet.py:207-270)
+# ---------------------------------------------------------------------------
+
+_NFNET_F_DEPTHS = {
+    0: (1, 2, 6, 3), 1: (2, 4, 12, 6), 2: (3, 6, 18, 9), 3: (4, 8, 24, 12),
+    4: (5, 10, 30, 15), 5: (6, 12, 36, 18), 6: (7, 14, 42, 21),
+    7: (8, 16, 48, 24),
+}
+
+
+def _register_nf(name, **cfg):
+    def builder(**kwargs):
+        for k, v in cfg.items():
+            kwargs.setdefault(k, v)
+        return NormFreeNetT(**kwargs)
+
+    builder.__name__ = name
+    register_model(builder)
+
+
+# dm_nfnet_f2-f6 (DeepMind-compatible: gamma-in-act, eps 1e-4, TF SAME,
+# skipinit); f0/f1 are registered above.
+for _i in range(2, 7):
+    _register_nf(f"dm_nfnet_f{_i}", depths=_NFNET_F_DEPTHS[_i],
+                 gamma_in_act=True, eps=1e-4, same_pad=True, skipinit=True)
+
+# timm nfnet_f1-f7 (+ silu _s variants; _nfnet_cfg defaults: gamma in
+# conv, eps 1e-5, symmetric padding, no skipinit). nfnet_f0 pre-exists on
+# the haiku-style NFNet above.
+for _i in range(1, 8):
+    _register_nf(f"nfnet_f{_i}", depths=_NFNET_F_DEPTHS[_i])
+for _i in range(0, 8):
+    _register_nf(f"nfnet_f{_i}s", depths=_NFNET_F_DEPTHS[_i], act="silu")
+
+# NF-RegNet b0/b2-b5 (b1 above); num_features = 1280 * ch[-1] // 440
+# (reference _nfreg_cfg :177-184)
+_NFREG_CFGS = {
+    "nf_regnet_b0": ((1, 3, 6, 6), (48, 104, 208, 440)),
+    "nf_regnet_b2": ((2, 4, 8, 8), (56, 112, 232, 488)),
+    "nf_regnet_b3": ((2, 5, 9, 9), (56, 128, 248, 528)),
+    "nf_regnet_b4": ((2, 6, 11, 11), (64, 144, 288, 616)),
+    "nf_regnet_b5": ((3, 7, 14, 14), (80, 168, 336, 704)),
+}
+for _n, (_d, _c) in _NFREG_CFGS.items():
+    _register_nf(_n, depths=_d, channels=_c, stem_type="3x3",
+                 stem_chs=_c[0], width_factor=0.75,
+                 num_features=1280 * _c[-1] // 440, bottle_ratio=2.25,
+                 group_size=8, extra_conv=False, reg=True, act="silu")
+
+
+def _register_nfres(name, layers, attn=None):
+    def builder(**kwargs):
+        kwargs.setdefault("layers", layers)
+        kwargs.setdefault("attn", attn)
+        return NFResNet(**kwargs)
+
+    builder.__name__ = name
+    register_model(builder)
+
+
+# NF-(SE/ECA-)ResNets (reference _nfres_cfg :168-175 + :259-268);
+# nf_resnet50 pre-exists.
+for _sz, _l in ((26, (2, 2, 2, 2)), (50, (3, 4, 6, 3)),
+                (101, (3, 4, 23, 3))):
+    if _sz != 50:
+        _register_nfres(f"nf_resnet{_sz}", _l)
+    _register_nfres(f"nf_seresnet{_sz}", _l, attn="se")
+    _register_nfres(f"nf_ecaresnet{_sz}", _l, attn="eca")

@@ -88,9 +88,15 @@ ZOO_URLS: Dict[str, str] = {
     "mobilenetv3_large_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv3_large_100_ra-f55367f5.pth",
     # NF-ResNet (reference cfg models/nfnet.py:129-130)
     "nf_resnet50": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/nf_resnet50_ra2-9f236009.pth",
-    # dm-NFNet-F (DeepMind-compatible; reference cfg models/nfnet.py:46-67)
+    # dm-NFNet-F (DeepMind-compatible; reference cfg models/nfnet.py:46-67;
+    # timm nfnet_f1-f7(+s) have no upstream URLs — parity)
     "dm_nfnet_f0": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-dnf-weights/dm_nfnet_f0-604f9c3a.pth",
     "dm_nfnet_f1": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-dnf-weights/dm_nfnet_f1-fc540f82.pth",
+    "dm_nfnet_f2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-dnf-weights/dm_nfnet_f2-89875923.pth",
+    "dm_nfnet_f3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-dnf-weights/dm_nfnet_f3-d74ab3aa.pth",
+    "dm_nfnet_f4": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-dnf-weights/dm_nfnet_f4-0ac5b10b.pth",
+    "dm_nfnet_f5": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-dnf-weights/dm_nfnet_f5-ecb20ab1.pth",
+    "dm_nfnet_f6": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-dnf-weights/dm_nfnet_f6-e0f12116.pth",
     # timm NFNet-L / ECA-NFNet / NF-RegNet (reference cfg models/nfnet.py:103-117)
     "nfnet_l0": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/nfnet_l0_ra2-45c6688d.pth",
     "eca_nfnet_l0": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/ecanfnet_l0_ra2-e3e9ac50.pth",
@@ -560,7 +566,7 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import regnet_state_dict_to_flax
 
         return regnet_state_dict_to_flax(state)
-    if backbone.startswith("nf_resnet"):
+    if backbone.startswith(("nf_resnet", "nf_seresnet", "nf_ecaresnet")):
         from acr_wsss_tpu.models.convert import nf_resnet_state_dict_to_flax
 
         return nf_resnet_state_dict_to_flax(state)
@@ -568,8 +574,10 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import pnasnet_state_dict_to_flax
 
         return pnasnet_state_dict_to_flax(state)
-    if backbone.startswith(("dm_nfnet", "nfnet_l", "eca_nfnet",
-                            "nf_regnet")):
+    if backbone.startswith(("dm_nfnet", "nfnet_f", "nfnet_l", "eca_nfnet",
+                            "nf_regnet")) and backbone != "nfnet_f0":
+        # nfnet_f0 keeps the haiku-style NFNet class (no timm checkpoint
+        # upstream either); every other nfnet_* name is a NormFreeNetT.
         from acr_wsss_tpu.models.convert import dm_nfnet_state_dict_to_flax
 
         return dm_nfnet_state_dict_to_flax(state)

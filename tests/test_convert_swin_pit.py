@@ -1817,3 +1817,40 @@ def test_timm_resnet_converted_forward_parity(name, size):
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+@pytest.mark.parametrize("name", ["nfnet_f0s", "nf_seresnet26",
+                                  "nf_ecaresnet26"])
+def test_nfnet_sweep_converted_forward_parity(name):
+    """NFNet sweep additions vs vendored torch (reference nfnet.py
+    model_cfgs): the silu timm-F path on NormFreeNetT and the
+    attn_last SE/ECA NF-ResNets."""
+    import torch
+
+    nf = _load_vendored("nfnet")
+    torch.manual_seed(hash(name) % 2**31)
+    ref = getattr(nf, name)(pretrained=False)
+    ref.eval()
+
+    from acr_wsss_tpu.models.convert import (
+        dm_nfnet_state_dict_to_flax,
+        nf_resnet_state_dict_to_flax,
+    )
+    from acr_wsss_tpu.models.registry import create_model
+
+    conv = (dm_nfnet_state_dict_to_flax if name.startswith("nfnet")
+            else nf_resnet_state_dict_to_flax)
+    variables = conv(ref.state_dict())
+    model = create_model(name, num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
+    assert_trees_match(expected, variables)
+
+    rng = np.random.default_rng(hash(name) % 2**31)
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
