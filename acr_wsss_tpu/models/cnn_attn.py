@@ -142,13 +142,14 @@ class Res2NetBottleneck(nn.Module):
     stride: int = 1
     scale: int = 4
     base_width: int = 26
+    cardinality: int = 1   # res2next50: grouped cascade 3x3s
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         planes = self.out_chs // 4
-        width = int(planes * self.base_width / 64.0)
+        width = int(planes * self.base_width / 64.0) * self.cardinality
         is_first = self.stride > 1 or x.shape[-1] != self.out_chs
         shortcut = x
         if is_first:
@@ -163,8 +164,8 @@ class Res2NetBottleneck(nn.Module):
         sp = None
         for i in range(max(1, self.scale - 1)):
             sp = splits[i] if (i == 0 or is_first) else sp + splits[i]
-            sp = ConvBN(width, 3, self.stride, dtype=self.dtype,
-                        bn_axis_name=self.bn_axis_name,
+            sp = ConvBN(width, 3, self.stride, groups=self.cardinality,
+                        dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                         name=f"convs_{i}")(sp, train)
             outs.append(sp)
         if self.scale > 1:
@@ -191,16 +192,17 @@ class SplitAttentionConv(nn.Module):
     out_chs: int
     stride: int = 1
     radix: int = 2
+    cardinality: int = 1   # fc1/fc2 grouped by cardinality (split_attn.py:48-51)
     reduction: int = 4
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        r = self.radix
+        r, g = self.radix, self.cardinality
         attn_chs = max(x.shape[-1] * r // self.reduction, 32)
         y = nn.Conv(self.out_chs * r, (3, 3), strides=(self.stride,) * 2,
-                    padding=[(1, 1)] * 2, feature_group_count=r,
+                    padding=[(1, 1)] * 2, feature_group_count=g * r,
                     use_bias=False, dtype=self.dtype, name="conv")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32,
@@ -209,15 +211,23 @@ class SplitAttentionConv(nn.Module):
         y = nn.relu(y)
         B, H, W, _ = y.shape
         y = y.reshape(B, H, W, r, self.out_chs)
-        gap = jnp.mean(jnp.sum(y, axis=3).astype(jnp.float32), axis=(1, 2))
-        z = nn.Dense(attn_chs, dtype=jnp.float32, name="fc1")(gap)
+        gap = jnp.mean(jnp.sum(y, axis=3).astype(jnp.float32), axis=(1, 2),
+                       keepdims=True)
+        z = nn.Conv(attn_chs, (1, 1), feature_group_count=g,
+                    dtype=jnp.float32, name="fc1")(gap)
         z = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32,
                          axis_name=self.bn_axis_name if train else None,
                          name="bn1")(z)
-        att = nn.Dense(self.out_chs * r, dtype=jnp.float32,
-                       name="fc2")(nn.relu(z))
-        att = nn.softmax(att.reshape(B, r, self.out_chs), axis=1)
+        att = nn.Conv(self.out_chs * r, (1, 1), feature_group_count=g,
+                      dtype=jnp.float32, name="fc2")(nn.relu(z))[:, 0, 0]
+        if r > 1:
+            # RadixSoftmax (split_attn.py:20-28): view (B, G, R, C/G),
+            # softmax over R, flatten back radix-major.
+            att = att.reshape(B, g, r, -1).transpose(0, 2, 1, 3)
+            att = nn.softmax(att, axis=1).reshape(B, r, self.out_chs)
+        else:
+            att = nn.sigmoid(att).reshape(B, 1, self.out_chs)
         att = att[:, None, None]                            # (B,1,1,r,C)
         return jnp.sum(y * att.astype(y.dtype), axis=3).astype(self.dtype)
 
@@ -229,12 +239,16 @@ class ResNeStBottleneck(nn.Module):
     out_chs: int
     stride: int = 1
     radix: int = 2
+    cardinality: int = 1
+    base_width: int = 64
+    avd_first: bool = False   # avg-pool before the splat (1s4x24d ablation)
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        mid = self.out_chs // 4
+        planes = self.out_chs // 4
+        mid = int(planes * (self.base_width / 64.0)) * self.cardinality
         shortcut = x
         if self.stride != 1:
             shortcut = nn.avg_pool(shortcut, (2, 2), strides=(2, 2))
@@ -245,10 +259,15 @@ class ResNeStBottleneck(nn.Module):
                               name="downsample")(shortcut, train)
         y = ConvBN(mid, 1, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                    name="conv1")(x, train)
-        y = SplitAttentionConv(mid, 1, radix=self.radix, dtype=self.dtype,
+        if self.stride != 1 and self.avd_first:
+            y = nn.avg_pool(y, (3, 3), strides=(self.stride,) * 2,
+                            padding=[(1, 1)] * 2)
+        y = SplitAttentionConv(mid, 1, radix=self.radix,
+                               cardinality=self.cardinality,
+                               dtype=self.dtype,
                                bn_axis_name=self.bn_axis_name,
                                name="splat")(y, train)
-        if self.stride != 1:
+        if self.stride != 1 and not self.avd_first:
             y = nn.avg_pool(y, (3, 3), strides=(self.stride,) * 2,
                             padding=[(1, 1)] * 2)
         y = ConvBN(self.out_chs, 1, apply_act=False, dtype=self.dtype,
@@ -263,6 +282,7 @@ class AttnResNet(nn.Module):
     num_classes: int = 1000
     layers: Sequence[int] = (3, 4, 6, 3)
     deep_stem: bool = False        # ResNeSt uses a 3x 3x3 deep stem
+    stem_width: int = 32           # 'e' variants use 64 (resnest.py:184-228)
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -270,11 +290,12 @@ class AttnResNet(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         x = x.astype(self.dtype)
         if self.deep_stem:
-            x = ConvBN(32, 3, 2, dtype=self.dtype,
+            sw = self.stem_width
+            x = ConvBN(sw, 3, 2, dtype=self.dtype,
                        bn_axis_name=self.bn_axis_name, name="stem0")(x, train)
-            x = ConvBN(32, 3, 1, dtype=self.dtype,
+            x = ConvBN(sw, 3, 1, dtype=self.dtype,
                        bn_axis_name=self.bn_axis_name, name="stem1")(x, train)
-            x = ConvBN(64, 3, 1, dtype=self.dtype,
+            x = ConvBN(sw * 2, 3, 1, dtype=self.dtype,
                        bn_axis_name=self.bn_axis_name, name="stem2")(x, train)
         else:
             x = ConvBN(64, 7, 2, dtype=self.dtype,
@@ -620,3 +641,60 @@ def legacy_seresnext50_32x4d(**kwargs):
 def legacy_seresnext101_32x4d(**kwargs):
     return LegacySENet(layers=(3, 4, 23, 3), block_kind="resnext",
                        groups=32, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Res2Net / ResNeSt variant sweep (reference res2net.py:131-216,
+# resnest.py:140-238); blocks parameterized via functools.partial.
+# ---------------------------------------------------------------------------
+
+import functools  # noqa: E402
+
+
+def _register_attn(name, block, **trunk_kw):
+    def builder(**kwargs):
+        for k, v in trunk_kw.items():
+            kwargs.setdefault(k, v)
+        return AttnResNet(block=block, **kwargs)
+
+    builder.__name__ = name
+    register_model(builder)
+
+
+_register_attn("res2net50_26w_4s", Res2NetBottleneck, layers=(3, 4, 6, 3))
+_register_attn("res2net101_26w_4s", Res2NetBottleneck, layers=(3, 4, 23, 3))
+_register_attn("res2net50_26w_6s",
+               functools.partial(Res2NetBottleneck, scale=6),
+               layers=(3, 4, 6, 3))
+_register_attn("res2net50_26w_8s",
+               functools.partial(Res2NetBottleneck, scale=8),
+               layers=(3, 4, 6, 3))
+_register_attn("res2net50_48w_2s",
+               functools.partial(Res2NetBottleneck, base_width=48, scale=2),
+               layers=(3, 4, 6, 3))
+_register_attn("res2net50_14w_8s",
+               functools.partial(Res2NetBottleneck, base_width=14, scale=8),
+               layers=(3, 4, 6, 3))
+_register_attn("res2next50",
+               functools.partial(Res2NetBottleneck, base_width=4,
+                                 cardinality=8, scale=4),
+               layers=(3, 4, 6, 3))
+
+_register_attn("resnest14d", ResNeStBottleneck, layers=(1, 1, 1, 1),
+               deep_stem=True)
+_register_attn("resnest26d", ResNeStBottleneck, layers=(2, 2, 2, 2),
+               deep_stem=True)
+_register_attn("resnest101e", ResNeStBottleneck, layers=(3, 4, 23, 3),
+               deep_stem=True, stem_width=64)
+_register_attn("resnest200e", ResNeStBottleneck, layers=(3, 24, 36, 3),
+               deep_stem=True, stem_width=64)
+_register_attn("resnest269e", ResNeStBottleneck, layers=(3, 30, 48, 8),
+               deep_stem=True, stem_width=64)
+_register_attn("resnest50d_1s4x24d",
+               functools.partial(ResNeStBottleneck, radix=1, cardinality=4,
+                                 base_width=24, avd_first=True),
+               layers=(3, 4, 6, 3), deep_stem=True)
+_register_attn("resnest50d_4s2x40d",
+               functools.partial(ResNeStBottleneck, radix=4, cardinality=2,
+                                 base_width=40, avd_first=True),
+               layers=(3, 4, 6, 3), deep_stem=True)

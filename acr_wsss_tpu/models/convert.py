@@ -788,9 +788,11 @@ def _map_attn_resnet_name(name: str, ndim: int, deep_stem: bool):
             return (coll, base, "splat", f"bn{mm.group(1)}", leaf), ident
         mm = re.match(r"conv2\.fc(1|2)\.(weight|bias)$", rest)
         if mm:
+            # grouped 1x1 convs (split_attn.py:48-51); kept as convs so
+            # cardinality>1 variants (resnest50d_1s4x24d/4s2x40d) convert
             leaf = "kernel" if mm.group(2) == "weight" else "bias"
             return ("params", base, "splat", f"fc{mm.group(1)}", leaf), (
-                _conv1x1_to_dense if leaf == "kernel" else ident)
+                _conv if leaf == "kernel" else ident)
         if rest == "downsample.0.weight":                      # conv-style
             return ("params", base, "downsample", "conv", "kernel"), _conv
         if rest == "downsample.1.weight" and ndim == 4:        # avg-down

@@ -1854,3 +1854,43 @@ def test_nfnet_sweep_converted_forward_parity(name):
     out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_resnest_ablation_variants_parity():
+    """resnest50d_4s2x40d / _1s4x24d layouts (resnest.py:211-238: radix 4
+    with cardinality-2 grouped attention MLP; radix 1 sigmoid gate +
+    avd_first) -> AttnResNet[partial(ResNeStBottleneck, ...)]."""
+    import torch
+
+    resnet = _load_vendored("resnet")
+    resnest = _load_vendored("resnest")
+    for seed, (flax_name, radix, card, bw, avdf) in enumerate([
+            ("resnest50d_4s2x40d", 4, 2, 40, True),
+            ("resnest50d_1s4x24d", 1, 4, 24, True)]):
+        torch.manual_seed(131 + seed)
+        ref = resnet.ResNet(
+            resnest.ResNestBottleneck, [1, 1, 1, 1], num_classes=1000,
+            stem_type="deep", stem_width=32, avg_down=True, base_width=bw,
+            cardinality=card,
+            block_args=dict(radix=radix, avd=True, avd_first=avdf))
+        rng = np.random.default_rng(131 + seed)
+        _advance_bn_and_eval(ref, rng)
+        _attn_resnet_parity(ref, flax_name, rng)
+
+
+@requires_reference
+def test_res2next_converted_forward_parity():
+    """res2next50 layout (res2net.py:209-216: base_width 4, cardinality 8,
+    grouped cascade 3x3s) -> AttnResNet[partial(Res2NetBottleneck, ...)]."""
+    import torch
+
+    resnet = _load_vendored("resnet")
+    res2net = _load_vendored("res2net")
+    torch.manual_seed(137)
+    ref = resnet.ResNet(res2net.Bottle2neck, [1, 1, 1, 1], num_classes=1000,
+                        base_width=4, cardinality=8,
+                        block_args=dict(scale=4))
+    rng = np.random.default_rng(137)
+    _advance_bn_and_eval(ref, rng)
+    _attn_resnet_parity(ref, "res2next50", rng)
