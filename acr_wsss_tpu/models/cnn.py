@@ -158,7 +158,9 @@ class VGG(nn.Module):
     num_classes: int = 1000
     cfg: Sequence = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
                      512, 512, 512, "M", 512, 512, 512, "M")
+    batch_norm: bool = False   # *_bn variants (reference vgg.py:40-43)
     dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
@@ -172,8 +174,15 @@ class VGG(nn.Module):
                 stage += 1
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
-                x = nn.relu(nn.Conv(int(item), (3, 3), padding="SAME",
-                                    dtype=self.dtype, name=f"conv{ci}")(x))
+                x = nn.Conv(int(item), (3, 3), padding="SAME",
+                            dtype=self.dtype, name=f"conv{ci}")(x)
+                if self.batch_norm:
+                    x = nn.BatchNorm(
+                        use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, dtype=jnp.float32,
+                        axis_name=self.bn_axis_name if train else None,
+                        name=f"bn{ci}")(x)
+                x = nn.relu(x).astype(self.dtype)
                 ci += 1
         pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         h = nn.relu(nn.Dense(4096, dtype=jnp.float32, name="fc1")(pooled))
@@ -422,3 +431,26 @@ def vgg11(**kwargs):
 def vgg13(**kwargs):
     return VGG(cfg=(64, 64, "M", 128, 128, "M", 256, 256, "M",
                     512, 512, "M", 512, 512, "M"), **kwargs)
+
+
+def _register_vgg_bn(base_name):
+    def builder(**kwargs):
+        kwargs.setdefault("batch_norm", True)
+        return model_entrypoint(base_name)(**kwargs)
+
+    builder.__name__ = f"{base_name}_bn"
+    register_model(builder)
+
+
+from acr_wsss_tpu.models.registry import model_entrypoint  # noqa: E402
+
+for _v in ("vgg11", "vgg13", "vgg16", "vgg19"):
+    _register_vgg_bn(_v)
+
+
+@register_model
+def densenet264(**kwargs):
+    # densenet.py:338-344
+    kwargs.setdefault("growth_rate", 48)
+    kwargs.setdefault("block_config", (6, 12, 64, 48))
+    return DenseNet(**kwargs)

@@ -560,26 +560,33 @@ _GHOSTNET = (
 
 
 class GhostNet(nn.Module):
-    """GhostNet-1.0 classifier (reference ``models/ghostnet.py:276``)."""
+    """GhostNet classifier (reference ``models/ghostnet.py:276``); width
+    scales every stage/stem/final width with ``make_divisible(c*w, 4)``
+    (ghostnet.py:186-230, the 050/100/130 registry)."""
 
     num_classes: int = 1000
+    width: float = 1.0
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        from acr_wsss_tpu.models.effnet_builder import make_divisible
+
+        w = self.width
+        md = lambda c: make_divisible(c * w, 4)  # noqa: E731
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = x.astype(self.dtype)
-        x = ConvBN(16, 3, 2, name="stem", **kw)(x, train)
+        x = ConvBN(md(16), 3, 2, name="stem", **kw)(x, train)
         taps: Dict[int, jnp.ndarray] = {}
         tap_i = 0
         for bi, (k, mid, out, se, s) in enumerate(_GHOSTNET):
-            x = GhostBottleneck(mid, out, k, s, se_ratio=se,
+            x = GhostBottleneck(md(mid), md(out), k, s, se_ratio=se,
                                 name=f"b{bi}", **kw)(x, train)
             if bi in (2, 4, 10, 15):
                 taps[tap_i] = x
                 tap_i += 1
-        x = ConvBN(960, 1, name="head_conv", **kw)(x, train)
+        x = ConvBN(md(960), 1, name="head_conv", **kw)(x, train)
         # timm head: pool -> 1x1 conv_head (bias) -> relu -> classifier
         # (ghostnet.py:181-208); 1x1 conv on pooled 1x1 == Dense
         pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
@@ -1173,4 +1180,60 @@ def dpn107(**kwargs):
 def tresnet_m_miil_in21k(**kwargs):
     # same architecture as tresnet_m; ImageNet-21k-P checkpoint
     kwargs.setdefault("num_classes", 11221)
+    return TResNet(**kwargs)
+
+
+@register_model
+def ghostnet_050(**kwargs):
+    return GhostNet(width=0.5, **kwargs)
+
+
+@register_model
+def ghostnet_130(**kwargs):
+    return GhostNet(width=1.3, **kwargs)
+
+
+# SelecSLS 42/84 (reference selecsls.py:203-315; no pretrained weights
+# upstream for either)
+_SELECSLS84_CFG = ((64, 64, True, 2), (64, 144, False, 1),
+                   (144, 144, True, 2), (144, 144, False, 1),
+                   (144, 144, False, 1), (144, 144, False, 1),
+                   (144, 304, False, 1), (304, 304, True, 2),
+                   (304, 304, False, 1), (304, 304, False, 1),
+                   (304, 304, False, 1), (304, 304, False, 1),
+                   (304, 512, False, 1))
+
+
+@register_model
+def selecsls42(**kwargs):
+    kwargs.setdefault("head", ((960, 3, 2), (1024, 3, 1),
+                               (1024, 3, 2), (1280, 1, 1)))
+    return SelecSLS(**kwargs)
+
+
+@register_model
+def selecsls84(**kwargs):
+    kwargs.setdefault("cfg", _SELECSLS84_CFG)
+    kwargs.setdefault("head", ((960, 3, 2), (1024, 3, 1),
+                               (1024, 3, 2), (1280, 3, 1)))
+    return SelecSLS(**kwargs)
+
+
+@register_model
+def tresnet_m_448(**kwargs):
+    # same architecture as tresnet_m; 448px checkpoint (tresnet.py:40-47)
+    return TResNet(**kwargs)
+
+
+@register_model
+def tresnet_l_448(**kwargs):
+    kwargs.setdefault("layers", (4, 5, 18, 3))
+    kwargs.setdefault("width", int(64 * 1.2))
+    return TResNet(**kwargs)
+
+
+@register_model
+def tresnet_xl_448(**kwargs):
+    kwargs.setdefault("layers", (4, 5, 24, 3))
+    kwargs.setdefault("width", int(64 * 1.3))
     return TResNet(**kwargs)

@@ -671,22 +671,36 @@ def vgg_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
     input resolution) so the 25088-wide fc weights have no counterpart —
     grafting keeps the fresh head, exactly the usual backbone-transfer
     use."""
+    def np_of(v):
+        return (v.detach().cpu().numpy()
+                if hasattr(v, "detach") else np.asarray(v))
+
     conv_ids = sorted({
-        int(m.group(1)) for k in state_dict
+        int(m.group(1)) for k, v in state_dict.items()
         if (m := re.match(r"features\.(\d+)\.weight$", k))
+        and np_of(v).ndim == 4
     })
     rank = {fid: i for i, fid in enumerate(conv_ids)}
+
+    def conv_rank_before(j):   # bn at features.{conv_id+1} (_bn variants)
+        return rank[max(c for c in conv_ids if c < j)]
+
     params: Dict = {}
     for name, value in state_dict.items():
-        m = re.match(r"features\.(\d+)\.(weight|bias)$", name)
+        m = re.match(r"features\.(\d+)\.(weight|bias|running_mean"
+                     r"|running_var)$", name)
         if not m:
             continue
-        v = (value.detach().cpu().numpy()
-             if hasattr(value, "detach") else np.asarray(value))
-        v = v.astype(np.float32)
-        leaf = "kernel" if m.group(2) == "weight" else "bias"
-        _set(params, ("params", f"conv{rank[int(m.group(1))]}", leaf),
-             _conv(v) if leaf == "kernel" else v)
+        v = np_of(value).astype(np.float32)
+        idx, leaf_name = int(m.group(1)), m.group(2)
+        if idx in rank and leaf_name in ("weight", "bias") and (
+                leaf_name == "bias" or v.ndim == 4):
+            leaf = "kernel" if leaf_name == "weight" else "bias"
+            _set(params, ("params", f"conv{rank[idx]}", leaf),
+                 _conv(v) if leaf == "kernel" else v)
+        else:  # BatchNorm leaf of a *_bn variant
+            coll, leaf = _BN_LEAVES[leaf_name]
+            _set(params, (coll, f"bn{conv_rank_before(idx)}", leaf), v)
     return params
 
 

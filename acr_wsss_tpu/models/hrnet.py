@@ -198,3 +198,38 @@ def hrnet_w32(**kwargs):
 def hrnet_w48(**kwargs):
     kwargs.setdefault("channels", (48, 96, 192, 384))
     return HRNet(**kwargs)
+
+
+@register_model
+def hrnet_w18_small_v2(**kwargs):
+    # small-v2 cfg: hrnet.py:102-138 (2-block stages, modules (1,3,2))
+    kwargs.setdefault("channels", (18, 36, 72, 144))
+    kwargs.setdefault("stage1_chs", 64)
+    kwargs.setdefault("stage1_blocks", 2)
+    kwargs.setdefault("num_modules", (1, 3, 2))
+    kwargs.setdefault("num_blocks", (2, 2, 2))
+    return HRNet(**kwargs)
+
+
+@register_model
+def hrnet_w30(**kwargs):
+    kwargs.setdefault("channels", (30, 60, 120, 240))
+    return HRNet(**kwargs)
+
+
+@register_model
+def hrnet_w40(**kwargs):
+    kwargs.setdefault("channels", (40, 80, 160, 320))
+    return HRNet(**kwargs)
+
+
+@register_model
+def hrnet_w44(**kwargs):
+    kwargs.setdefault("channels", (44, 88, 176, 352))
+    return HRNet(**kwargs)
+
+
+@register_model
+def hrnet_w64(**kwargs):
+    kwargs.setdefault("channels", (64, 128, 256, 512))
+    return HRNet(**kwargs)

@@ -879,3 +879,50 @@ def gluon_xception65(**kwargs):
 @register_model
 def xception41(**kwargs):
     return XceptionAligned(**kwargs)
+
+
+_XCEPTION65_CFG = tuple(
+    [((128,) * 3, 2, True, False), ((256,) * 3, 2, True, False),
+     ((728,) * 3, 2, True, False)]
+    + [((728,) * 3, 1, True, False)] * 16
+    + [((728, 1024, 1024), 2, True, False),
+       ((1536, 1536, 2048), 1, False, True)])
+
+# xception71 entry flow interleaves stride-1 width changes
+# (xception_aligned.py:221-238)
+_XCEPTION71_CFG = tuple(
+    [((128,) * 3, 2, True, False), ((256,) * 3, 1, True, False),
+     ((256,) * 3, 2, True, False), ((728,) * 3, 1, True, False),
+     ((728,) * 3, 2, True, False)]
+    + [((728,) * 3, 1, True, False)] * 16
+    + [((728, 1024, 1024), 2, True, False),
+       ((1536, 1536, 2048), 1, False, True)])
+
+
+@register_model
+def xception65(**kwargs):
+    kwargs.setdefault("block_cfg", _XCEPTION65_CFG)
+    return XceptionAligned(**kwargs)
+
+
+@register_model
+def xception71(**kwargs):
+    kwargs.setdefault("block_cfg", _XCEPTION71_CFG)
+    return XceptionAligned(**kwargs)
+
+
+@register_model
+def adv_inception_v3(**kwargs):
+    # same architecture, adversarially-trained release
+    # (inception_v3.py:30-37)
+    return InceptionV3(**kwargs)
+
+
+@register_model
+def tf_inception_v3(**kwargs):
+    return InceptionV3(**kwargs)
+
+
+@register_model
+def gluon_inception_v3(**kwargs):
+    return InceptionV3(**kwargs)

@@ -287,3 +287,12 @@ def coat_lite_small(**kwargs):
     kwargs.setdefault("embed_dims", (64, 128, 320, 512))
     kwargs.setdefault("depths", (3, 4, 6, 3))
     return CoaTLite(**kwargs)
+
+
+@register_model
+def tnt_b_patch16_224(**kwargs):
+    # reference tnt.py:240-247: outer 640, inner 40, heads 10
+    kwargs.setdefault("outer_dim", 640)
+    kwargs.setdefault("inner_dim", 40)
+    kwargs.setdefault("num_heads", 10)
+    return TNT(**kwargs)

@@ -129,9 +129,28 @@ ZOO_URLS: Dict[str, str] = {
     "hardcorenas_a": "https://miil-public-eu.oss-eu-central-1.aliyuncs.com/public/HardCoReNAS/HardCoreNAS_A_Green_38ms_75.9_23474aeb.pth",
     # HRNet (hrnetv2 weights; reference cfg table models/hrnet.py:40-60)
     "hrnet_w18_small": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-hrnet/hrnet_w18_small_v1-f460c6bc.pth",
+    "hrnet_w18_small_v2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-hrnet/hrnet_w18_small_v2-4c50a8cb.pth",
     "hrnet_w18": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-hrnet/hrnetv2_w18-8cb57bb9.pth",
+    "hrnet_w30": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-hrnet/hrnetv2_w30-8d7f8dab.pth",
     "hrnet_w32": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-hrnet/hrnetv2_w32-90d8c5fb.pth",
+    "hrnet_w40": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-hrnet/hrnetv2_w40-7cd397a4.pth",
+    "hrnet_w44": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-hrnet/hrnetv2_w44-c9ac8c18.pth",
     "hrnet_w48": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-hrnet/hrnetv2_w48-abd2e6ab.pth",
+    "hrnet_w64": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-hrnet/hrnetv2_w64-b47cc881.pth",
+    # batch-2 variant URLs (reference cfgs: vgg.py:40-43,
+    # inception_v3.py:27-46, tresnet.py:39-47, xception_aligned.py:33-40)
+    "vgg11_bn": "https://download.pytorch.org/models/vgg11_bn-6002323d.pth",
+    "vgg13_bn": "https://download.pytorch.org/models/vgg13_bn-abd245e5.pth",
+    "vgg16_bn": "https://download.pytorch.org/models/vgg16_bn-6c64b313.pth",
+    "vgg19_bn": "https://download.pytorch.org/models/vgg19_bn-c79401a0.pth",
+    "tf_inception_v3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_inception_v3-e0069de4.pth",
+    "adv_inception_v3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/adv_inception_v3-9e27bd63.pth",
+    "gluon_inception_v3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/gluon_inception_v3-9f746940.pth",
+    "tresnet_m_448": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-tresnet/tresnet_m_448-bc359d10.pth",
+    "tresnet_l_448": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-tresnet/tresnet_l_448-940d0cd1.pth",
+    "tresnet_xl_448": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-tresnet/tresnet_xl_448-8c1815de.pth",
+    "xception65": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_xception_65-c9ae96e8.pth",
+    "xception71": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_xception_71-8eec7df1.pth",
     # Attention-ResNets (reference cfg tables: models/resnet.py:143-151,
     # models/res2net.py:25-44, models/resnest.py:29-52). sknet50 has NO
     # pretrained URL upstream either (models/sknet.py:38) — parity.
@@ -541,7 +560,8 @@ def convert_state_dict(backbone: str, state: Dict):
         )
 
         return inception_v4_state_dict_to_flax(state)
-    if backbone.startswith("inception_v3"):
+    if backbone.startswith(("inception_v3", "tf_inception_v3",
+                            "adv_inception_v3", "gluon_inception_v3")):
         from acr_wsss_tpu.models.convert import (
             inception_v3_state_dict_to_flax,
         )

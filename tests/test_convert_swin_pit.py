@@ -1894,3 +1894,71 @@ def test_res2next_converted_forward_parity():
     rng = np.random.default_rng(137)
     _advance_bn_and_eval(ref, rng)
     _attn_resnet_parity(ref, "res2next50", rng)
+
+
+@requires_reference
+def test_vgg_bn_converted_forward_parity():
+    """torchvision vgg11_bn layout (vgg.py *_bn cfgs: BN between each conv
+    and relu) -> models/cnn.VGG(batch_norm=True): conv-feature parity
+    (the 7x7-flatten classifier is not converted by design)."""
+    import torch
+
+    vgg = _load_vendored("vgg")
+    torch.manual_seed(139)
+    ref = vgg.vgg11_bn(pretrained=False)
+    rng = np.random.default_rng(139)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import vgg_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    from acr_wsss_tpu.models import zoo
+
+    converted = vgg_state_dict_to_flax(ref.state_dict())
+    model = create_model("vgg11_bn", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.key(0), x, train=True)
+    variables = zoo.graft_standalone(params, converted, verbose=False)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        feats_t = ref.features(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["features"]).transpose(0, 3, 1, 2), feats_t,
+        atol=1e-4, rtol=1e-4)
+
+
+@requires_reference
+def test_xception65_converted_forward_parity():
+    """xception65 block plan (xception_aligned.py:202-217: 16 middle-flow
+    blocks) -> XceptionAligned(_XCEPTION65_CFG): eval-mode logits
+    parity at 65px (exercises the TF-SAME alignment)."""
+    import torch
+
+    xa = _load_vendored("xception_aligned")
+    torch.manual_seed(149)
+    ref = xa.xception65(pretrained=False)
+    rng = np.random.default_rng(149)
+    _advance_bn_and_eval(ref, rng, size=65)
+
+    from acr_wsss_tpu.models.convert import (
+        xception_aligned_state_dict_to_flax,
+    )
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = xception_aligned_state_dict_to_flax(ref.state_dict())
+    model = create_model("xception65", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 65, 65, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 65, 65)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
