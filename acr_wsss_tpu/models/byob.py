@@ -50,7 +50,14 @@ class BlockCfg:
     depth: int
     channels: int
     stride: int = 2
-    groups: int = 1
+    groups: int = 1            # legacy direct feature-group count (botnet)
+    # timm byobnet 'gs' semantics (byobnet.py:231-237): 0 = plain conv,
+    # 1 = depthwise, N = mid_chs // N groups. alt_group_divisor > 0
+    # applies gs = out_chs // divisor on every 2ND block of the stage
+    # (the RepVGG _g4 pattern, byobnet.py:121-126).
+    group_size: int = 0
+    alt_group_divisor: int = 0
+    bottle_ratio_bottle: float = 0.25  # 'bottle' mid ratio (gernet br)
     se_ratio: float = 0.0
     num_heads: int = 4
     # byoanet extensions (reference models/byoanet.py:96-250):
@@ -62,22 +69,33 @@ class BlockCfg:
     halo_size: int = 2               # halo: neighbourhood overlap
 
 
+def _num_groups(group_size: int, channels: int) -> int:
+    """reference byobnet.py:231-237."""
+    if not group_size:
+        return 1
+    assert channels % group_size == 0
+    return channels // group_size
+
+
 class RepBlock(nn.Module):
     """RepVGG training-time block: 3x3 conv-BN + 1x1 conv-BN (+ identity BN
-    when shapes allow), summed then ReLU."""
+    when shapes allow), summed then ReLU. ``group_size`` groups BOTH convs
+    by the block INPUT channels (byobnet.py:462-473)."""
 
     out_chs: int
     stride: int = 1
+    group_size: int = 0
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
-        y = ConvBN(self.out_chs, 3, self.stride, apply_act=False,
+        g = _num_groups(self.group_size, x.shape[-1])
+        y = ConvBN(self.out_chs, 3, self.stride, apply_act=False, groups=g,
                    name="conv3", **kw)(x, train)
         y = y + ConvBN(self.out_chs, 1, self.stride, apply_act=False,
-                       name="conv1", **kw)(x, train)
+                       groups=g, name="conv1", **kw)(x, train)
         if self.stride == 1 and x.shape[-1] == self.out_chs:
             ident = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=jnp.float32,
@@ -314,6 +332,7 @@ class ByobBlock(nn.Module):
     cfg: BlockCfg
     stride: int = 1
     block_type: str = ""    # override for interleaved stages (cfg.types)
+    group_size: int = 0     # per-block resolved gs (alt_group_divisor)
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -323,7 +342,8 @@ class ByobBlock(nn.Module):
         c = self.cfg
         t = self.block_type or c.type
         if t == "rep":
-            return RepBlock(c.channels, self.stride, **kw)(x, train)
+            return RepBlock(c.channels, self.stride,
+                            group_size=self.group_size, **kw)(x, train)
         if t == "self_attn":
             return SelfAttnBlock(c.channels, self.stride, c.num_heads,
                                  attn=c.attn, bottle_ratio=c.bottle_ratio,
@@ -337,10 +357,15 @@ class ByobBlock(nn.Module):
             y = ConvBN(c.channels, 3, self.stride, name="c1", **kw)(x, train)
             y = ConvBN(c.channels, 3, apply_act=False, name="c2", **kw)(y, train)
         elif t == "bottle":
-            mid = c.channels // 4
+            if self.group_size or c.group_size:
+                mid = int(c.channels * c.bottle_ratio_bottle + 0.5)
+                fgc = _num_groups(self.group_size or c.group_size, mid)
+            else:
+                mid = c.channels // 4
+                fgc = c.groups
             y = ConvBN(mid, 1, name="c1", **kw)(x, train)
             y = nn.Conv(mid, (3, 3), strides=(self.stride,) * 2,
-                        padding=[(1, 1)] * 2, feature_group_count=c.groups,
+                        padding=[(1, 1)] * 2, feature_group_count=fgc,
                         use_bias=False, dtype=self.dtype, name="c2")(y)
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32,
@@ -405,8 +430,11 @@ class ByobNet(nn.Module):
         for si, cfg in enumerate(self.blocks):
             for bi in range(cfg.depth):
                 bt = cfg.types[bi % len(cfg.types)] if cfg.types else ""
+                gs = cfg.group_size
+                if cfg.alt_group_divisor and (bi + 1) % 2 == 0:
+                    gs = cfg.channels // cfg.alt_group_divisor
                 x = ByobBlock(cfg, stride=cfg.stride if bi == 0 else 1,
-                              block_type=bt,
+                              block_type=bt, group_size=gs,
                               name=f"s{si}_b{bi}", **kw)(x, train)
             taps[si] = x
         if self.head_chs:
@@ -418,15 +446,82 @@ class ByobNet(nn.Module):
 
 @register_model
 def gernet_s(**kwargs):
+    # byobnet.py:154-166: 5 stages; the last two are depthwise (gs=1)
+    # expansion-3 bottles
     kwargs.setdefault("blocks", (
         BlockCfg("basic", 1, 48, 2),
         BlockCfg("basic", 3, 48, 2),
-        BlockCfg("bottle", 7, 384, 2, groups=1),
-        BlockCfg("bottle", 2, 560, 2, groups=1),
+        BlockCfg("bottle", 7, 384, 2),
+        BlockCfg("bottle", 2, 560, 2, group_size=1,
+                 bottle_ratio_bottle=3.0),
+        BlockCfg("bottle", 1, 256, 1, group_size=1,
+                 bottle_ratio_bottle=3.0),
     ))
     kwargs.setdefault("stem_chs", 13)
     kwargs.setdefault("head_chs", 1920)
     return ByobNet(**kwargs)
+
+
+@register_model
+def gernet_m(**kwargs):
+    # byobnet.py:144-153
+    kwargs.setdefault("blocks", (
+        BlockCfg("basic", 1, 128, 2),
+        BlockCfg("basic", 2, 192, 2),
+        BlockCfg("bottle", 6, 640, 2),
+        BlockCfg("bottle", 4, 640, 2, group_size=1,
+                 bottle_ratio_bottle=3.0),
+        BlockCfg("bottle", 1, 640, 1, group_size=1,
+                 bottle_ratio_bottle=3.0),
+    ))
+    kwargs.setdefault("stem_chs", 32)
+    kwargs.setdefault("head_chs", 2560)
+    return ByobNet(**kwargs)
+
+
+@register_model
+def gernet_l(**kwargs):
+    # byobnet.py:132-143
+    kwargs.setdefault("blocks", (
+        BlockCfg("basic", 1, 128, 2),
+        BlockCfg("basic", 2, 192, 2),
+        BlockCfg("bottle", 6, 640, 2),
+        BlockCfg("bottle", 5, 640, 2, group_size=1,
+                 bottle_ratio_bottle=3.0),
+        BlockCfg("bottle", 4, 640, 1, group_size=1,
+                 bottle_ratio_bottle=3.0),
+    ))
+    kwargs.setdefault("stem_chs", 32)
+    kwargs.setdefault("head_chs", 2560)
+    return ByobNet(**kwargs)
+
+
+def _register_repvgg(name, d, wf, g4=False):
+    """reference _rep_vgg_bcfg (byobnet.py:121-126): widths (64,128,256,
+    512)*wf; _g4 variants group every 2nd block of a stage by 4."""
+    base_c = (64, 128, 256, 512)
+
+    def builder(**kwargs):
+        kwargs.setdefault("blocks", tuple(
+            BlockCfg("rep", di, int(ci * wi), 2,
+                     alt_group_divisor=4 if g4 else 0)
+            for di, ci, wi in zip(d, base_c, wf)))
+        kwargs.setdefault("stem_chs", 64)
+        kwargs.setdefault("stem_type", "rep")
+        return ByobNet(**kwargs)
+
+    builder.__name__ = name
+    register_model(builder)
+
+
+for _n, _wf, _g4 in [("repvgg_b0", (1., 1., 1., 2.5), False),
+                     ("repvgg_b1", (2., 2., 2., 4.), False),
+                     ("repvgg_b1g4", (2., 2., 2., 4.), True),
+                     ("repvgg_b2", (2.5, 2.5, 2.5, 5.), False),
+                     ("repvgg_b2g4", (2.5, 2.5, 2.5, 5.), True),
+                     ("repvgg_b3", (3., 3., 3., 5.), False),
+                     ("repvgg_b3g4", (3., 3., 3., 5.), True)]:
+    _register_repvgg(_n, (4, 6, 16, 1), _wf, _g4)
 
 
 @register_model

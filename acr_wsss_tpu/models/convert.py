@@ -3098,3 +3098,76 @@ def timm_resnet_state_dict_to_flax(
                                  "downsample_bn", leaf), v)
             continue
     return variables
+
+
+def gernet_state_dict_to_flax(
+        state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """timm GENet checkpoint (reference ``models/byobnet.py:132-166`` cfgs;
+    BasicBlock ``conv1_kxk``/``conv2_kxk`` and BottleneckBlock
+    ``conv1_1x1``/``conv2_kxk``/``conv3_1x1`` ConvBnAct stacks) -> flax
+    variables for ``models/byob.ByobNet``: stages.{s}.{b} -> s{s}_b{b}
+    with c1/c2(+bn2)/c3, shortcut -> downsample, final_conv ->
+    head_conv."""
+    variables: Dict = {}
+    ident = lambda x: x
+    # our basic: c1, c2 (ConvBN); bottle: c1 (ConvBN), bare c2 conv + bn2,
+    # c3 (ConvBN)
+    conv_map = {"conv1_kxk": ("c1",), "conv2_kxk": None,  # resolved below
+                "conv1_1x1": ("c1",), "conv3_1x1": ("c3",),
+                "shortcut": ("downsample",)}
+    for name, value in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v = (value.detach().cpu().numpy()
+             if hasattr(value, "detach") else np.asarray(value))
+        v = v.astype(np.float32)
+        m = re.match(r"head\.fc\.(weight|bias)$", name)
+        if m:
+            leaf = "kernel" if m.group(1) == "weight" else "bias"
+            _set(variables, ("params", "fc", leaf),
+                 _linear(v) if leaf == "kernel" else v)
+            continue
+        m = re.match(r"(stem|final_conv)\.(conv\.weight|bn\.\w+)$", name)
+        if m:
+            base = "stem" if m.group(1) == "stem" else "head_conv"
+            rest = m.group(2)
+            if rest == "conv.weight":
+                _set(variables, ("params", base, "conv", "kernel"), _conv(v))
+            else:
+                leaf_name = rest.split(".", 1)[1]
+                coll, leaf = _BN_LEAVES[leaf_name]
+                _set(variables, (coll, base, "bn", leaf), v)
+            continue
+        m = re.match(r"stages\.(\d+)\.(\d+)\.(\w+)\.(conv\.weight|bn\.\w+)$",
+                     name)
+        if not m:
+            continue
+        blk = f"s{m.group(1)}_b{m.group(2)}"
+        sub, rest = m.group(3), m.group(4)
+        # conv2_kxk: basic blocks use our ConvBN 'c2'; bottlenecks use a
+        # bare conv 'c2' + separate 'bn2'. Distinguish by sibling keys.
+        if sub == "conv2_kxk":
+            is_bottle = f"stages.{m.group(1)}.{m.group(2)}." \
+                        "conv3_1x1.conv.weight" in state_dict
+            if rest == "conv.weight":
+                path = (("params", blk, "c2", "kernel") if is_bottle
+                        else ("params", blk, "c2", "conv", "kernel"))
+                _set(variables, path, _conv(v))
+            else:
+                leaf_name = rest.split(".", 1)[1]
+                coll, leaf = _BN_LEAVES[leaf_name]
+                path = ((coll, blk, "bn2", leaf) if is_bottle
+                        else (coll, blk, "c2", "bn", leaf))
+                _set(variables, path, v)
+            continue
+        tgt = conv_map.get(sub)
+        if tgt is None:
+            continue
+        if rest == "conv.weight":
+            _set(variables, ("params", blk) + tgt + ("conv", "kernel"),
+                 _conv(v))
+        else:
+            leaf_name = rest.split(".", 1)[1]
+            coll, leaf = _BN_LEAVES[leaf_name]
+            _set(variables, (coll, blk) + tgt + ("bn", leaf), v)
+    return variables

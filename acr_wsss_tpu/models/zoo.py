@@ -208,8 +208,18 @@ ZOO_URLS: Dict[str, str] = {
     # BiT preact ResNetV2 (reference cfg models/resnetv2.py:56-67; TF npz)
     "resnetv2_50x1_bitm": "https://storage.googleapis.com/bit_models/BiT-M-R50x1-ILSVRC2012.npz",
     "resnetv2_101x1_bitm": "https://storage.googleapis.com/bit_models/BiT-M-R101x1-ILSVRC2012.npz",
-    # RepVGG (reference cfg models/byobnet.py:66-67)
+    # RepVGG + GENet (reference cfg models/byobnet.py:57-89)
     "repvgg_a2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-repvgg-weights/repvgg_a2-c1ee6d2b.pth",
+    "repvgg_b0": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-repvgg-weights/repvgg_b0-80ac3f1b.pth",
+    "repvgg_b1": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-repvgg-weights/repvgg_b1-77ca2989.pth",
+    "repvgg_b1g4": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-repvgg-weights/repvgg_b1g4-abde5d92.pth",
+    "repvgg_b2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-repvgg-weights/repvgg_b2-25b7494e.pth",
+    "repvgg_b2g4": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-repvgg-weights/repvgg_b2g4-165a85f2.pth",
+    "repvgg_b3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-repvgg-weights/repvgg_b3-199bc50d.pth",
+    "repvgg_b3g4": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-repvgg-weights/repvgg_b3g4-73c370bf.pth",
+    "gernet_s": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-ger-weights/gernet_s-756b4751.pth",
+    "gernet_m": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-ger-weights/gernet_m-0873c53a.pth",
+    "gernet_l": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-ger-weights/gernet_l-f31e2e8d.pth",
     # RegNet (reference cfg models/regnet.py:71-96)
     "regnetx_002": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-regnet/regnetx_002-e7e85e5c.pth",
     "regnety_002": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-regnet/regnety_002-e68ca334.pth",
@@ -594,6 +604,10 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import densenet_state_dict_to_flax
 
         return densenet_state_dict_to_flax(state)
+    if backbone.startswith("gernet"):
+        from acr_wsss_tpu.models.convert import gernet_state_dict_to_flax
+
+        return gernet_state_dict_to_flax(state)
     if backbone.startswith("repvgg"):
         from acr_wsss_tpu.models.convert import repvgg_state_dict_to_flax
 

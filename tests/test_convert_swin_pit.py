@@ -1962,3 +1962,68 @@ def test_xception65_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_gernet_converted_forward_parity():
+    """GENet-small (byobnet.py:154-166: 5 stages; depthwise expansion-3
+    bottles in the tail, 13-wide stem, 1920 final conv) ->
+    ByobNet(gernet_s): eval-mode logits parity through the byobnet
+    conv-block converter."""
+    import torch
+
+    byo = _load_vendored("byobnet")
+    torch.manual_seed(151)
+    ref = byo.gernet_s(pretrained=False)
+    rng = np.random.default_rng(151)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import gernet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = gernet_state_dict_to_flax(ref.state_dict())
+    model = create_model("gernet_s", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_repvgg_g4_converted_forward_parity():
+    """repvgg_b1g4 (byobnet.py:121-126: every 2nd block of a stage groups
+    both branch convs by 4) -> ByobNet rep blocks with
+    alt_group_divisor=4: eval-mode logits parity."""
+    import torch
+
+    byo = _load_vendored("byobnet")
+    torch.manual_seed(157)
+    ref = byo.repvgg_b1g4(pretrained=False)
+    rng = np.random.default_rng(157)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import repvgg_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = repvgg_state_dict_to_flax(ref.state_dict())
+    model = create_model("repvgg_b1g4", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-3)
