@@ -400,11 +400,18 @@ class SelectiveKernelBasicBlock(nn.Module):
 
 
 class SKResNet(nn.Module):
-    """Basic-block SK-ResNet (reference ``models/sknet.py:150-176``:
-    skresnet18/34 — split_input SK convs on a standard ResNet stem)."""
+    """SK-ResNet trunk (reference ``models/sknet.py:150-220``): basic
+    blocks for skresnet18/34, SelectiveKernelBottleneck for
+    skresnet50(d)/skresnext50; optional deep stem + avg-down (50d)."""
 
     num_classes: int = 1000
     layers: Sequence[int] = (2, 2, 2, 2)
+    bottleneck: bool = False
+    cardinality: int = 1
+    base_width: int = 64
+    split_input: bool = True
+    deep_stem: bool = False
+    avg_down: bool = False
     dtype: Any = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -412,15 +419,29 @@ class SKResNet(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = x.astype(self.dtype)
-        x = ConvBN(64, 7, 2, name="stem", **kw)(x, train)
+        if self.deep_stem:
+            x = ConvBN(32, 3, 2, name="stem0", **kw)(x, train)
+            x = ConvBN(32, 3, 1, name="stem1", **kw)(x, train)
+            x = ConvBN(64, 3, 1, name="stem2", **kw)(x, train)
+        else:
+            x = ConvBN(64, 7, 2, name="stem", **kw)(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
         taps: Dict[int, jnp.ndarray] = {}
         for si, depth in enumerate(self.layers):
             planes = 64 * (2 ** si)
             for bi in range(depth):
-                x = SelectiveKernelBasicBlock(
-                    planes, stride=2 if bi == 0 and si > 0 else 1,
-                    name=f"layer{si + 1}_{bi}", **kw)(x, train)
+                if self.bottleneck:
+                    x = SelectiveKernelBottleneckBlock(
+                        planes, stride=2 if bi == 0 and si > 0 else 1,
+                        cardinality=self.cardinality,
+                        base_width=self.base_width,
+                        split_input=self.split_input,
+                        avg_down=self.avg_down,
+                        name=f"layer{si + 1}_{bi}", **kw)(x, train)
+                else:
+                    x = SelectiveKernelBasicBlock(
+                        planes, stride=2 if bi == 0 and si > 0 else 1,
+                        name=f"layer{si + 1}_{bi}", **kw)(x, train)
             taps[si] = x
         pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         logits = nn.Dense(self.num_classes, dtype=jnp.float32,
@@ -698,3 +719,106 @@ _register_attn("resnest50d_4s2x40d",
                functools.partial(ResNeStBottleneck, radix=4, cardinality=2,
                                  base_width=40, avd_first=True),
                layers=(3, 4, 6, 3), deep_stem=True)
+
+
+class SelectiveKernelBottleneckBlock(nn.Module):
+    """timm SelectiveKernelBottleneck (reference ``models/sknet.py:94-139``):
+    1x1 -> SK conv (two 3x3 paths dil 1/2, cardinality-grouped, optional
+    split_input) -> 1x1, post-add ReLU. Path/attn submodule names match
+    SelectiveKernelBasicBlock so one converter covers both."""
+
+    planes: int                    # bottleneck planes; out = planes * 4
+    stride: int = 1
+    cardinality: int = 1
+    base_width: int = 64
+    split_input: bool = True
+    avg_down: bool = False
+    dtype: Any = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import math as _math
+
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        in_chs = x.shape[-1]
+        out_chs = self.planes * 4
+        width = int(_math.floor(self.planes * (self.base_width / 64))
+                    ) * self.cardinality
+        shortcut = x
+        if self.stride != 1 or in_chs != out_chs:
+            if self.avg_down:
+                s = x
+                if self.stride != 1:
+                    s = nn.avg_pool(s, (2, 2), strides=(2, 2))
+                shortcut = ConvBN(out_chs, 1, 1, apply_act=False,
+                                  name="downsample", **kw)(s, train)
+            else:
+                shortcut = ConvBN(out_chs, 1, self.stride, apply_act=False,
+                                  name="downsample", **kw)(x, train)
+        y = ConvBN(width, 1, name="conv1", **kw)(x, train)
+        # SK conv (selective_kernel.py): split_input halves the input per
+        # path; paths are cardinality-grouped 3x3s
+        nsplit = 2 if self.split_input else 1
+        half = width // 2
+        paths = []
+        for pi, dil in enumerate((1, 2)):
+            src = (y[..., pi * half:(pi + 1) * half]
+                   if self.split_input else y)
+            p = nn.Conv(width, (3, 3), strides=(self.stride,) * 2,
+                        padding=[(dil, dil)] * 2, kernel_dilation=(dil, dil),
+                        feature_group_count=self.cardinality, use_bias=False,
+                        dtype=self.dtype, name=f"path{pi}_conv")(src)
+            p = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             axis_name=self.bn_axis_name if train else None,
+                             name=f"path{pi}_bn")(p)
+            paths.append(nn.relu(p).astype(self.dtype))
+        del nsplit
+        stacked = jnp.stack(paths, axis=1)
+        pooled = jnp.mean(jnp.sum(stacked.astype(jnp.float32), axis=1),
+                          axis=(1, 2), keepdims=True)
+        # bottleneck sk_kwargs default: attn_reduction 16, min 32
+        # (selective_kernel.py:51,104; the basic blocks use 8/16)
+        attn_chs = max(width // 16, 32)
+        a = nn.Conv(attn_chs, (1, 1), use_bias=False, dtype=jnp.float32,
+                    name="attn_reduce")(pooled)
+        a = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="attn_bn")(a)
+        a = nn.Conv(2 * width, (1, 1), use_bias=False, dtype=jnp.float32,
+                    name="attn_select")(nn.relu(a))
+        a = nn.softmax(a.reshape(a.shape[0], 2, 1, 1, width), axis=1)
+        y = jnp.sum(stacked * a.astype(stacked.dtype), axis=1)
+        y = ConvBN(out_chs, 1, apply_act=False, name="conv3", **kw)(y, train)
+        return nn.relu(y + shortcut).astype(self.dtype)
+
+
+@register_model
+def skresnet50(**kwargs):
+    # sknet.py:184-194: split-input SK bottlenecks
+    kwargs.setdefault("layers", (3, 4, 6, 3))
+    kwargs.setdefault("bottleneck", True)
+    return SKResNet(**kwargs)
+
+
+@register_model
+def skresnet50d(**kwargs):
+    # sknet.py:197-208: + deep stem, avg-down
+    kwargs.setdefault("layers", (3, 4, 6, 3))
+    kwargs.setdefault("bottleneck", True)
+    kwargs.setdefault("deep_stem", True)
+    kwargs.setdefault("avg_down", True)
+    return SKResNet(**kwargs)
+
+
+@register_model
+def skresnext50_32x4d(**kwargs):
+    # sknet.py:211-220: cardinality 32, base_width 4, NO split_input
+    kwargs.setdefault("layers", (3, 4, 6, 3))
+    kwargs.setdefault("bottleneck", True)
+    kwargs.setdefault("cardinality", 32)
+    kwargs.setdefault("base_width", 4)
+    kwargs.setdefault("split_input", False)
+    return SKResNet(**kwargs)

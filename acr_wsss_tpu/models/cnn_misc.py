@@ -252,6 +252,44 @@ class DlaBasic(nn.Module):
         return nn.relu(y + shortcut).astype(self.dtype)
 
 
+class DlaBottleneck(nn.Module):
+    """DLA/DLA-X bottleneck (reference ``models/dla.py:82-121``):
+    mid = floor(out * base_width/64) * cardinality // 2, grouped 3x3;
+    the shortcut is supplied by the tree like DlaBasic."""
+
+    out_chs: int
+    stride: int = 1
+    cardinality: int = 1
+    base_width: int = 64
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, shortcut, train: bool = False):
+        import math as _math
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32,
+                axis_name=self.bn_axis_name if train else None, name=name)
+
+        mid = int(_math.floor(self.out_chs * (self.base_width / 64))
+                  ) * self.cardinality // 2
+        y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.relu(bn("bn1")(y)).astype(self.dtype)
+        y = nn.Conv(mid, (3, 3), strides=(self.stride,) * 2,
+                    padding=[(1, 1)] * 2,
+                    feature_group_count=self.cardinality, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = nn.relu(bn("bn2")(y)).astype(self.dtype)
+        y = nn.Conv(self.out_chs, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = bn("bn3")(y)
+        return nn.relu(y + shortcut).astype(self.dtype)
+
+
 class DlaTree(nn.Module):
     """Hierarchical aggregation tree (reference ``models/dla.py:206-253``):
     levels==1 runs two basic blocks joined by a root 1x1 (concat order
@@ -263,12 +301,23 @@ class DlaTree(nn.Module):
     out_chs: int
     stride: int = 2
     level_root: bool = False
+    block: Any = DlaBasic
+    cardinality: int = 1
+    base_width: int = 64
+    root_residual: bool = False   # shortcut_root (dla.py:199-200)
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, children=None, train: bool = False):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        blk_kw = dict(kw)
+        if self.block is DlaBottleneck:
+            blk_kw.update(cardinality=self.cardinality,
+                          base_width=self.base_width)
+        tree_kw = dict(block=self.block, cardinality=self.cardinality,
+                       base_width=self.base_width,
+                       root_residual=self.root_residual, **kw)
         children = list(children) if children else []
         bottom = (nn.max_pool(x, (self.stride,) * 2,
                               strides=(self.stride,) * 2)
@@ -286,10 +335,10 @@ class DlaTree(nn.Module):
                     epsilon=1e-5, dtype=jnp.float32,
                     axis_name=self.bn_axis_name if train else None,
                     name="project_bn")(shortcut).astype(self.dtype)
-            x1 = DlaBasic(self.out_chs, self.stride, name="tree1",
-                          **kw)(x, shortcut, train)
-            x2 = DlaBasic(self.out_chs, 1, name="tree2",
-                          **kw)(x1, x1, train)
+            x1 = self.block(self.out_chs, self.stride, name="tree1",
+                            **blk_kw)(x, shortcut, train)
+            x2 = self.block(self.out_chs, 1, name="tree2",
+                            **blk_kw)(x1, x1, train)
             cat = jnp.concatenate([x2, x1, *children], axis=-1)
             y = nn.Conv(self.out_chs, (1, 1), use_bias=False,
                         dtype=self.dtype, name="root_conv")(cat)
@@ -297,12 +346,14 @@ class DlaTree(nn.Module):
                              epsilon=1e-5, dtype=jnp.float32,
                              axis_name=self.bn_axis_name if train else None,
                              name="root_bn")(y)
+            if self.root_residual:
+                y = y + x2.astype(y.dtype)
             return nn.relu(y).astype(self.dtype)
         x1 = DlaTree(self.levels - 1, self.out_chs, self.stride,
-                     name="tree1", **kw)(x, train=train)
+                     name="tree1", **tree_kw)(x, train=train)
         children.append(x1)
         return DlaTree(self.levels - 1, self.out_chs, 1, name="tree2",
-                       **kw)(x1, children, train=train)
+                       **tree_kw)(x1, children, train=train)
 
 
 class DLA(nn.Module):
@@ -313,6 +364,10 @@ class DLA(nn.Module):
     num_classes: int = 1000
     levels: Sequence[int] = (1, 1, 1, 2, 2, 1)
     channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
+    block: Any = DlaBasic
+    cardinality: int = 1
+    base_width: int = 64
+    shortcut_root: bool = False
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -330,8 +385,11 @@ class DLA(nn.Module):
         taps: Dict[int, jnp.ndarray] = {}
         for li in range(2, 6):
             x = DlaTree(self.levels[li], ch[li], 2,
-                        level_root=li > 2, name=f"level{li}",
-                        **kw)(x, train=train)
+                        level_root=li > 2, block=self.block,
+                        cardinality=self.cardinality,
+                        base_width=self.base_width,
+                        root_residual=self.shortcut_root,
+                        name=f"level{li}", **kw)(x, train=train)
             taps[li - 2] = x
         pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         logits = nn.Dense(self.num_classes, dtype=jnp.float32,
@@ -428,6 +486,8 @@ class OSABlock(nn.Module):
     n_convs: int = 5
     residual: bool = False
     ese: bool = False
+    depthwise: bool = False   # 19b_dw cfgs: separable mid convs
+    eca: bool = False         # eca_vovnet39b: ECA instead of EffectiveSE
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -436,11 +496,27 @@ class OSABlock(nn.Module):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         outs = [x]
         y = x
+        if self.depthwise and x.shape[-1] != self.mid_chs:
+            # vovnet.py:191-195 conv_reduction (asserts no residual)
+            y = ConvBN(self.mid_chs, 1, name="conv_reduction", **kw)(y, train)
         for i in range(self.n_convs):
-            y = ConvBN(self.mid_chs, 3, name=f"c{i}", **kw)(y, train)
+            if self.depthwise:
+                # SeparableConvBnAct (layers/separable_conv.py:14-31):
+                # bias-free dw 3x3 then pw 1x1, ONE bn+act after the pw
+                y = nn.Conv(self.mid_chs, (3, 3), padding=[(1, 1)] * 2,
+                            feature_group_count=self.mid_chs,
+                            use_bias=False, dtype=self.dtype,
+                            name=f"c{i}_dw")(y)
+                y = ConvBN(self.mid_chs, 1, name=f"c{i}", **kw)(y, train)
+            else:
+                y = ConvBN(self.mid_chs, 3, name=f"c{i}", **kw)(y, train)
             outs.append(y)
         y = jnp.concatenate(outs, axis=-1)
         y = ConvBN(self.out_chs, 1, name="concat_conv", **kw)(y, train)
+        if self.eca:
+            from acr_wsss_tpu.models.resnet_timm import EcaModule
+
+            y = EcaModule(self.out_chs, dtype=self.dtype, name="attn")(y)
         if self.ese:
             # EffectiveSE (layers/se.py:38-50): full-width 1x1 + hard sigmoid
             s = jnp.mean(y.astype(jnp.float32), axis=(1, 2), keepdims=True)
@@ -461,8 +537,12 @@ class VoVNet(nn.Module):
     stage_blocks: Sequence[int] = (1, 1, 2, 2)
     mid_widths: Sequence[int] = (128, 160, 192, 224)
     out_widths: Sequence[int] = (256, 512, 768, 1024)
+    n_convs: int = 5
+    stem_chs: Sequence[int] = (64, 64, 128)
     residual: bool = False
     ese: bool = False
+    depthwise: bool = False
+    eca: bool = False
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -470,9 +550,22 @@ class VoVNet(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = x.astype(self.dtype)
-        x = ConvBN(64, 3, 2, name="stem1", **kw)(x, train)
-        x = ConvBN(64, 3, 1, name="stem2", **kw)(x, train)
-        x = ConvBN(128, 3, 2, name="stem3", **kw)(x, train)
+        sc = self.stem_chs
+        x = ConvBN(sc[0], 3, 2, name="stem1", **kw)(x, train)
+        if self.depthwise:
+            # depthwise cfgs use separable stem convs 2/3 (vovnet.py:281)
+            x = nn.Conv(sc[0], (3, 3), padding=[(1, 1)] * 2,
+                        feature_group_count=sc[0], use_bias=False,
+                        dtype=self.dtype, name="stem2_dw")(x)
+            x = ConvBN(sc[1], 1, name="stem2", **kw)(x, train)
+            x = nn.Conv(sc[1], (3, 3), strides=(2, 2),
+                        padding=[(1, 1)] * 2, feature_group_count=sc[1],
+                        use_bias=False, dtype=self.dtype,
+                        name="stem3_dw")(x)
+            x = ConvBN(sc[2], 1, name="stem3", **kw)(x, train)
+        else:
+            x = ConvBN(sc[1], 3, 1, name="stem2", **kw)(x, train)
+            x = ConvBN(sc[2], 3, 2, name="stem3", **kw)(x, train)
         taps: Dict[int, jnp.ndarray] = {}
         for si, (nb, mw, ow) in enumerate(zip(
                 self.stage_blocks, self.mid_widths, self.out_widths)):
@@ -482,9 +575,11 @@ class VoVNet(nn.Module):
                 x = nn.max_pool(x, (3, 3), strides=(2, 2),
                                 padding=[(0, 1), (0, 1)])
             for bi in range(nb):
-                x = OSABlock(mw, ow,
+                x = OSABlock(mw, ow, n_convs=self.n_convs,
                              residual=self.residual and bi > 0,
                              ese=self.ese and bi == nb - 1,
+                             eca=self.eca and bi == nb - 1,
+                             depthwise=self.depthwise,
                              name=f"s{si}_osa{bi}", **kw)(x, train)
             taps[si] = x
         return {"logits": _head(x, self.num_classes), "features": x,
@@ -1237,3 +1332,89 @@ def tresnet_xl_448(**kwargs):
     kwargs.setdefault("layers", (4, 5, 24, 3))
     kwargs.setdefault("width", int(64 * 1.3))
     return TResNet(**kwargs)
+
+
+# DLA variant sweep (reference dla.py:372-441; dla60_res2net/_res2next
+# use the Bottle2neck hybrid and are intentionally absent)
+_DLA_CFGS = {
+    "dla46_c": dict(levels=(1, 1, 1, 2, 2, 1),
+                    channels=(16, 32, 64, 64, 128, 256),
+                    block=DlaBottleneck),
+    "dla46x_c": dict(levels=(1, 1, 1, 2, 2, 1),
+                     channels=(16, 32, 64, 64, 128, 256),
+                     block=DlaBottleneck, cardinality=32, base_width=4),
+    "dla60x_c": dict(levels=(1, 1, 1, 2, 3, 1),
+                     channels=(16, 32, 64, 64, 128, 256),
+                     block=DlaBottleneck, cardinality=32, base_width=4),
+    "dla60": dict(levels=(1, 1, 1, 2, 3, 1),
+                  channels=(16, 32, 128, 256, 512, 1024),
+                  block=DlaBottleneck),
+    "dla60x": dict(levels=(1, 1, 1, 2, 3, 1),
+                   channels=(16, 32, 128, 256, 512, 1024),
+                   block=DlaBottleneck, cardinality=32, base_width=4),
+    "dla102": dict(levels=(1, 1, 1, 3, 4, 1),
+                   channels=(16, 32, 128, 256, 512, 1024),
+                   block=DlaBottleneck, shortcut_root=True),
+    "dla102x": dict(levels=(1, 1, 1, 3, 4, 1),
+                    channels=(16, 32, 128, 256, 512, 1024),
+                    block=DlaBottleneck, cardinality=32, base_width=4,
+                    shortcut_root=True),
+    "dla102x2": dict(levels=(1, 1, 1, 3, 4, 1),
+                     channels=(16, 32, 128, 256, 512, 1024),
+                     block=DlaBottleneck, cardinality=64, base_width=4,
+                     shortcut_root=True),
+    "dla169": dict(levels=(1, 1, 2, 3, 5, 1),
+                   channels=(16, 32, 128, 256, 512, 1024),
+                   block=DlaBottleneck, shortcut_root=True),
+}
+
+
+def _register_dla(name, cfg):
+    def builder(**kwargs):
+        for k, v in cfg.items():
+            kwargs.setdefault(k, v)
+        return DLA(**kwargs)
+
+    builder.__name__ = name
+    register_model(builder)
+
+
+for _n, _cfg in _DLA_CFGS.items():
+    _register_dla(_n, _cfg)
+
+
+# VoVNet variant sweep (reference vovnet.py:29-135 model_cfgs; the
+# evos/iabn exotic-norm cfgs have no weights upstream and are absent)
+_VOVNET_CFGS = {
+    "vovnet57a": dict(stage_blocks=(1, 1, 4, 3)),
+    "ese_vovnet19b_slim_dw": dict(
+        stage_blocks=(1, 1, 1, 1), mid_widths=(64, 80, 96, 112),
+        out_widths=(112, 256, 384, 512), n_convs=3,
+        stem_chs=(64, 64, 64), residual=True, ese=True, depthwise=True),
+    "ese_vovnet19b_dw": dict(
+        stage_blocks=(1, 1, 1, 1), n_convs=3, stem_chs=(64, 64, 64),
+        residual=True, ese=True, depthwise=True),
+    "ese_vovnet19b_slim": dict(
+        stage_blocks=(1, 1, 1, 1), mid_widths=(64, 80, 96, 112),
+        out_widths=(112, 256, 384, 512), n_convs=3,
+        residual=True, ese=True),
+    "ese_vovnet57b": dict(stage_blocks=(1, 1, 4, 3), residual=True,
+                          ese=True),
+    "ese_vovnet99b": dict(stage_blocks=(1, 3, 9, 3), residual=True,
+                          ese=True),
+    "eca_vovnet39b": dict(residual=True, eca=True),
+}
+
+
+def _register_vovnet(name, cfg):
+    def builder(**kwargs):
+        for k, v in cfg.items():
+            kwargs.setdefault(k, v)
+        return VoVNet(**kwargs)
+
+    builder.__name__ = name
+    register_model(builder)
+
+
+for _n, _cfg in _VOVNET_CFGS.items():
+    _register_vovnet(_n, _cfg)

@@ -1673,10 +1673,15 @@ def _map_vovnet_name(name: str):
     if m:
         leaf = "kernel" if m.group(1) == "weight" else "bias"
         return ("params", "fc", leaf), (_linear if leaf == "kernel" else ident)
-    m = re.match(r"stem\.(\d)\.(conv\.weight|bn\.(.+))$", name)
+    m = re.match(r"stem\.(\d)\.(conv\.weight|conv_dw\.weight|"
+                 r"conv_pw\.weight|bn\.(.+))$", name)
     if m:
         base = f"stem{int(m.group(1)) + 1}"
         if m.group(2) == "conv.weight":
+            return ("params", base, "conv", "kernel"), _conv
+        if m.group(2) == "conv_dw.weight":   # separable stems (19b_dw)
+            return ("params", f"{base}_dw", "kernel"), _conv
+        if m.group(2) == "conv_pw.weight":
             return ("params", base, "conv", "kernel"), _conv
         if m.group(3) in _BN_LEAVES:
             coll, leaf = _BN_LEAVES[m.group(3)]
@@ -1687,7 +1692,20 @@ def _map_vovnet_name(name: str):
         return None
     base = f"s{m.group(1)}_osa{m.group(2)}"
     rest = m.group(3)
+    mm = re.match(r"conv_reduction\.conv\.weight$", rest)
+    if mm:
+        return ("params", base, "conv_reduction", "conv", "kernel"), _conv
+    mm = re.match(r"conv_reduction\.bn\.(.+)$", rest)
+    if mm and mm.group(1) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[mm.group(1)]
+        return (coll, base, "conv_reduction", "bn", leaf), ident
     mm = re.match(r"conv_mid\.(\d)\.conv\.weight$", rest)
+    if mm:
+        return ("params", base, f"c{mm.group(1)}", "conv", "kernel"), _conv
+    mm = re.match(r"conv_mid\.(\d)\.conv_dw\.weight$", rest)
+    if mm:
+        return ("params", base, f"c{mm.group(1)}_dw", "kernel"), _conv
+    mm = re.match(r"conv_mid\.(\d)\.conv_pw\.weight$", rest)
     if mm:
         return ("params", base, f"c{mm.group(1)}", "conv", "kernel"), _conv
     mm = re.match(r"conv_mid\.(\d)\.bn\.(.+)$", rest)
@@ -2253,7 +2271,9 @@ def sknet_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
     SK conv paths ``conv1.paths.{i}`` -> ``path{i}_{conv,bn}``; the
     path-softmax attention ``conv1.attn.{fc_reduce,bn,fc_select}`` ->
     ``attn_{reduce,bn,select}``; ``conv2``/``downsample.{0,1}``/stem/fc
-    follow the standard ResNet mapping."""
+    follow the standard ResNet mapping. Bottleneck variants (SK at
+    conv2) and the 50d deep stem / avg-down layouts map too."""
+    deep_stem = "conv1.6.weight" in state_dict
     variables: Dict = {}
     for name, value in state_dict.items():
         if name.endswith("num_batches_tracked"):
@@ -2261,7 +2281,7 @@ def sknet_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
         v = (value.detach().cpu().numpy()
              if hasattr(value, "detach") else np.asarray(value))
         v = v.astype(np.float32)
-        mapped = _map_sknet_name(name)
+        mapped = _map_sknet_name(name, v.ndim, deep_stem=deep_stem)
         if mapped is None:
             continue
         leaf_path, transform = mapped
@@ -2269,14 +2289,26 @@ def sknet_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
     return variables
 
 
-def _map_sknet_name(name: str):
+def _map_sknet_name(name: str, ndim: int = 1, deep_stem: bool = False):
     ident = lambda x: x
     if name == "conv1.weight":
         return ("params", "stem", "conv", "kernel"), _conv
+    m = re.match(r"conv1\.(\d)\.(.+)$", name)
+    if m:  # deep stem (skresnet50d): conv1.{0,3,6} convs, {1,4} bns
+        idx, rest = m.group(1), m.group(2)
+        stem_i = {"0": 0, "1": 0, "3": 1, "4": 1, "6": 2}[idx]
+        if rest == "weight" and ndim == 4:
+            return ("params", f"stem{stem_i}", "conv", "kernel"), _conv
+        if rest in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[rest]
+            return (coll, f"stem{stem_i}", "bn", leaf), ident
+        return None
     m = re.match(r"bn1\.(.+)$", name)
     if m and m.group(1) in _BN_LEAVES:
+        # top-level bn1 closes the stem: the 7x7 ConvBN, or stem2 of a
+        # deep stem
         coll, leaf = _BN_LEAVES[m.group(1)]
-        return (coll, "stem", "bn", leaf), ident
+        return (coll, "stem2" if deep_stem else "stem", "bn", leaf), ident
     m = re.match(r"fc\.(weight|bias)$", name)
     if m:
         leaf = "kernel" if m.group(1) == "weight" else "bias"
@@ -2302,19 +2334,40 @@ def _map_sknet_name(name: str):
     if mm and mm.group(1) in _BN_LEAVES:
         coll, leaf = _BN_LEAVES[mm.group(1)]
         return (coll, base, "attn_bn", leaf), ident
-    mm = re.match(r"conv2\.(conv\.weight|bn\.(.+))$", rest)
+    # bottleneck blocks (skresnet50/50d/skresnext50): the SK conv sits at
+    # conv2 (paths/attn), conv1/conv3 are plain ConvBnActs
+    mm = re.match(r"conv2\.paths\.(\d)\.(conv\.weight|bn\.(.+))$", rest)
     if mm:
-        if mm.group(1) == "conv.weight":
-            return ("params", base, "conv2", "conv", "kernel"), _conv
-        if mm.group(2) in _BN_LEAVES:
-            coll, leaf = _BN_LEAVES[mm.group(2)]
-            return (coll, base, "conv2", "bn", leaf), ident
+        if mm.group(2) == "conv.weight":
+            return ("params", base, f"path{mm.group(1)}_conv",
+                    "kernel"), _conv
+        if mm.group(3) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[mm.group(3)]
+            return (coll, base, f"path{mm.group(1)}_bn", leaf), ident
+        return None
+    mm = re.match(r"conv2\.attn\.fc_(reduce|select)\.weight$", rest)
+    if mm:
+        return ("params", base, f"attn_{mm.group(1)}", "kernel"), _conv
+    mm = re.match(r"conv2\.attn\.bn\.(.+)$", rest)
+    if mm and mm.group(1) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[mm.group(1)]
+        return (coll, base, "attn_bn", leaf), ident
+    mm = re.match(r"(conv1|conv2|conv3)\.(conv\.weight|bn\.(.+))$", rest)
+    if mm:
+        if mm.group(2) == "conv.weight":
+            return ("params", base, mm.group(1), "conv", "kernel"), _conv
+        if mm.group(3) in _BN_LEAVES:
+            coll, leaf = _BN_LEAVES[mm.group(3)]
+            return (coll, base, mm.group(1), "bn", leaf), ident
         return None
     if rest == "downsample.0.weight":
         return ("params", base, "downsample", "conv", "kernel"), _conv
-    mm = re.match(r"downsample\.1\.(.+)$", rest)
-    if mm and mm.group(1) in _BN_LEAVES:
-        coll, leaf = _BN_LEAVES[mm.group(1)]
+    if rest == "downsample.1.weight" and ndim == 4:
+        # avg-down (50d): .0 is the param-free pool, .1 the conv
+        return ("params", base, "downsample", "conv", "kernel"), _conv
+    mm = re.match(r"downsample\.(1|2)\.(.+)$", rest)
+    if mm and mm.group(2) in _BN_LEAVES:
+        coll, leaf = _BN_LEAVES[mm.group(2)]
         return (coll, base, "downsample", "bn", leaf), ident
     return None
 

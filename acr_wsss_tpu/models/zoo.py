@@ -105,6 +105,19 @@ ZOO_URLS: Dict[str, str] = {
     # SK-ResNet (reference cfg models/sknet.py:29-39)
     "skresnet18": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/skresnet18_ra-4eec2804.pth",
     "skresnet34": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/skresnet34_ra-bdc0ccde.pth",
+    "skresnext50_32x4d": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/skresnext50_ra-f40e40bf.pth",
+    # ese_vovnet19b_dw (reference cfg models/vovnet.py:152-153)
+    "ese_vovnet19b_dw": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/ese_vovnet19b_dw-a8741004.pth",
+    # DLA variant zoo (reference cfg models/dla.py:27-48)
+    "dla46_c": "http://dl.yf.io/dla/models/imagenet/dla46_c-2bfd52c3.pth",
+    "dla46x_c": "http://dl.yf.io/dla/models/imagenet/dla46x_c-d761bae7.pth",
+    "dla60x_c": "http://dl.yf.io/dla/models/imagenet/dla60x_c-b870c45c.pth",
+    "dla60": "http://dl.yf.io/dla/models/imagenet/dla60-24839fc4.pth",
+    "dla60x": "http://dl.yf.io/dla/models/imagenet/dla60x-d15cacda.pth",
+    "dla102": "http://dl.yf.io/dla/models/imagenet/dla102-d94d9790.pth",
+    "dla102x": "http://dl.yf.io/dla/models/imagenet/dla102x-ad62be81.pth",
+    "dla102x2": "http://dl.yf.io/dla/models/imagenet/dla102x2-262837b6.pth",
+    "dla169": "http://dl.yf.io/dla/models/imagenet/dla169-0914e092.pth",
     # CoaT-Lite (reference cfg models/coat.py:37-44)
     "coat_lite_tiny": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-coat-weights/coat_lite_tiny-461b07a7.pth",
     "coat_lite_mini": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-coat-weights/coat_lite_mini-d7842000.pth",
@@ -631,7 +644,7 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import dm_nfnet_state_dict_to_flax
 
         return dm_nfnet_state_dict_to_flax(state)
-    if backbone.startswith("skresnet"):
+    if backbone.startswith(("skresnet", "skresnext")):
         from acr_wsss_tpu.models.convert import sknet_state_dict_to_flax
 
         return sknet_state_dict_to_flax(state)

@@ -2027,3 +2027,164 @@ def test_repvgg_g4_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=1e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_dla60x_c_converted_forward_parity():
+    """dla60x_c (dla.py:389-393: DlaBottleneck with cardinality 32 /
+    base_width 4, 3-level tree) -> DLA(block=DlaBottleneck): eval-mode
+    logits parity incl. the grouped mid conv and deep recursion."""
+    import torch
+
+    dla = _load_vendored("dla")
+    torch.manual_seed(163)
+    ref = dla.dla60x_c(pretrained=False)
+    rng = np.random.default_rng(163)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import dla_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = dla_state_dict_to_flax(ref.state_dict())
+    model = create_model("dla60x_c", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_dla102_converted_forward_parity():
+    """dla102 (dla.py:413-417: shortcut_root=True adds x2 into every root
+    before the relu, 4-level trees) -> DLA(shortcut_root=True)."""
+    import torch
+
+    dla = _load_vendored("dla")
+    torch.manual_seed(167)
+    ref = dla.dla102(pretrained=False)
+    rng = np.random.default_rng(167)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import dla_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = dla_state_dict_to_flax(ref.state_dict())
+    model = create_model("dla102", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_ese_vovnet19b_dw_converted_forward_parity():
+    """ese_vovnet19b_dw (vovnet.py:61-71: separable stem 2/3 and mid
+    convs, conv_reduction on width change, EffectiveSE) ->
+    VoVNet(depthwise=True): eval-mode logits parity."""
+    import torch
+
+    vov = _load_vendored("vovnet")
+    torch.manual_seed(173)
+    ref = vov.ese_vovnet19b_dw(pretrained=False)
+    rng = np.random.default_rng(173)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import vovnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = vovnet_state_dict_to_flax(ref.state_dict())
+    model = create_model("ese_vovnet19b_dw", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_skresnext50_converted_forward_parity():
+    """skresnext50_32x4d (sknet.py:211-220: SK bottlenecks with
+    cardinality-32 grouped paths, NO input split, attn reduction 16/32)
+    -> SKResNet(bottleneck=True): eval-mode logits parity."""
+    import torch
+
+    sk = _load_vendored("sknet")
+    torch.manual_seed(179)
+    ref = sk.skresnext50_32x4d(pretrained=False)
+    rng = np.random.default_rng(179)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import sknet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = sknet_state_dict_to_flax(ref.state_dict())
+    model = create_model("skresnext50_32x4d", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_skresnet50d_converted_forward_parity():
+    """skresnet50d (sknet.py:197-208: split-input SK bottlenecks + deep
+    stem + avg-down shortcut) -> SKResNet(deep_stem, avg_down)."""
+    import torch
+
+    sk = _load_vendored("sknet")
+    torch.manual_seed(181)
+    ref = sk.skresnet50d(pretrained=False)
+    rng = np.random.default_rng(181)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import sknet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = sknet_state_dict_to_flax(ref.state_dict())
+    model = create_model("skresnet50d", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-3)
