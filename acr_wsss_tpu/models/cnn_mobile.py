@@ -391,3 +391,16 @@ def _register_regnet(name, depths, widths, gw, se):
 
 for _n, (_d, _w, _g, _s) in _REGNET_CFGS.items():
     _register_regnet(_n, _d, _w, _g, _s)
+
+
+@register_model
+def mobilenetv3_large_100_miil(**kwargs):
+    # same architecture as mobilenetv3_large_100; ImageNet-21K-P recipe
+    # checkpoint (reference mobilenetv3.py:42-52)
+    return MobileNetV3(**kwargs)
+
+
+@register_model
+def mobilenetv3_large_100_miil_in21k(**kwargs):
+    kwargs.setdefault("num_classes", 11221)
+    return MobileNetV3(**kwargs)

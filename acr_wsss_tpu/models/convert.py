@@ -3039,10 +3039,11 @@ def generic_effnet_state_dict_to_flax(
             base, rest = f"blocks_{m.group(1)}_{m.group(2)}", m.group(3)
         else:
             base, rest = None, name
-        mm = re.match(r"(conv_\w+|conv)\.weight$", rest)
+        mm = re.match(r"(conv_\w+|conv)\.(weight|bias)$", rest)
         if mm:
+            leaf = "kernel" if mm.group(2) == "weight" else "bias"
             _set(variables, ("params",) + ((base,) if base else ())
-                 + (mm.group(1), "kernel"), _conv(v))
+                 + (mm.group(1), leaf), _conv(v) if leaf == "kernel" else v)
             continue
         mm = re.match(r"se\.conv_(reduce|expand)\.(weight|bias)$", rest)
         if mm and base:

@@ -166,10 +166,12 @@ def _bn(eps: float, axis_name: Optional[str], train: bool, name: str):
 class _SE(nn.Module):
     """reference ``efficientnet_blocks.py:105-121`` — 1x1 reduce/expand
     convs with bias over the pooled map; reduction base = block INPUT
-    channels (``resolve_se_args`` default, divisor 1)."""
+    channels (``resolve_se_args`` default, divisor 1). MobileNetV3 passes
+    ``reduce_mid=True, divisor=8, gate=hard_sigmoid, act=relu`` instead."""
 
     reduced_chs: int
     act: str = "relu"
+    gate: str = "sigmoid"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -180,7 +182,9 @@ class _SE(nn.Module):
         y = _act_fn(self.act)(y)
         y = nn.Conv(x.shape[-1], (1, 1), dtype=jnp.float32,
                     name="conv_expand")(y)
-        return (x.astype(jnp.float32) * nn.sigmoid(y)).astype(x.dtype)
+        gate = (nn.sigmoid(y) if self.gate == "sigmoid"
+                else jnp.clip(y / 6.0 + 0.5, 0.0, 1.0))   # hard_sigmoid
+        return (x.astype(jnp.float32) * gate).astype(x.dtype)
 
 
 class _DSBlock(nn.Module):
@@ -193,6 +197,10 @@ class _DSBlock(nn.Module):
     act: str = "relu"
     pw_act: bool = False
     noskip: bool = False
+    se_reduce_mid: bool = False
+    se_divisor: int = 1
+    se_gate: str = "sigmoid"
+    se_act: str = ""
     same_pad: bool = False
     bn_eps: float = 1e-5
     dtype: Dtype = jnp.bfloat16
@@ -208,7 +216,9 @@ class _DSBlock(nn.Module):
                     use_bias=False, dtype=self.dtype, name="conv_dw")(x)
         y = act(_bn(self.bn_eps, self.bn_axis_name, train, "bn1")(y))
         if self.se_ratio > 0:
-            y = _SE(make_divisible(in_chs * self.se_ratio, 1), act=self.act,
+            base = in_chs  # ds: mid == in (reduce_mid is the same base)
+            y = _SE(make_divisible(base * self.se_ratio, self.se_divisor),
+                    act=self.se_act or self.act, gate=self.se_gate,
                     dtype=self.dtype, name="se")(y)
         y = nn.Conv(self.out_chs, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv_pw")(y)
@@ -231,6 +241,10 @@ class _IRBlock(nn.Module):
     se_ratio: float = 0.0
     act: str = "relu"
     noskip: bool = False
+    se_reduce_mid: bool = False
+    se_divisor: int = 1
+    se_gate: str = "sigmoid"
+    se_act: str = ""
     same_pad: bool = False
     bn_eps: float = 1e-5
     dtype: Dtype = jnp.bfloat16
@@ -250,7 +264,9 @@ class _IRBlock(nn.Module):
                     use_bias=False, dtype=self.dtype, name="conv_dw")(y)
         y = act(_bn(self.bn_eps, self.bn_axis_name, train, "bn2")(y))
         if self.se_ratio > 0:
-            y = _SE(make_divisible(in_chs * self.se_ratio, 1), act=self.act,
+            base = mid if self.se_reduce_mid else in_chs
+            y = _SE(make_divisible(base * self.se_ratio, self.se_divisor),
+                    act=self.se_act or self.act, gate=self.se_gate,
                     dtype=self.dtype, name="se")(y)
         y = nn.Conv(self.out_chs, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv_pwl")(y)
@@ -272,6 +288,10 @@ class _ERBlock(nn.Module):
     se_ratio: float = 0.0
     act: str = "relu"
     noskip: bool = False
+    se_reduce_mid: bool = False
+    se_divisor: int = 1
+    se_gate: str = "sigmoid"
+    se_act: str = ""
     same_pad: bool = False
     bn_eps: float = 1e-5
     dtype: Dtype = jnp.bfloat16
@@ -288,7 +308,9 @@ class _ERBlock(nn.Module):
                     dtype=self.dtype, name="conv_exp")(x)
         y = act(_bn(self.bn_eps, self.bn_axis_name, train, "bn1")(y))
         if self.se_ratio > 0:
-            y = _SE(make_divisible(in_chs * self.se_ratio, 1), act=self.act,
+            base = mid if self.se_reduce_mid else in_chs
+            y = _SE(make_divisible(base * self.se_ratio, self.se_divisor),
+                    act=self.se_act or self.act, gate=self.se_gate,
                     dtype=self.dtype, name="se")(y)
         y = nn.Conv(self.out_chs, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv_pwl")(y)
@@ -338,6 +360,15 @@ class GenericEfficientNet(nn.Module):
     act: str = "silu"
     bn_eps: float = 1e-5
     same_pad: bool = False
+    # MobileNetV3 head (reference mobilenetv3.py:81-130): no conv_head on
+    # the feature map; instead pool -> biased 1x1 conv_head -> act ->
+    # classifier. SE config per resolve_se_args.
+    mbv3_head: bool = False
+    head_bias: bool = True
+    se_reduce_mid: bool = False
+    se_divisor: int = 1
+    se_gate: str = "sigmoid"
+    se_act: str = ""
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -346,6 +377,9 @@ class GenericEfficientNet(nn.Module):
         stages = decode_arch_def([list(s) for s in self.arch],
                                  self.depth_mult, self.fix_first_last)
         kw = dict(same_pad=self.same_pad, bn_eps=self.bn_eps,
+                  se_reduce_mid=self.se_reduce_mid,
+                  se_divisor=self.se_divisor, se_gate=self.se_gate,
+                  se_act=self.se_act,
                   dtype=self.dtype, bn_axis_name=self.bn_axis_name)
 
         stem_chs = (self.stem_size if self.fix_stem
@@ -391,21 +425,32 @@ class GenericEfficientNet(nn.Module):
                     raise NotImplementedError("ir exp_kernel_size != 1")
                 cls = {"ds": _DSBlock, "dsa": _DSBlock, "ir": _IRBlock,
                        "er": _ERBlock, "cn": _CNBlock}[btype]
+                blk_kw = dict(kw)
                 if btype == "cn":
                     ba.pop("se_ratio", None)
                     ba.pop("noskip", None)
-                x = cls(**ba, **kw, name=f"blocks_{si}_{bi}")(x, train)
+                    for k in ("se_reduce_mid", "se_divisor", "se_gate",
+                              "se_act"):
+                        blk_kw.pop(k)
+                x = cls(**ba, **blk_kw, name=f"blocks_{si}_{bi}")(x, train)
 
         feat = self.num_features or 1280
         if self.scale_features:
             feat = round_channels(feat, self.channel_mult)
-        x = nn.Conv(feat, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv_head")(x)
-        x = _act_fn(self.act)(
-            _bn(self.bn_eps, self.bn_axis_name, train, "bn2")(x))
-        taps[len(taps)] = x
-
-        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        if self.mbv3_head:
+            taps[len(taps)] = x
+            pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2),
+                              keepdims=True)
+            h = nn.Conv(feat, (1, 1), use_bias=self.head_bias,
+                        dtype=jnp.float32, name="conv_head")(pooled)
+            pooled = _act_fn(self.act)(h)[:, 0, 0]
+        else:
+            x = nn.Conv(feat, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="conv_head")(x)
+            x = _act_fn(self.act)(
+                _bn(self.bn_eps, self.bn_axis_name, train, "bn2")(x))
+            taps[len(taps)] = x
+            pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         logits = nn.Dense(self.num_classes, dtype=jnp.float32,
                           name="classifier")(pooled)
         # keep the deepest 4 pyramid levels as taps 0..3
@@ -598,3 +643,162 @@ _register("mobilenetv2_120d", arch=ARCH_MOBILENET_V2, channel_mult=1.2,
 _register("fbnetc_100", arch=ARCH_FBNETC, stem_size=16, num_features=1984,
           act="relu")
 _register("spnasnet_100", arch=ARCH_SPNASNET, act="relu")
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV3 family via the same builder (reference models/mobilenetv3.py
+# :228-360 arch defs; head = pool -> biased 1x1 conv -> act -> classifier).
+# mobilenetv3_large_100 pre-exists on the dedicated cnn_mobile class.
+# ---------------------------------------------------------------------------
+
+ARCH_MBV3_LARGE = (
+    ("ds_r1_k3_s1_e1_c16_nre",),
+    ("ir_r1_k3_s2_e4_c24_nre", "ir_r1_k3_s1_e3_c24_nre"),
+    ("ir_r3_k5_s2_e3_c40_se0.25_nre",),
+    ("ir_r1_k3_s2_e6_c80", "ir_r1_k3_s1_e2.5_c80", "ir_r2_k3_s1_e2.3_c80"),
+    ("ir_r2_k3_s1_e6_c112_se0.25",),
+    ("ir_r3_k5_s2_e6_c160_se0.25",),
+    ("cn_r1_k1_s1_c960",),
+)
+ARCH_MBV3_LARGE_MINIMAL = (
+    ("ds_r1_k3_s1_e1_c16",),
+    ("ir_r1_k3_s2_e4_c24", "ir_r1_k3_s1_e3_c24"),
+    ("ir_r3_k3_s2_e3_c40",),
+    ("ir_r1_k3_s2_e6_c80", "ir_r1_k3_s1_e2.5_c80", "ir_r2_k3_s1_e2.3_c80"),
+    ("ir_r2_k3_s1_e6_c112",),
+    ("ir_r3_k3_s2_e6_c160",),
+    ("cn_r1_k1_s1_c960",),
+)
+ARCH_MBV3_SMALL = (
+    ("ds_r1_k3_s2_e1_c16_se0.25_nre",),
+    ("ir_r1_k3_s2_e4.5_c24_nre", "ir_r1_k3_s1_e3.67_c24_nre"),
+    ("ir_r1_k5_s2_e4_c40_se0.25", "ir_r2_k5_s1_e6_c40_se0.25"),
+    ("ir_r2_k5_s1_e3_c48_se0.25",),
+    ("ir_r3_k5_s2_e6_c96_se0.25",),
+    ("cn_r1_k1_s1_c576",),
+)
+ARCH_MBV3_SMALL_MINIMAL = (
+    ("ds_r1_k3_s2_e1_c16",),
+    ("ir_r1_k3_s2_e4.5_c24", "ir_r1_k3_s1_e3.67_c24"),
+    ("ir_r1_k3_s2_e4_c40", "ir_r2_k3_s1_e6_c40",),
+    ("ir_r2_k3_s1_e3_c48",),
+    ("ir_r3_k3_s2_e6_c96",),
+    ("cn_r1_k1_s1_c576",),
+)
+ARCH_MBV3_RW = (
+    ("ds_r1_k3_s1_e1_c16_nre_noskip",),
+    ("ir_r1_k3_s2_e4_c24_nre", "ir_r1_k3_s1_e3_c24_nre"),
+    ("ir_r3_k5_s2_e3_c40_se0.25_nre",),
+    ("ir_r1_k3_s2_e6_c80", "ir_r1_k3_s1_e2.5_c80", "ir_r2_k3_s1_e2.3_c80"),
+    ("ir_r2_k3_s1_e6_c112_se0.25",),
+    ("ir_r3_k5_s2_e6_c160_se0.25",),
+    ("cn_r1_k1_s1_c960",),
+)
+
+_MBV3_SE = dict(se_reduce_mid=True, se_divisor=8, se_gate="hard_sigmoid",
+                se_act="relu")
+
+
+def _register_mbv3(name, arch, cm=1.0, num_features=1280, tf=False,
+                   minimal=False, **extra):
+    cfg = dict(arch=arch, channel_mult=cm, stem_size=16,
+               num_features=num_features, mbv3_head=True,
+               act="relu" if minimal else "hardswish", **_MBV3_SE, **extra)
+    if tf:
+        cfg.update(same_pad=True, bn_eps=1e-3)
+    _register(name, **cfg)
+
+
+_register_mbv3("mobilenetv3_large_075", ARCH_MBV3_LARGE, cm=0.75)
+_register_mbv3("mobilenetv3_small_075", ARCH_MBV3_SMALL, cm=0.75,
+               num_features=1024)
+_register_mbv3("mobilenetv3_small_100", ARCH_MBV3_SMALL, num_features=1024)
+# the _rw release: divisor-1 SE on input chs ratio? No — reduce_mid with
+# divisor 1, hard_sigmoid gate, block act for SE (mobilenetv3.py:252-256),
+# and a bias-free head conv
+_register("mobilenetv3_rw", arch=ARCH_MBV3_RW, stem_size=16,
+          num_features=1280, mbv3_head=True, head_bias=False,
+          act="hardswish", se_reduce_mid=True, se_divisor=1,
+          se_gate="hard_sigmoid")
+for _v, _arch, _nf, _min in [
+        ("large_075", ARCH_MBV3_LARGE, 1280, False),
+        ("large_100", ARCH_MBV3_LARGE, 1280, False),
+        ("large_minimal_100", ARCH_MBV3_LARGE_MINIMAL, 1280, True),
+        ("small_075", ARCH_MBV3_SMALL, 1024, False),
+        ("small_100", ARCH_MBV3_SMALL, 1024, False),
+        ("small_minimal_100", ARCH_MBV3_SMALL_MINIMAL, 1024, True)]:
+    _register_mbv3(f"tf_mobilenetv3_{_v}", _arch,
+                   cm=0.75 if "075" in _v else 1.0, num_features=_nf,
+                   tf=True, minimal=_min)
+
+# HardCoRe-NAS B-F (reference models/hardcorenas.py:80-148; the A variant
+# pre-exists on the dedicated class). Same MobileNetV3 head, stem 32.
+_HARDCORENAS_ARCHS = {
+    "hardcorenas_b": (
+        ("ds_r1_k3_s1_e1_c16_nre",),
+        ("ir_r1_k5_s2_e3_c24_nre", "ir_r1_k5_s1_e3_c24_nre_se0.25",
+         "ir_r1_k3_s1_e3_c24_nre"),
+        ("ir_r1_k5_s2_e3_c40_nre", "ir_r1_k5_s1_e3_c40_nre",
+         "ir_r1_k5_s1_e3_c40_nre"),
+        ("ir_r1_k5_s2_e3_c80", "ir_r1_k5_s1_e3_c80", "ir_r1_k3_s1_e3_c80",
+         "ir_r1_k3_s1_e3_c80"),
+        ("ir_r1_k5_s1_e3_c112", "ir_r1_k3_s1_e3_c112",
+         "ir_r1_k3_s1_e3_c112", "ir_r1_k3_s1_e3_c112"),
+        ("ir_r1_k5_s2_e6_c192_se0.25", "ir_r1_k5_s1_e6_c192_se0.25",
+         "ir_r1_k3_s1_e3_c192_se0.25"),
+        ("cn_r1_k1_s1_c960",),
+    ),
+    "hardcorenas_c": (
+        ("ds_r1_k3_s1_e1_c16_nre",),
+        ("ir_r1_k5_s2_e3_c24_nre", "ir_r1_k5_s1_e3_c24_nre_se0.25"),
+        ("ir_r1_k5_s2_e3_c40_nre", "ir_r1_k5_s1_e3_c40_nre",
+         "ir_r1_k5_s1_e3_c40_nre", "ir_r1_k5_s1_e3_c40_nre"),
+        ("ir_r1_k5_s2_e4_c80", "ir_r1_k5_s1_e6_c80_se0.25",
+         "ir_r1_k3_s1_e3_c80", "ir_r1_k3_s1_e3_c80"),
+        ("ir_r1_k5_s1_e6_c112_se0.25", "ir_r1_k3_s1_e3_c112",
+         "ir_r1_k3_s1_e3_c112", "ir_r1_k3_s1_e3_c112"),
+        ("ir_r1_k5_s2_e6_c192_se0.25", "ir_r1_k5_s1_e6_c192_se0.25",
+         "ir_r1_k3_s1_e3_c192_se0.25"),
+        ("cn_r1_k1_s1_c960",),
+    ),
+    "hardcorenas_d": (
+        ("ds_r1_k3_s1_e1_c16_nre",),
+        ("ir_r1_k5_s2_e3_c24_nre_se0.25", "ir_r1_k5_s1_e3_c24_nre_se0.25"),
+        ("ir_r1_k5_s2_e3_c40_nre_se0.25", "ir_r1_k5_s1_e4_c40_nre_se0.25",
+         "ir_r1_k3_s1_e3_c40_nre_se0.25"),
+        ("ir_r1_k5_s2_e4_c80_se0.25", "ir_r1_k3_s1_e3_c80_se0.25",
+         "ir_r1_k3_s1_e3_c80_se0.25", "ir_r1_k3_s1_e3_c80_se0.25"),
+        ("ir_r1_k3_s1_e4_c112_se0.25", "ir_r1_k5_s1_e4_c112_se0.25",
+         "ir_r1_k3_s1_e3_c112_se0.25", "ir_r1_k5_s1_e3_c112_se0.25"),
+        ("ir_r1_k5_s2_e6_c192_se0.25", "ir_r1_k5_s1_e6_c192_se0.25",
+         "ir_r1_k5_s1_e6_c192_se0.25", "ir_r1_k3_s1_e6_c192_se0.25"),
+        ("cn_r1_k1_s1_c960",),
+    ),
+    "hardcorenas_e": (
+        ("ds_r1_k3_s1_e1_c16_nre",),
+        ("ir_r1_k5_s2_e3_c24_nre_se0.25", "ir_r1_k5_s1_e3_c24_nre_se0.25"),
+        ("ir_r1_k5_s2_e6_c40_nre_se0.25", "ir_r1_k5_s1_e4_c40_nre_se0.25",
+         "ir_r1_k5_s1_e4_c40_nre_se0.25", "ir_r1_k3_s1_e3_c40_nre_se0.25"),
+        ("ir_r1_k5_s2_e4_c80_se0.25", "ir_r1_k3_s1_e6_c80_se0.25"),
+        ("ir_r1_k5_s1_e6_c112_se0.25", "ir_r1_k5_s1_e6_c112_se0.25",
+         "ir_r1_k5_s1_e6_c112_se0.25", "ir_r1_k5_s1_e3_c112_se0.25"),
+        ("ir_r1_k5_s2_e6_c192_se0.25", "ir_r1_k5_s1_e6_c192_se0.25",
+         "ir_r1_k5_s1_e6_c192_se0.25", "ir_r1_k3_s1_e6_c192_se0.25"),
+        ("cn_r1_k1_s1_c960",),
+    ),
+    "hardcorenas_f": (
+        ("ds_r1_k3_s1_e1_c16_nre",),
+        ("ir_r1_k5_s2_e3_c24_nre_se0.25", "ir_r1_k5_s1_e3_c24_nre_se0.25"),
+        ("ir_r1_k5_s2_e6_c40_nre_se0.25", "ir_r1_k5_s1_e6_c40_nre_se0.25"),
+        ("ir_r1_k5_s2_e6_c80_se0.25", "ir_r1_k5_s1_e6_c80_se0.25",
+         "ir_r1_k3_s1_e3_c80_se0.25", "ir_r1_k3_s1_e3_c80_se0.25"),
+        ("ir_r1_k3_s1_e6_c112_se0.25", "ir_r1_k5_s1_e6_c112_se0.25",
+         "ir_r1_k5_s1_e6_c112_se0.25", "ir_r1_k3_s1_e3_c112_se0.25"),
+        ("ir_r1_k5_s2_e6_c192_se0.25", "ir_r1_k5_s1_e6_c192_se0.25",
+         "ir_r1_k3_s1_e6_c192_se0.25", "ir_r1_k3_s1_e6_c192_se0.25"),
+        ("cn_r1_k1_s1_c960",),
+    ),
+}
+for _n, _arch in _HARDCORENAS_ARCHS.items():
+    _register(_n, arch=_arch, stem_size=32, num_features=1280,
+              mbv3_head=True, act="hardswish", **_MBV3_SE)

@@ -86,6 +86,22 @@ ZOO_URLS: Dict[str, str] = {
     "efficientnet_b2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b2_ra-bcdf34b7.pth",
     "efficientnet_b3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/efficientnet_b3_ra2-cf984f9c.pth",
     "mobilenetv3_large_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv3_large_100_ra-f55367f5.pth",
+    # MobileNetV3 family breadth (reference cfg models/mobilenetv3.py:30-78)
+    "mobilenetv3_large_100_miil": "https://miil-public-eu.oss-eu-central-1.aliyuncs.com/model-zoo/ImageNet_21K_P/models/timm/mobilenetv3_large_100_1k_miil_78_0.pth",
+    "mobilenetv3_large_100_miil_in21k": "https://miil-public-eu.oss-eu-central-1.aliyuncs.com/model-zoo/ImageNet_21K_P/models/timm/mobilenetv3_large_100_in21k_miil.pth",
+    "mobilenetv3_rw": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mobilenetv3_100-35495452.pth",
+    "tf_mobilenetv3_large_075": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_mobilenetv3_large_075-150ee8b0.pth",
+    "tf_mobilenetv3_large_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_mobilenetv3_large_100-427764d5.pth",
+    "tf_mobilenetv3_large_minimal_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_mobilenetv3_large_minimal_100-8596ae28.pth",
+    "tf_mobilenetv3_small_075": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_mobilenetv3_small_075-da427f52.pth",
+    "tf_mobilenetv3_small_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_mobilenetv3_small_100-37f49e2b.pth",
+    "tf_mobilenetv3_small_minimal_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_mobilenetv3_small_minimal_100-922a7843.pth",
+    # HardCoRe-NAS B-F (reference cfg models/hardcorenas.py:20-27)
+    "hardcorenas_b": "https://miil-public-eu.oss-eu-central-1.aliyuncs.com/public/HardCoReNAS/HardCoreNAS_B_Green_40ms_76.5_1f882d1e.pth",
+    "hardcorenas_c": "https://miil-public-eu.oss-eu-central-1.aliyuncs.com/public/HardCoReNAS/HardCoreNAS_C_Green_44ms_77.1_d4148c9e.pth",
+    "hardcorenas_d": "https://miil-public-eu.oss-eu-central-1.aliyuncs.com/public/HardCoReNAS/HardCoreNAS_D_Green_50ms_77.4_23e3cdde.pth",
+    "hardcorenas_e": "https://miil-public-eu.oss-eu-central-1.aliyuncs.com/public/HardCoReNAS/HardCoreNAS_E_Green_55ms_77.9_90f20e8a.pth",
+    "hardcorenas_f": "https://miil-public-eu.oss-eu-central-1.aliyuncs.com/public/HardCoReNAS/HardCoreNAS_F_Green_60ms_78.1_2855edf1.pth",
     # NF-ResNet (reference cfg models/nfnet.py:129-130)
     "nf_resnet50": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/nf_resnet50_ra2-9f236009.pth",
     # dm-NFNet-F (DeepMind-compatible; reference cfg models/nfnet.py:46-67;
@@ -590,8 +606,14 @@ def convert_state_dict(backbone: str, state: Dict):
         )
 
         return inception_v3_state_dict_to_flax(state)
-    if (backbone.startswith(("tf_efficientnet", "mnasnet", "semnasnet",
+    if (backbone.startswith(("tf_efficientnet", "tf_mobilenetv3",
+                             "mnasnet", "semnasnet",
                              "mobilenetv2", "fbnetc", "spnasnet"))
+            or backbone in ("mobilenetv3_large_075", "mobilenetv3_rw",
+                            "mobilenetv3_small_075",
+                            "mobilenetv3_small_100", "hardcorenas_b",
+                            "hardcorenas_c", "hardcorenas_d",
+                            "hardcorenas_e", "hardcorenas_f")
             or (backbone.startswith("efficientnet")
                 and backbone not in ("efficientnet_b0", "efficientnet_b1",
                                      "efficientnet_b2", "efficientnet_b3",

@@ -2188,3 +2188,43 @@ def test_skresnet50d_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=1e-3, rtol=1e-3)
+
+
+@requires_reference
+@pytest.mark.parametrize("name,size", [
+    ("tf_mobilenetv3_small_100", 65),   # mbv3 head + TF SAME + SE cfg
+    ("mobilenetv3_rw", 64),             # divisor-1 SE, bias-free head
+    ("hardcorenas_b", 64),              # NAS arch on the mbv3 head
+])
+def test_mbv3_builder_converted_forward_parity(name, size):
+    """MobileNetV3-family names on GenericEfficientNet (reference
+    mobilenetv3.py/hardcorenas.py: pool -> biased 1x1 conv_head -> act,
+    reduce_mid divisor-8 hard-sigmoid SE) vs vendored torch."""
+    import torch
+
+    mod = _load_vendored("hardcorenas" if name.startswith("hardcorenas")
+                         else "mobilenetv3")
+    torch.manual_seed(hash(name) % 2**31)
+    ref = getattr(mod, name)(pretrained=False)
+    rng = np.random.default_rng(hash(name) % 2**31)
+    _advance_bn_and_eval(ref, rng, size=size)
+
+    from acr_wsss_tpu.models.convert import (
+        generic_effnet_state_dict_to_flax,
+    )
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = generic_effnet_state_dict_to_flax(ref.state_dict())
+    model = create_model(name, num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, size, size, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, size, size)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
