@@ -397,13 +397,25 @@ class DLA(nn.Module):
         return {"logits": logits, "features": x, "taps": taps}
 
 
+def _csp_cba(x, chs, k, stride, groups, leaky, kw, name, train):
+    """ConvBnAct with the darknet cfgs' LeakyReLU(0.01) option
+    (reference cspnet.py:108-135 _cfg act_layer='leaky_relu')."""
+    y = ConvBN(chs, k, stride, groups=groups, apply_act=not leaky,
+               name=name, **kw)(x, train)
+    if leaky:
+        y = nn.leaky_relu(y, negative_slope=0.01).astype(y.dtype)
+    return y
+
+
 class CSPResBottleneck(nn.Module):
     """CSP residual bottleneck (reference ``models/cspnet.py:155-188``
-    ResBottleneck, bottle_ratio 0.5): in == out, no projection, post-add
-    ReLU."""
+    ResBottleneck): in == out, no projection, post-add ReLU; grouped 3x3
+    for the cspresnext cfg."""
 
     out_chs: int
     bottle_ratio: float = 0.5
+    groups: int = 1
+    leaky: bool = False
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -411,11 +423,36 @@ class CSPResBottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         mid = int(round(self.out_chs * self.bottle_ratio))
-        y = ConvBN(mid, 1, name="conv1", **kw)(x, train)
-        y = ConvBN(mid, 3, name="conv2", **kw)(y, train)
+        y = _csp_cba(x, mid, 1, 1, 1, self.leaky, kw, "conv1", train)
+        y = _csp_cba(y, mid, 3, 1, self.groups, self.leaky, kw, "conv2",
+                     train)
         y = ConvBN(self.out_chs, 1, apply_act=False, name="conv3",
                    **kw)(y, train)
-        return nn.relu(y + x).astype(x.dtype)
+        y = y + x
+        y = (nn.leaky_relu(y, negative_slope=0.01) if self.leaky
+             else nn.relu(y))
+        return y.astype(x.dtype)
+
+
+class CSPDarkBlock(nn.Module):
+    """DarkNet block (reference ``models/cspnet.py:195-222``): 1x1 ->
+    3x3, residual add, NO post-add act."""
+
+    out_chs: int
+    bottle_ratio: float = 0.5
+    groups: int = 1
+    leaky: bool = False
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        mid = int(round(self.out_chs * self.bottle_ratio))
+        y = _csp_cba(x, mid, 1, 1, 1, self.leaky, kw, "conv1", train)
+        y = _csp_cba(y, self.out_chs, 3, 1, self.groups, self.leaky, kw,
+                     "conv2", train)
+        return (y + x).astype(x.dtype)
 
 
 class CSPStage(nn.Module):
@@ -428,26 +465,51 @@ class CSPStage(nn.Module):
     out_chs: int
     depth: int
     stride: int = 2
+    exp_ratio: float = 2.0
+    bottle_ratio: float = 0.5
+    block_ratio: float = 1.0
+    groups: int = 1
+    down_growth: bool = False      # conv_down grows to out_chs (darknet)
+    cross_linear: bool = True      # act-free conv_exp
+    dark: bool = False             # DarkBlock instead of ResBottleneck
+    cross: bool = True             # False = plain DarkStage (darknet53)
+    leaky: bool = False
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        block_cls = CSPDarkBlock if self.dark else CSPResBottleneck
+        block_out = int(round(self.out_chs * self.block_ratio))
+        blk_kw = dict(bottle_ratio=self.bottle_ratio, groups=self.groups,
+                      leaky=self.leaky, dtype=self.dtype,
+                      bn_axis_name=self.bn_axis_name)
         if self.stride != 1:
-            x = ConvBN(x.shape[-1], 3, self.stride, name="conv_down",
-                       **kw)(x, train)
-        exp = 2 * self.out_chs
-        x = ConvBN(exp, 1, apply_act=False, name="conv_exp", **kw)(x, train)
+            down_chs = (self.out_chs if self.down_growth or not self.cross
+                        else x.shape[-1])
+            # the stage downsample conv is grouped too (cspnet.py:239)
+            x = _csp_cba(x, down_chs, 3, self.stride, self.groups,
+                         self.leaky, kw, "conv_down", train)
+        if not self.cross:   # DarkStage (cspnet.py:275-300)
+            for bi in range(self.depth):
+                x = block_cls(block_out, name=f"b{bi}", **blk_kw)(x, train)
+            return x
+        exp = int(round(self.out_chs * self.exp_ratio))
+        if self.cross_linear:
+            x = ConvBN(exp, 1, apply_act=False,
+                       name="conv_exp", **kw)(x, train)
+        else:
+            x = _csp_cba(x, exp, 1, 1, 1, self.leaky, kw, "conv_exp",
+                         train)
         half = exp // 2
         xs, xb = x[..., :half], x[..., half:]
         for bi in range(self.depth):
-            xb = CSPResBottleneck(half, dtype=self.dtype,
-                                  bn_axis_name=self.bn_axis_name,
-                                  name=f"b{bi}")(xb, train)
-        xb = ConvBN(half, 1, name="conv_transition_b", **kw)(xb, train)
-        return ConvBN(self.out_chs, 1, name="conv_transition",
-                      **kw)(jnp.concatenate([xs, xb], axis=-1), train)
+            xb = block_cls(block_out, name=f"b{bi}", **blk_kw)(xb, train)
+        xb = _csp_cba(xb, half, 1, 1, 1, self.leaky, kw,
+                      "conv_transition_b", train)
+        return _csp_cba(jnp.concatenate([xs, xb], axis=-1), self.out_chs,
+                        1, 1, 1, self.leaky, kw, "conv_transition", train)
 
 
 class CSPNet(nn.Module):
@@ -457,6 +519,20 @@ class CSPNet(nn.Module):
     num_classes: int = 1000
     stage_depths: Sequence[int] = (3, 3, 5, 2)
     widths: Sequence[int] = (128, 256, 512, 1024)
+    strides: Sequence[int] = ()        # () = (1, 2, 2, ...) resnet-style
+    exp_ratios: Sequence[float] = ()   # () = 2.0 each
+    bottle_ratios: Sequence[float] = ()
+    block_ratios: Sequence[float] = ()
+    groups: int = 1
+    stem_chs: Sequence[int] = (64,)    # deep stems list several convs
+    stem_kernel: int = 7
+    stem_stride: int = 2
+    stem_pool: bool = True
+    down_growth: bool = False
+    cross_linear: bool = True
+    dark: bool = False
+    cross: bool = True
+    leaky: bool = False            # darknet cfgs: LeakyReLU(0.01)
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -464,13 +540,28 @@ class CSPNet(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = x.astype(self.dtype)
-        x = ConvBN(64, 7, 2, name="stem", **kw)(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        for ci, chs in enumerate(self.stem_chs):
+            x = _csp_cba(x, chs, self.stem_kernel if ci == 0 else 3,
+                         self.stem_stride if ci == 0 else 1, 1, self.leaky,
+                         kw, "stem" if len(self.stem_chs) == 1
+                         else f"stem{ci}", train)
+        if self.stem_pool:
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        n = len(self.stage_depths)
+        strides = self.strides or (1,) + (2,) * (n - 1)
+        exps = self.exp_ratios or (2.0,) * n
+        bottles = self.bottle_ratios or (0.5,) * n
+        blocks = self.block_ratios or (1.0,) * n
         taps: Dict[int, jnp.ndarray] = {}
         for si, (d, w) in enumerate(zip(self.stage_depths, self.widths)):
-            x = CSPStage(w, d, stride=1 if si == 0 else 2,
+            x = CSPStage(w, d, stride=strides[si], exp_ratio=exps[si],
+                         bottle_ratio=bottles[si], block_ratio=blocks[si],
+                         groups=self.groups, down_growth=self.down_growth,
+                         cross_linear=self.cross_linear, dark=self.dark,
+                         cross=self.cross, leaky=self.leaky,
                          name=f"stage{si}", **kw)(x, train)
             taps[si] = x
+        taps = {i: taps[k] for i, k in enumerate(sorted(taps)[-4:])}
         return {"logits": _head(x, self.num_classes), "features": x,
                 "taps": taps}
 
@@ -703,16 +794,21 @@ class RexLinearBottleneck(nn.Module):
     stride: int = 1
     exp_ratio: float = 6.0
     se_ratio: float = 1.0 / 12
+    ch_div: int = 1
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from acr_wsss_tpu.models.effnet_builder import make_divisible
+
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         in_chs = x.shape[-1]
         y = x
         if self.exp_ratio != 1.0:
-            dw_chs = int(round(in_chs * self.exp_ratio))
+            dw_chs = round(in_chs * self.exp_ratio)
+            dw_chs = (int(dw_chs) if self.ch_div == 1
+                      else make_divisible(dw_chs, self.ch_div))
             y = ConvBN(dw_chs, 1, apply_act=False, name="conv_exp",
                        **kw)(y, train)
             y = nn.silu(y)
@@ -723,6 +819,8 @@ class RexLinearBottleneck(nn.Module):
                             name="conv_dw")(y, train)
         if self.se_ratio > 0:
             red = int(dw_chs * self.se_ratio)
+            if self.ch_div > 1:
+                red = make_divisible(red, self.ch_div)
             s = jnp.mean(y.astype(jnp.float32), axis=(1, 2), keepdims=True)
             s = nn.Conv(red, (1, 1), dtype=jnp.float32, name="se_fc1")(s)
             s = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -741,9 +839,12 @@ class RexLinearBottleneck(nn.Module):
         return y.astype(self.dtype)
 
 
-def _rexnet_cfg(width_mult: float = 1.0):
+def _rexnet_cfg(width_mult: float = 1.0, ch_div: int = 1):
     """Per-block (out_chs, exp_ratio, stride, se_ratio) — the literal
-    channel rule of the reference (``models/rexnet.py:114-131``)."""
+    channel rule of the reference (``models/rexnet.py:114-131``); the
+    rexnetr_* variants round every width to a multiple of 8 (ch_div)."""
+    from acr_wsss_tpu.models.effnet_builder import make_divisible
+
     layers = (1, 2, 2, 3, 3, 5)
     strides = sum(([s] + [1] * (d - 1)
                    for d, s in zip(layers, (1, 2, 2, 2, 1, 2))), [])
@@ -753,7 +854,8 @@ def _rexnet_cfg(width_mult: float = 1.0):
     base = 16.0 / width_mult if width_mult < 1.0 else 16.0
     outs = []
     for _ in range(sum(layers)):
-        outs.append(int(round(base * width_mult)))
+        w = round(base * width_mult)
+        outs.append(int(w) if ch_div == 1 else make_divisible(w, ch_div))
         base += 180.0 / sum(layers)
     return list(zip(outs, exps, strides, ses))
 
@@ -764,27 +866,33 @@ class ReXNet(nn.Module):
 
     num_classes: int = 1000
     width_mult: float = 1.0
+    ch_div: int = 1                # rexnetr_*: widths rounded mod 8
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
+        from acr_wsss_tpu.models.effnet_builder import make_divisible
+
+        def rnd(v):
+            return (int(round(v)) if self.ch_div == 1
+                    else make_divisible(round(v), self.ch_div))
+
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = x.astype(self.dtype)
-        stem_chs = int(round(32 * self.width_mult))
-        x = ConvBN(stem_chs, 3, 2, apply_act=False, name="stem",
-                   **kw)(x, train)
+        x = ConvBN(rnd(32 * self.width_mult), 3, 2, apply_act=False,
+                   name="stem", **kw)(x, train)
         x = nn.silu(x)
         taps: Dict[int, jnp.ndarray] = {}
-        cfg = _rexnet_cfg(self.width_mult)
+        cfg = _rexnet_cfg(self.width_mult, self.ch_div)
         for bi, (out, exp, s, se) in enumerate(cfg):
             x = RexLinearBottleneck(out, s, exp_ratio=exp, se_ratio=se,
-                                    dtype=self.dtype,
+                                    ch_div=self.ch_div, dtype=self.dtype,
                                     bn_axis_name=self.bn_axis_name,
                                     name=f"b{bi}")(x, train)
             if bi in (2, 5, 10, len(cfg) - 1):
                 taps[len(taps)] = x
-        x = ConvBN(int(round(1280 * self.width_mult)), 1, apply_act=False,
+        x = ConvBN(rnd(1280 * self.width_mult), 1, apply_act=False,
                    name="head_conv", **kw)(x, train)
         x = nn.silu(x)
         return {"logits": _head(x, self.num_classes), "features": x,
@@ -1418,3 +1526,82 @@ def _register_vovnet(name, cfg):
 
 for _n, _cfg in _VOVNET_CFGS.items():
     _register_vovnet(_n, _cfg)
+
+
+# CSPNet / DarkNet variant sweep (reference cspnet.py:57-135 model_cfgs;
+# the _iabn exotic-norm cfgs have no weights upstream and are absent)
+@register_model
+def cspresnet50d(**kwargs):
+    kwargs.setdefault("stem_chs", (32, 32, 64))
+    kwargs.setdefault("stem_kernel", 3)
+    return CSPNet(**kwargs)
+
+
+@register_model
+def cspresnet50w(**kwargs):
+    kwargs.setdefault("stem_chs", (32, 32, 64))
+    kwargs.setdefault("stem_kernel", 3)
+    kwargs.setdefault("widths", (256, 512, 1024, 2048))
+    kwargs.setdefault("exp_ratios", (1.0,) * 4)
+    kwargs.setdefault("bottle_ratios", (0.25,) * 4)
+    kwargs.setdefault("block_ratios", (0.5,) * 4)
+    return CSPNet(**kwargs)
+
+
+@register_model
+def cspresnext50(**kwargs):
+    kwargs.setdefault("widths", (256, 512, 1024, 2048))
+    kwargs.setdefault("groups", 32)
+    kwargs.setdefault("exp_ratios", (1.0,) * 4)
+    kwargs.setdefault("bottle_ratios", (1.0,) * 4)
+    kwargs.setdefault("block_ratios", (0.5,) * 4)
+    return CSPNet(**kwargs)
+
+
+@register_model
+def cspdarknet53(**kwargs):
+    kwargs.setdefault("stage_depths", (1, 2, 8, 8, 4))
+    kwargs.setdefault("widths", (64, 128, 256, 512, 1024))
+    kwargs.setdefault("strides", (2,) * 5)
+    kwargs.setdefault("exp_ratios", (2.0,) + (1.0,) * 4)
+    kwargs.setdefault("bottle_ratios", (0.5,) + (1.0,) * 4)
+    kwargs.setdefault("block_ratios", (1.0,) + (0.5,) * 4)
+    kwargs.setdefault("stem_chs", (32,))
+    kwargs.setdefault("stem_kernel", 3)
+    kwargs.setdefault("stem_stride", 1)
+    kwargs.setdefault("stem_pool", False)
+    kwargs.setdefault("down_growth", True)
+    kwargs.setdefault("cross_linear", False)
+    kwargs.setdefault("dark", True)
+    kwargs.setdefault("leaky", True)
+    return CSPNet(**kwargs)
+
+
+@register_model
+def darknet53(**kwargs):
+    kwargs.setdefault("stage_depths", (1, 2, 8, 8, 4))
+    kwargs.setdefault("widths", (64, 128, 256, 512, 1024))
+    kwargs.setdefault("strides", (2,) * 5)
+    kwargs.setdefault("bottle_ratios", (0.5,) * 5)
+    kwargs.setdefault("block_ratios", (1.0,) * 5)
+    kwargs.setdefault("stem_chs", (32,))
+    kwargs.setdefault("stem_kernel", 3)
+    kwargs.setdefault("stem_stride", 1)
+    kwargs.setdefault("stem_pool", False)
+    kwargs.setdefault("dark", True)
+    kwargs.setdefault("cross", False)
+    kwargs.setdefault("leaky", True)
+    return CSPNet(**kwargs)
+
+
+for _wm, _nm in ((1.0, "rexnetr_100"), (1.3, "rexnetr_130"),
+                 (1.5, "rexnetr_150"), (2.0, "rexnetr_200")):
+    def _mk_rexnetr(wm=_wm):
+        def builder(**kwargs):
+            kwargs.setdefault("width_mult", wm)
+            kwargs.setdefault("ch_div", 8)
+            return ReXNet(**kwargs)
+        return builder
+    _b = _mk_rexnetr()
+    _b.__name__ = _nm
+    register_model(_b)

@@ -150,6 +150,8 @@ ZOO_URLS: Dict[str, str] = {
     "rexnet_100": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-rexnet/rexnetv1_100-1b4dddf4.pth",
     # CSPNet (reference cfg models/cspnet.py:38-44)
     "cspresnet50": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/cspresnet50_ra-d3e8d487.pth",
+    "cspresnext50": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/cspresnext50_ra_224-648b4713.pth",
+    "cspdarknet53": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/cspdarknet53_ra_256-d05c7c21.pth",
     # VoVNet V2 (reference cfg models/vovnet.py:151-156)
     "ese_vovnet39b": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/ese_vovnet39b-f912fe73.pth",
     # SelecSLS (reference cfg models/selecsls.py:41-43)
@@ -694,7 +696,8 @@ def convert_state_dict(backbone: str, state: Dict):
         from acr_wsss_tpu.models.convert import rexnet_state_dict_to_flax
 
         return rexnet_state_dict_to_flax(state)
-    if backbone.startswith(("cspresnet", "cspresnext")):
+    if backbone.startswith(("cspresnet", "cspresnext", "cspdarknet",
+                            "darknet")):
         from acr_wsss_tpu.models.convert import cspnet_state_dict_to_flax
 
         return cspnet_state_dict_to_flax(state)

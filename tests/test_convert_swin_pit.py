@@ -2228,3 +2228,67 @@ def test_mbv3_builder_converted_forward_parity(name, size):
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+@pytest.mark.parametrize("name", ["cspdarknet53", "cspresnext50",
+                                  "darknet53"])
+def test_cspnet_variants_converted_forward_parity(name):
+    """CSPNet sweep (cspnet.py:57-135 cfgs: down_growth dark cross stages,
+    grouped resnext bottles, plain DarkStages) vs vendored torch."""
+    import torch
+
+    csp = _load_vendored("cspnet")
+    torch.manual_seed(hash(name) % 2**31)
+    ref = getattr(csp, name)(pretrained=False)
+    rng = np.random.default_rng(hash(name) % 2**31)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import cspnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = cspnet_state_dict_to_flax(ref.state_dict())
+    model = create_model(name, num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_rexnetr_converted_forward_parity():
+    """rexnetr_130 (rexnet.py:233-253: every width rounded to a multiple
+    of 8 via ch_div) -> ReXNet(ch_div=8): eval-mode logits parity."""
+    import torch
+
+    rx = _load_vendored("rexnet")
+    torch.manual_seed(191)
+    ref = rx.rexnetr_130(pretrained=False)
+    rng = np.random.default_rng(191)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import rexnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = rexnet_state_dict_to_flax(ref.state_dict())
+    model = create_model("rexnetr_130", num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-3)
