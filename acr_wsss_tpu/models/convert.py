@@ -3045,6 +3045,12 @@ def generic_effnet_state_dict_to_flax(
             _set(variables, ("params",) + ((base,) if base else ())
                  + (mm.group(1), leaf), _conv(v) if leaf == "kernel" else v)
             continue
+        mm = re.match(r"(conv_\w+)\.(\d)\.weight$", rest)
+        if mm and base:  # MixedConv sub-convs (MixNet): conv_dw.{i}
+            _set(variables, ("params", base,
+                             f"{mm.group(1)}_{mm.group(2)}", "kernel"),
+                 _conv(v))
+            continue
         mm = re.match(r"se\.conv_(reduce|expand)\.(weight|bias)$", rest)
         if mm and base:
             leaf = "kernel" if mm.group(2) == "weight" else "bias"

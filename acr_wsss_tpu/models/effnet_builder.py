@@ -110,10 +110,14 @@ def _decode_block_str(block_str: str) -> Tuple[Dict[str, Any], int]:
     return ba, num_repeat
 
 
-def _scale_stage_depth(stack_args, repeats, depth_multiplier=1.0):
-    """reference ``efficientnet_builder.py:155-190`` ('ceil' trunc)."""
+def _scale_stage_depth(stack_args, repeats, depth_multiplier=1.0,
+                       depth_trunc="ceil"):
+    """reference ``efficientnet_builder.py:155-190``."""
     num_repeat = sum(repeats)
-    num_repeat_scaled = int(math.ceil(num_repeat * depth_multiplier))
+    if depth_trunc == "round":   # mixnet_m/l/xl scaling
+        num_repeat_scaled = max(1, round(num_repeat * depth_multiplier))
+    else:
+        num_repeat_scaled = int(math.ceil(num_repeat * depth_multiplier))
     repeats_scaled = []
     for r in repeats[::-1]:
         rs = max(1, round((r / num_repeat * num_repeat_scaled)))
@@ -129,7 +133,8 @@ def _scale_stage_depth(stack_args, repeats, depth_multiplier=1.0):
 
 def decode_arch_def(arch_def: Sequence[Sequence[str]],
                     depth_multiplier: float = 1.0,
-                    fix_first_last: bool = False):
+                    fix_first_last: bool = False,
+                    depth_trunc: str = "ceil"):
     """reference ``efficientnet_builder.py:193-214``."""
     arch_args = []
     for stack_idx, block_strings in enumerate(arch_def):
@@ -140,7 +145,8 @@ def decode_arch_def(arch_def: Sequence[Sequence[str]],
             repeats.append(rep)
         dm = (1.0 if fix_first_last
               and stack_idx in (0, len(arch_def) - 1) else depth_multiplier)
-        arch_args.append(_scale_stage_depth(stack_args, repeats, dm))
+        arch_args.append(_scale_stage_depth(stack_args, repeats, dm,
+                                            depth_trunc))
     return arch_args
 
 
@@ -153,6 +159,46 @@ def _act_fn(name: str):
 
 def _pad(k: int, same: bool):
     return "SAME" if same else [(k // 2, k // 2)] * 2
+
+
+def _split_channels(chs: int, groups: int):
+    """reference ``layers/mixed_conv2d.py:14-17``."""
+    split = [chs // groups] * groups
+    split[0] += chs - sum(split)
+    return split
+
+
+def _mixed_conv(x, out_chs, kernels, stride, depthwise, same_pad, dtype,
+                name_prefix):
+    """MixedConv2d (reference ``layers/mixed_conv2d.py:20-51``): channel
+    splits each convolved with their own kernel size, concatenated.
+    Sub-convs named ``{prefix}_{i}`` to mirror the torch ``.{i}`` keys."""
+    groups = len(kernels)
+    in_splits = _split_channels(x.shape[-1], groups)
+    out_splits = _split_channels(out_chs, groups)
+    outs, start = [], 0
+    for i, (k, ic, oc) in enumerate(zip(kernels, in_splits, out_splits)):
+        xs = x[..., start:start + ic]
+        start += ic
+        outs.append(nn.Conv(
+            oc, (k, k), strides=(stride,) * 2, padding=_pad(k, same_pad),
+            feature_group_count=ic if depthwise else 1, use_bias=False,
+            dtype=dtype, name=f"{name_prefix}_{i}")(xs))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _conv_or_mixed(x, out_chs, ksize, stride, depthwise, same_pad, dtype,
+                   name):
+    """Plain conv for a single kernel size, MixedConv2d for a tuple."""
+    if isinstance(ksize, tuple) and len(ksize) > 1:
+        return _mixed_conv(x, out_chs, ksize, stride, depthwise, same_pad,
+                           dtype, name)
+    k = ksize[0] if isinstance(ksize, tuple) else ksize
+    chs = x.shape[-1]
+    return nn.Conv(out_chs, (k, k), strides=(stride,) * 2,
+                   padding=_pad(k, same_pad),
+                   feature_group_count=chs if depthwise else 1,
+                   use_bias=False, dtype=dtype, name=name)(x)
 
 
 def _bn(eps: float, axis_name: Optional[str], train: bool, name: str):
@@ -235,9 +281,11 @@ class _IRBlock(nn.Module):
     """ir (reference ``efficientnet_blocks.py:207-290``)."""
 
     out_chs: int
-    dw_kernel_size: int = 3
+    dw_kernel_size: Any = 3        # int, or tuple for MixedConv (MixNet)
     stride: int = 1
     exp_ratio: float = 6.0
+    exp_kernel_size: Any = 1       # tuple -> split-grouped 1x1s (MixNet)
+    pw_kernel_size: Any = 1
     se_ratio: float = 0.0
     act: str = "relu"
     noskip: bool = False
@@ -255,21 +303,19 @@ class _IRBlock(nn.Module):
         in_chs = x.shape[-1]
         act = _act_fn(self.act)
         mid = make_divisible(in_chs * self.exp_ratio)
-        y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv_pw")(x)
+        y = _conv_or_mixed(x, mid, self.exp_kernel_size, 1, False,
+                           self.same_pad, self.dtype, "conv_pw")
         y = act(_bn(self.bn_eps, self.bn_axis_name, train, "bn1")(y))
-        k = self.dw_kernel_size
-        y = nn.Conv(mid, (k, k), strides=(self.stride,) * 2,
-                    padding=_pad(k, self.same_pad), feature_group_count=mid,
-                    use_bias=False, dtype=self.dtype, name="conv_dw")(y)
+        y = _conv_or_mixed(y, mid, self.dw_kernel_size, self.stride, True,
+                           self.same_pad, self.dtype, "conv_dw")
         y = act(_bn(self.bn_eps, self.bn_axis_name, train, "bn2")(y))
         if self.se_ratio > 0:
             base = mid if self.se_reduce_mid else in_chs
             y = _SE(make_divisible(base * self.se_ratio, self.se_divisor),
                     act=self.se_act or self.act, gate=self.se_gate,
                     dtype=self.dtype, name="se")(y)
-        y = nn.Conv(self.out_chs, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv_pwl")(y)
+        y = _conv_or_mixed(y, self.out_chs, self.pw_kernel_size, 1, False,
+                           self.same_pad, self.dtype, "conv_pwl")
         y = _bn(self.bn_eps, self.bn_axis_name, train, "bn3")(y)
         if (self.stride == 1 and in_chs == self.out_chs
                 and not self.noskip):
@@ -357,6 +403,7 @@ class GenericEfficientNet(nn.Module):
     num_features: int = 0            # 0 = the class default 1280, unscaled
     scale_features: bool = False     # True = round_channels(1280 * cm)
     fix_first_last: bool = False
+    depth_trunc: str = "ceil"
     act: str = "silu"
     bn_eps: float = 1e-5
     same_pad: bool = False
@@ -375,7 +422,8 @@ class GenericEfficientNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         stages = decode_arch_def([list(s) for s in self.arch],
-                                 self.depth_mult, self.fix_first_last)
+                                 self.depth_mult, self.fix_first_last,
+                                 self.depth_trunc)
         kw = dict(same_pad=self.same_pad, bn_eps=self.bn_eps,
                   se_reduce_mid=self.se_reduce_mid,
                   se_divisor=self.se_divisor, se_gate=self.se_gate,
@@ -408,21 +456,20 @@ class GenericEfficientNet(nn.Module):
                 if s > 1 and stride >= 4:
                     taps[len(taps)] = x   # last map of the finished level
                 stride *= s
+                # single kernels collapse to ints; multi-kernel tuples
+                # (MixNet) flow through to MixedConv branches
                 for key in ("exp_kernel_size", "pw_kernel_size",
                             "dw_kernel_size"):
-                    if key in ba:
-                        ks = ba[key]
-                        if len(ks) != 1:
-                            raise NotImplementedError(
-                                "mixed kernels (MixNet) not supported here")
-                        ba[key] = ks[0]
-                # exp/pw 1x1 kernels are always 1 in the supported archs
-                # (lists only appear in MixNet) — drop keys the flax blocks
-                # don't parameterize.
-                if ba.pop("pw_kernel_size", 1) != 1:
-                    raise NotImplementedError("pw_kernel_size != 1")
-                if btype == "ir" and ba.pop("exp_kernel_size", 1) != 1:
-                    raise NotImplementedError("ir exp_kernel_size != 1")
+                    if key in ba and len(ba[key]) == 1:
+                        ba[key] = ba[key][0]
+                if btype in ("ds", "dsa", "er"):
+                    # those blocks keep 1x1 pw convs (tuples never appear
+                    # in their archs)
+                    if ba.pop("pw_kernel_size", 1) != 1:
+                        raise NotImplementedError("pw_kernel_size != 1")
+                if btype in ("ds", "dsa") and isinstance(
+                        ba.get("dw_kernel_size", 3), tuple):
+                    raise NotImplementedError("mixed ds dw kernels")
                 cls = {"ds": _DSBlock, "dsa": _DSBlock, "ir": _IRBlock,
                        "er": _ERBlock, "cn": _CNBlock}[btype]
                 blk_kw = dict(kw)
@@ -802,3 +849,52 @@ _HARDCORENAS_ARCHS = {
 for _n, _arch in _HARDCORENAS_ARCHS.items():
     _register(_n, arch=_arch, stem_size=32, num_features=1280,
               mbv3_head=True, act="hardswish", **_MBV3_SE)
+
+
+# ---------------------------------------------------------------------------
+# MixNet (reference models/efficientnet.py:857-920, 1700-1790): mixed
+# depthwise kernels + split-grouped 1x1s via MixedConv.
+# ---------------------------------------------------------------------------
+
+ARCH_MIXNET_S = (
+    ("ds_r1_k3_s1_e1_c16",),
+    ("ir_r1_k3_a1.1_p1.1_s2_e6_c24", "ir_r1_k3_a1.1_p1.1_s1_e3_c24"),
+    ("ir_r1_k3.5.7_s2_e6_c40_se0.5_nsw",
+     "ir_r3_k3.5_a1.1_p1.1_s1_e6_c40_se0.5_nsw"),
+    ("ir_r1_k3.5.7_p1.1_s2_e6_c80_se0.25_nsw",
+     "ir_r2_k3.5_p1.1_s1_e6_c80_se0.25_nsw"),
+    ("ir_r1_k3.5.7_a1.1_p1.1_s1_e6_c120_se0.5_nsw",
+     "ir_r2_k3.5.7.9_a1.1_p1.1_s1_e3_c120_se0.5_nsw"),
+    ("ir_r1_k3.5.7.9.11_s2_e6_c200_se0.5_nsw",
+     "ir_r2_k3.5.7.9_p1.1_s1_e6_c200_se0.5_nsw"),
+)
+ARCH_MIXNET_M = (
+    ("ds_r1_k3_s1_e1_c24",),
+    ("ir_r1_k3.5.7_a1.1_p1.1_s2_e6_c32", "ir_r1_k3_a1.1_p1.1_s1_e3_c32"),
+    ("ir_r1_k3.5.7.9_s2_e6_c40_se0.5_nsw",
+     "ir_r3_k3.5_a1.1_p1.1_s1_e6_c40_se0.5_nsw"),
+    ("ir_r1_k3.5.7_s2_e6_c80_se0.25_nsw",
+     "ir_r3_k3.5.7.9_a1.1_p1.1_s1_e6_c80_se0.25_nsw"),
+    ("ir_r1_k3_s1_e6_c120_se0.5_nsw",
+     "ir_r3_k3.5.7.9_a1.1_p1.1_s1_e3_c120_se0.5_nsw"),
+    ("ir_r1_k3.5.7.9_s2_e6_c200_se0.5_nsw",
+     "ir_r3_k3.5.7.9_p1.1_s1_e6_c200_se0.5_nsw"),
+)
+
+
+def _register_mixnet(name, arch, stem, cm=1.0, dm=1.0, tf=False):
+    cfg = dict(arch=arch, channel_mult=cm, depth_mult=dm, stem_size=stem,
+               num_features=1536, act="relu", depth_trunc="round")
+    if tf:
+        cfg.update(same_pad=True, bn_eps=1e-3)
+    _register(name, **cfg)
+
+
+_register_mixnet("mixnet_s", ARCH_MIXNET_S, 16)
+_register_mixnet("mixnet_m", ARCH_MIXNET_M, 24)
+_register_mixnet("mixnet_l", ARCH_MIXNET_M, 24, cm=1.3)
+_register_mixnet("mixnet_xl", ARCH_MIXNET_M, 24, cm=1.6, dm=1.2)
+_register_mixnet("mixnet_xxl", ARCH_MIXNET_M, 24, cm=2.4, dm=1.3)
+_register_mixnet("tf_mixnet_s", ARCH_MIXNET_S, 16, tf=True)
+_register_mixnet("tf_mixnet_m", ARCH_MIXNET_M, 24, tf=True)
+_register_mixnet("tf_mixnet_l", ARCH_MIXNET_M, 24, cm=1.3, tf=True)

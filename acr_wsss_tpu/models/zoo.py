@@ -442,6 +442,14 @@ ZOO_URLS: Dict[str, str] = {
     "tf_efficientnet_lite2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_lite2-dcccb7df.pth",
     "tf_efficientnet_lite3": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_lite3-b733e338.pth",
     "tf_efficientnet_lite4": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_efficientnet_lite4-741542c3.pth",
+    # MixNet (reference cfg models/efficientnet.py:246-262)
+    "mixnet_s": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mixnet_s-a907afbc.pth",
+    "mixnet_m": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mixnet_m-4647fc68.pth",
+    "mixnet_l": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mixnet_l-5a9a2ed8.pth",
+    "mixnet_xl": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/mixnet_xl_ra-aac3c00c.pth",
+    "tf_mixnet_s": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_mixnet_s-89d3354b.pth",
+    "tf_mixnet_m": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_mixnet_m-0f4d8805.pth",
+    "tf_mixnet_l": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/tf_mixnet_l-6c92e0c8.pth",
 }
 
 
@@ -609,6 +617,7 @@ def convert_state_dict(backbone: str, state: Dict):
 
         return inception_v3_state_dict_to_flax(state)
     if (backbone.startswith(("tf_efficientnet", "tf_mobilenetv3",
+                             "mixnet", "tf_mixnet",
                              "mnasnet", "semnasnet",
                              "mobilenetv2", "fbnetc", "spnasnet"))
             or backbone in ("mobilenetv3_large_075", "mobilenetv3_rw",
