@@ -206,3 +206,53 @@ def resnetv2_50x1_bitm(**kwargs):
 @register_model
 def resnetv2_101x1_bitm(**kwargs):
     return BiTResNetV2(layers=(3, 4, 23, 3), **kwargs)
+
+
+# BiT width/depth sweep (reference resnetv2.py:311-384 + cfg :56-67);
+# _in21k releases carry the 21843-way head.
+_BITM_CFGS = {
+    "resnetv2_50x3_bitm": ((3, 4, 6, 3), 3),
+    "resnetv2_101x3_bitm": ((3, 4, 23, 3), 3),
+    "resnetv2_152x2_bitm": ((3, 8, 36, 3), 2),
+    "resnetv2_152x4_bitm": ((3, 8, 36, 3), 4),
+}
+
+
+def _register_bitm(name, layers, wf, num_classes=1000):
+    def builder(**kwargs):
+        kwargs.setdefault("layers", layers)
+        kwargs.setdefault("width_factor", wf)
+        kwargs.setdefault("num_classes", num_classes)
+        return BiTResNetV2(**kwargs)
+
+    builder.__name__ = name
+    register_model(builder)
+
+
+for _n, (_l, _wf) in _BITM_CFGS.items():
+    _register_bitm(_n, _l, _wf)
+for _n, (_l, _wf) in {**_BITM_CFGS,
+                      "resnetv2_50x1_bitm": ((3, 4, 6, 3), 1),
+                      "resnetv2_101x1_bitm": ((3, 4, 23, 3), 1)}.items():
+    _register_bitm(f"{_n}_in21k", _l, _wf, num_classes=21843)
+
+
+class TimmResNetStem(nn.Module):
+    """ResNet-D feature-extractor stem for the custom ViT hybrids
+    (reference ``vision_transformer_hybrid.py:272-316``: resnet26d /
+    resnet50d with ``features_only`` taps)."""
+
+    variant: str = "resnet26d"     # resnet26d | resnet50d
+    out_index: int = 3             # tap index (3 = stride 32 final stage,
+                                   # 2 = stride 16 third stage)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from acr_wsss_tpu.models.resnet_timm import TimmResNet
+
+        layers = (2, 2, 2, 2) if self.variant == "resnet26d" else (3, 4, 6, 3)
+        out = TimmResNet(layers=layers, stem_width=32, stem_type="deep",
+                         avg_down=True, dtype=self.dtype,
+                         name="backbone")(x)
+        return out["taps"][self.out_index], {}

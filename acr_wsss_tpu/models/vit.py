@@ -228,6 +228,10 @@ class VisionTransformer(nn.Module):
     with_bkg_token: bool = False
     taps: Tuple[int, ...] = (2, 5, 8, 11)
     backbone: Optional[Any] = None   # a bound-constructor (nn.Module class or partial)
+    # hybrid patchify size over the stem output (reference
+    # vision_transformer_hybrid.py:172-200 p2/p8 variants; 1 = the usual
+    # 1x1 projection)
+    hybrid_patch_size: int = 1
     dtype: Dtype = jnp.bfloat16
     attn_impl: str = "xla"
     probs_dtype: Dtype = jnp.float32
@@ -252,7 +256,8 @@ class VisionTransformer(nn.Module):
         stem_features = None
         if self.backbone is not None:
             x, stem_features = self.backbone(name="backbone")(x.astype(self.dtype))
-        x = PatchEmbed(self.embed_dim, 1 if self.backbone is not None
+        x = PatchEmbed(self.embed_dim, self.hybrid_patch_size
+                       if self.backbone is not None
                        else self.patch_size, dtype=self.dtype,
                        name="patch_embed")(x.astype(self.dtype))
 

@@ -16,7 +16,7 @@ translated per-variant module tree.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -48,14 +48,37 @@ class ViTClassifier(nn.Module):
     distilled: bool = False
     representation_size: Optional[int] = None
     hybrid: bool = False
+    # hybrid stem breadth (reference vision_transformer_hybrid.py:116-316):
+    # ResNetV2 stage plans other than R50, the bare 'same' stem
+    # (stem_layers=()) with p2/p8 patchify, and resnet26d/50d-D stems
+    stem_layers: Optional[Tuple[int, ...]] = None
+    stem_channels: Optional[Tuple[int, ...]] = None
+    stem_variant: str = ""      # '' | resnet26d | resnet50d_s16 | resnet50d
+    hybrid_patch_size: int = 1
     dtype: Dtype = jnp.bfloat16
     attn_impl: str = "xla"
     scan_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
-        backbone = (functools.partial(ResNetV2Stem, dtype=self.dtype)
-                    if self.hybrid else None)
+        from acr_wsss_tpu.models.hybrid import TimmResNetStem
+
+        backbone = None
+        if self.stem_variant:
+            variant = ("resnet26d" if self.stem_variant == "resnet26d"
+                       else "resnet50d")
+            out_index = 2 if self.stem_variant == "resnet50d_s16" else 3
+            backbone = functools.partial(TimmResNetStem, variant=variant,
+                                         out_index=out_index,
+                                         dtype=self.dtype)
+        elif self.stem_layers is not None:
+            backbone = functools.partial(
+                ResNetV2Stem, layers=self.stem_layers,
+                channels=self.stem_channels
+                or (256, 512, 1024, 2048)[:len(self.stem_layers)],
+                dtype=self.dtype)
+        elif self.hybrid:
+            backbone = functools.partial(ResNetV2Stem, dtype=self.dtype)
         trunk = VisionTransformer(
             embed_dim=self.embed_dim,
             depth=self.depth,
@@ -67,6 +90,7 @@ class ViTClassifier(nn.Module):
             num_prefix_tokens=2 if self.distilled else 1,
             taps=(),
             backbone=backbone,
+            hybrid_patch_size=self.hybrid_patch_size,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             scan_blocks=self.scan_blocks,
@@ -180,3 +204,39 @@ def vit_base_resnet50_384(**kwargs):
     kwargs.setdefault("hybrid", True)
     kwargs.setdefault("pretrain_grid", 24)
     return ViTClassifier(**kwargs)
+
+
+# Hybrid breadth (reference vision_transformer_hybrid.py:172-316; none of
+# these ship pretrained weights upstream either). patch_size here is the
+# TOTAL effective stride (grid divisor); the stem supplies stride
+# 4*2^(n_stages-1), the patchify the rest.
+_vit("vit_tiny_r_s16_p8_224", embed_dim=192, depth=12, num_heads=3,
+     stem_layers=(), hybrid_patch_size=8, patch_size=32, pretrain_grid=7)
+_vit("vit_small_r_s16_p8_224", embed_dim=384, depth=12, num_heads=6,
+     stem_layers=(), hybrid_patch_size=8, patch_size=32, pretrain_grid=7)
+_vit("vit_small_r20_s16_p2_224", embed_dim=384, depth=12, num_heads=6,
+     stem_layers=(2, 4), hybrid_patch_size=2, patch_size=16,
+     pretrain_grid=14)
+_vit("vit_small_r20_s16_224", embed_dim=384, depth=12, num_heads=6,
+     stem_layers=(2, 2, 2), patch_size=16, pretrain_grid=14)
+_vit("vit_small_r26_s32_224", embed_dim=384, depth=12, num_heads=6,
+     stem_layers=(2, 2, 2, 2), patch_size=32, pretrain_grid=7)
+_vit("vit_base_r20_s16_224", stem_layers=(2, 2, 2), patch_size=16,
+     pretrain_grid=14, embed_dim=768, depth=12, num_heads=12)
+_vit("vit_base_r26_s32_224", stem_layers=(2, 2, 2, 2), patch_size=32,
+     pretrain_grid=7, embed_dim=768, depth=12, num_heads=12)
+_vit("vit_base_r50_s16_224", hybrid=True, patch_size=16, pretrain_grid=14,
+     embed_dim=768, depth=12, num_heads=12)
+# NOTE embed 768/12 heads mirrors the reference def verbatim (:261-270)
+_vit("vit_large_r50_s32_224", stem_layers=(3, 4, 6, 3), patch_size=32,
+     pretrain_grid=7, embed_dim=768, depth=12, num_heads=12)
+_vit("vit_small_resnet26d_224", embed_dim=768, depth=8, num_heads=8,
+     mlp_ratio=3.0, stem_variant="resnet26d", patch_size=32,
+     pretrain_grid=7)
+_vit("vit_small_resnet50d_s16_224", embed_dim=768, depth=8, num_heads=8,
+     mlp_ratio=3.0, stem_variant="resnet50d_s16", patch_size=16,
+     pretrain_grid=14)
+_vit("vit_base_resnet26d_224", embed_dim=768, depth=12, num_heads=12,
+     stem_variant="resnet26d", patch_size=32, pretrain_grid=7)
+_vit("vit_base_resnet50d_224", embed_dim=768, depth=12, num_heads=12,
+     stem_variant="resnet50d", patch_size=32, pretrain_grid=7)

@@ -239,6 +239,16 @@ ZOO_URLS: Dict[str, str] = {
     # BiT preact ResNetV2 (reference cfg models/resnetv2.py:56-67; TF npz)
     "resnetv2_50x1_bitm": "https://storage.googleapis.com/bit_models/BiT-M-R50x1-ILSVRC2012.npz",
     "resnetv2_101x1_bitm": "https://storage.googleapis.com/bit_models/BiT-M-R101x1-ILSVRC2012.npz",
+    "resnetv2_50x3_bitm": "https://storage.googleapis.com/bit_models/BiT-M-R50x3-ILSVRC2012.npz",
+    "resnetv2_101x3_bitm": "https://storage.googleapis.com/bit_models/BiT-M-R101x3-ILSVRC2012.npz",
+    "resnetv2_152x2_bitm": "https://storage.googleapis.com/bit_models/BiT-M-R152x2-ILSVRC2012.npz",
+    "resnetv2_152x4_bitm": "https://storage.googleapis.com/bit_models/BiT-M-R152x4-ILSVRC2012.npz",
+    "resnetv2_50x1_bitm_in21k": "https://storage.googleapis.com/bit_models/BiT-M-R50x1.npz",
+    "resnetv2_50x3_bitm_in21k": "https://storage.googleapis.com/bit_models/BiT-M-R50x3.npz",
+    "resnetv2_101x1_bitm_in21k": "https://storage.googleapis.com/bit_models/BiT-M-R101x1.npz",
+    "resnetv2_101x3_bitm_in21k": "https://storage.googleapis.com/bit_models/BiT-M-R101x3.npz",
+    "resnetv2_152x2_bitm_in21k": "https://storage.googleapis.com/bit_models/BiT-M-R152x2.npz",
+    "resnetv2_152x4_bitm_in21k": "https://storage.googleapis.com/bit_models/BiT-M-R152x4.npz",
     # RepVGG + GENet (reference cfg models/byobnet.py:57-89)
     "repvgg_a2": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-repvgg-weights/repvgg_a2-c1ee6d2b.pth",
     "repvgg_b0": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-repvgg-weights/repvgg_b0-80ac3f1b.pth",
@@ -545,7 +555,7 @@ def convert_state_dict(backbone: str, state: Dict):
         )
 
         return gluon_resnet_d_state_dict_to_flax(state)
-    if backbone.startswith("resnetv2") and backbone.endswith("_bitm"):
+    if backbone.startswith("resnetv2") and ("_bitm" in backbone):
         from acr_wsss_tpu.models.convert import (
             resnetv2_bit_state_dict_to_flax,
         )
