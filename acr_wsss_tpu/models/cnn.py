@@ -30,14 +30,17 @@ Dtype = Any
 
 
 class ConvBN(nn.Module):
-    """Conv (no bias) + BatchNorm (+ optional ReLU), torch defaults
-    (momentum 0.1 -> flax momentum 0.9, eps 1e-5)."""
+    """Conv (no bias) + BatchNorm (+ optional act), torch defaults
+    (momentum 0.1 -> flax momentum 0.9, eps 1e-5). ``act='leaky'`` gives
+    the Inplace-ABN inference semantics (BN + LeakyReLU(0.01)) the
+    reference's _iabn cfgs use."""
 
     features: int
     kernel_size: int
     strides: int = 1
     apply_act: bool = True
     groups: int = 1
+    act: str = "relu"              # relu | leaky
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -53,7 +56,8 @@ class ConvBN(nn.Module):
             dtype=jnp.float32, axis_name=self.bn_axis_name if train else None,
             name="bn")(x)
         if self.apply_act:
-            x = nn.relu(x)
+            x = (nn.leaky_relu(x, negative_slope=0.01)
+                 if self.act == "leaky" else nn.relu(x))
         return x.astype(self.dtype)
 
 
@@ -220,18 +224,38 @@ class DenseNet(nn.Module):
     num_classes: int = 1000
     growth_rate: int = 32
     block_config: Sequence[int] = (6, 12, 24, 16)
+    # timm densenet.py:174-201 stem options: 'deep' = three 3x3 convs
+    # (growth, growth, 2*growth); blur = anti-aliased stem pool
+    # (MaxPool stride 1 + binomial BlurPool stride 2)
+    deep_stem: bool = False
+    blur: bool = False
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         x = x.astype(self.dtype)
-        x = ConvBN(2 * self.growth_rate, 7, 2, dtype=self.dtype,
-                   bn_axis_name=self.bn_axis_name, name="stem")(x, train)
+        g = self.growth_rate
+        if self.deep_stem:
+            x = ConvBN(g, 3, 2, dtype=self.dtype,
+                       bn_axis_name=self.bn_axis_name, name="stem0")(x, train)
+            x = ConvBN(g, 3, 1, dtype=self.dtype,
+                       bn_axis_name=self.bn_axis_name, name="stem1")(x, train)
+            x = ConvBN(2 * g, 3, 1, dtype=self.dtype,
+                       bn_axis_name=self.bn_axis_name, name="stem2")(x, train)
+        else:
+            x = ConvBN(2 * g, 7, 2, dtype=self.dtype,
+                       bn_axis_name=self.bn_axis_name, name="stem")(x, train)
         # torch MaxPool2d(3, 2, padding=1): symmetric pad, unlike the
         # TF-'SAME' pool of the v2 hybrid stem (different window
         # alignment on even inputs)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        if self.blur:
+            from acr_wsss_tpu.models.resnet_timm import _blur_pool
+
+            x = nn.max_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1)] * 2)
+            x = _blur_pool(x, 2)
+        else:
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
         taps: Dict[int, jnp.ndarray] = {}
         for si, depth in enumerate(self.block_config):
             for bi in range(depth):
@@ -453,4 +477,19 @@ def densenet264(**kwargs):
     # densenet.py:338-344
     kwargs.setdefault("growth_rate", 48)
     kwargs.setdefault("block_config", (6, 12, 64, 48))
+    return DenseNet(**kwargs)
+
+
+@register_model
+def densenet121d(**kwargs):
+    # densenet.py:318-324: deep 3x3 stem (no pretrained URL upstream)
+    kwargs.setdefault("deep_stem", True)
+    return DenseNet(**kwargs)
+
+
+@register_model
+def densenetblur121d(**kwargs):
+    # densenet.py:307-313: deep stem + BlurPool stem pool
+    kwargs.setdefault("deep_stem", True)
+    kwargs.setdefault("blur", True)
     return DenseNet(**kwargs)

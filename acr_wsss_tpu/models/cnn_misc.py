@@ -566,6 +566,38 @@ class CSPNet(nn.Module):
                 "taps": taps}
 
 
+class ConvEvoS0(nn.Module):
+    """Conv + EvoNorm-S0 (reference ``layers/evo_norm.py:55-85``
+    EvoNormSample2d, groups 8): y = x*sigmoid(v*x) / group_std * w + b.
+    Used by the ese_vovnet39b_evos cfg in place of BN+ReLU."""
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    groups: int = 8
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel_size
+        x = nn.Conv(self.features, (k, k), strides=(self.strides,) * 2,
+                    padding=[(k // 2, k // 2)] * 2, use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = x.astype(jnp.float32)
+        c = x.shape[-1]
+        w = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        v = self.param("v", nn.initializers.ones, (c,), jnp.float32)
+        B, H, W, _ = x.shape
+        g = self.groups
+        xg = x.reshape(B, H, W, g, c // g)
+        var = jnp.var(xg, axis=(1, 2, 4), keepdims=True)
+        num = x * nn.sigmoid(v * x)
+        den = jnp.broadcast_to(jnp.sqrt(var + 1e-5),
+                               xg.shape).reshape(B, H, W, c)
+        return ((num / den) * w + b).astype(self.dtype)
+
+
 class OSABlock(nn.Module):
     """VoVNet one-shot aggregation (reference ``models/vovnet.py:179-229``):
     n sequential 3x3 convs, concat ALL intermediate outputs (+input),
@@ -579,17 +611,26 @@ class OSABlock(nn.Module):
     ese: bool = False
     depthwise: bool = False   # 19b_dw cfgs: separable mid convs
     eca: bool = False         # eca_vovnet39b: ECA instead of EffectiveSE
+    norm: str = "bn"          # bn | iabn (leaky) | evos (EvoNorm-S0)
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        if self.norm == "iabn":
+            kw["act"] = "leaky"
+        if self.norm == "evos":
+            conv = lambda c, k, s=1, name=None: ConvEvoS0(  # noqa: E731
+                c, k, s, dtype=self.dtype, name=name)
+        else:
+            conv = lambda c, k, s=1, name=None: ConvBN(  # noqa: E731
+                c, k, s, name=name, **kw)
         outs = [x]
         y = x
         if self.depthwise and x.shape[-1] != self.mid_chs:
             # vovnet.py:191-195 conv_reduction (asserts no residual)
-            y = ConvBN(self.mid_chs, 1, name="conv_reduction", **kw)(y, train)
+            y = conv(self.mid_chs, 1, name="conv_reduction")(y, train)
         for i in range(self.n_convs):
             if self.depthwise:
                 # SeparableConvBnAct (layers/separable_conv.py:14-31):
@@ -598,12 +639,12 @@ class OSABlock(nn.Module):
                             feature_group_count=self.mid_chs,
                             use_bias=False, dtype=self.dtype,
                             name=f"c{i}_dw")(y)
-                y = ConvBN(self.mid_chs, 1, name=f"c{i}", **kw)(y, train)
+                y = conv(self.mid_chs, 1, name=f"c{i}")(y, train)
             else:
-                y = ConvBN(self.mid_chs, 3, name=f"c{i}", **kw)(y, train)
+                y = conv(self.mid_chs, 3, name=f"c{i}")(y, train)
             outs.append(y)
         y = jnp.concatenate(outs, axis=-1)
-        y = ConvBN(self.out_chs, 1, name="concat_conv", **kw)(y, train)
+        y = conv(self.out_chs, 1, name="concat_conv")(y, train)
         if self.eca:
             from acr_wsss_tpu.models.resnet_timm import EcaModule
 
@@ -634,15 +675,24 @@ class VoVNet(nn.Module):
     ese: bool = False
     depthwise: bool = False
     eca: bool = False
+    norm: str = "bn"
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, Any]:
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        if self.norm == "iabn":
+            kw["act"] = "leaky"
+        if self.norm == "evos":
+            stem_conv = lambda c, k, s, name: ConvEvoS0(  # noqa: E731
+                c, k, s, dtype=self.dtype, name=name)
+        else:
+            stem_conv = lambda c, k, s, name: ConvBN(  # noqa: E731
+                c, k, s, name=name, **kw)
         x = x.astype(self.dtype)
         sc = self.stem_chs
-        x = ConvBN(sc[0], 3, 2, name="stem1", **kw)(x, train)
+        x = stem_conv(sc[0], 3, 2, "stem1")(x, train)
         if self.depthwise:
             # depthwise cfgs use separable stem convs 2/3 (vovnet.py:281)
             x = nn.Conv(sc[0], (3, 3), padding=[(1, 1)] * 2,
@@ -655,8 +705,8 @@ class VoVNet(nn.Module):
                         name="stem3_dw")(x)
             x = ConvBN(sc[2], 1, name="stem3", **kw)(x, train)
         else:
-            x = ConvBN(sc[1], 3, 1, name="stem2", **kw)(x, train)
-            x = ConvBN(sc[2], 3, 2, name="stem3", **kw)(x, train)
+            x = stem_conv(sc[1], 3, 1, "stem2")(x, train)
+            x = stem_conv(sc[2], 3, 2, "stem3")(x, train)
         taps: Dict[int, jnp.ndarray] = {}
         for si, (nb, mw, ow) in enumerate(zip(
                 self.stage_blocks, self.mid_widths, self.out_widths)):
@@ -670,8 +720,10 @@ class VoVNet(nn.Module):
                              residual=self.residual and bi > 0,
                              ese=self.ese and bi == nb - 1,
                              eca=self.eca and bi == nb - 1,
-                             depthwise=self.depthwise,
-                             name=f"s{si}_osa{bi}", **kw)(x, train)
+                             depthwise=self.depthwise, norm=self.norm,
+                             dtype=self.dtype,
+                             bn_axis_name=self.bn_axis_name,
+                             name=f"s{si}_osa{bi}")(x, train)
             taps[si] = x
         return {"logits": _head(x, self.num_classes), "features": x,
                 "taps": taps}
@@ -1605,3 +1657,55 @@ for _wm, _nm in ((1.0, "rexnetr_100"), (1.3, "rexnetr_130"),
     _b = _mk_rexnetr()
     _b.__name__ = _nm
     register_model(_b)
+
+
+@register_model
+def ese_vovnet99b_iabn(**kwargs):
+    # vovnet.py:125-135: 99b stage plan with Inplace-ABN norm-acts
+    # (BN + LeakyReLU(0.01) at inference); no weights upstream
+    kwargs.setdefault("stage_blocks", (1, 3, 9, 3))
+    kwargs.setdefault("residual", True)
+    kwargs.setdefault("ese", True)
+    kwargs.setdefault("norm", "iabn")
+    return VoVNet(**kwargs)
+
+
+@register_model
+def ese_vovnet39b_evos(**kwargs):
+    # vovnet.py:115-123: EvoNorm-S0 in place of BN+ReLU; no weights
+    kwargs.setdefault("residual", True)
+    kwargs.setdefault("ese", True)
+    kwargs.setdefault("norm", "evos")
+    return VoVNet(**kwargs)
+
+
+@register_model
+def cspresnext50_iabn(**kwargs):
+    # cspnet.py:439-443: cspresnext50 with iabn norm-acts (leaky)
+    kwargs.setdefault("widths", (256, 512, 1024, 2048))
+    kwargs.setdefault("groups", 32)
+    kwargs.setdefault("exp_ratios", (1.0,) * 4)
+    kwargs.setdefault("bottle_ratios", (1.0,) * 4)
+    kwargs.setdefault("block_ratios", (0.5,) * 4)
+    kwargs.setdefault("leaky", True)
+    return CSPNet(**kwargs)
+
+
+@register_model
+def cspdarknet53_iabn(**kwargs):
+    # cspnet.py:450-454: same plan as cspdarknet53 (already leaky)
+    from acr_wsss_tpu.models.registry import model_entrypoint
+
+    return model_entrypoint("cspdarknet53")(**kwargs)
+
+
+@register_model
+def densenet264d_iabn(**kwargs):
+    # densenet.py:369-377: deep stem + 264 plan + iabn; the flax DenseNet
+    # keeps plain BN+ReLU norm-acts here (no weights upstream to match)
+    from acr_wsss_tpu.models.cnn import DenseNet
+
+    kwargs.setdefault("growth_rate", 48)
+    kwargs.setdefault("block_config", (6, 12, 64, 48))
+    kwargs.setdefault("deep_stem", True)
+    return DenseNet(**kwargs)

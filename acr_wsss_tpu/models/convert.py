@@ -602,6 +602,7 @@ def densenet_state_dict_to_flax(
     """torchvision/timm DenseNet -> flax variables for
     ``models/cnn.DenseNet`` (torch denseblock/denselayer indices are
     1-based; ours are 0-based)."""
+    deep_stem = "features.conv2.weight" in state_dict
     variables: Dict = {}
     for name, value in state_dict.items():
         if name.endswith("num_batches_tracked"):
@@ -612,7 +613,7 @@ def densenet_state_dict_to_flax(
         v = (value.detach().cpu().numpy()
              if hasattr(value, "detach") else np.asarray(value))
         v = v.astype(np.float32)
-        mapped = _map_densenet_name(name)
+        mapped = _map_densenet_name(name, deep_stem=deep_stem)
         if mapped is None:
             continue
         leaf_path, transform = mapped
@@ -620,8 +621,17 @@ def densenet_state_dict_to_flax(
     return variables
 
 
-def _map_densenet_name(name: str):
+def _map_densenet_name(name: str, deep_stem: bool = False):
     ident = lambda x: x
+    if deep_stem:
+        m = re.match(r"features\.conv(\d)\.weight$", name)
+        if m:
+            return ("params", f"stem{m.group(1)}", "conv", "kernel"), _conv
+        m = re.match(r"features\.norm([012])\.(weight|bias|running_mean"
+                     r"|running_var)$", name)
+        if m:
+            coll, leaf = _BN_LEAVES[m.group(2)]
+            return (coll, f"stem{m.group(1)}", "bn", leaf), ident
     if name == "features.conv0.weight":
         return ("params", "stem", "conv", "kernel"), _conv
     m = re.match(r"features\.norm0\.(weight|bias|running_mean|running_var)$",

@@ -272,6 +272,7 @@ ZOO_URLS: Dict[str, str] = {
     "densenet201": "https://download.pytorch.org/models/densenet201-c1103571.pth",
     "densenet161": "https://download.pytorch.org/models/densenet161-8d451a50.pth",
     "tv_densenet121": "https://download.pytorch.org/models/densenet121-a639ec97.pth",
+    "densenetblur121d": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/densenetblur121d_ra-100dcfbc.pth",
     "vgg11": "https://download.pytorch.org/models/vgg11-bbd30ac9.pth",
     "vgg13": "https://download.pytorch.org/models/vgg13-c768596a.pth",
     "vgg16": "https://download.pytorch.org/models/vgg16-397923af.pth",

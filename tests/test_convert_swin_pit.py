@@ -2328,3 +2328,36 @@ def test_mixnet_converted_forward_parity(name, size):
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_densenetblur121d_converted_forward_parity():
+    """densenetblur121d (densenet.py:165-201: deep 3x3 stem + MaxPool(s1)
+    + binomial BlurPool stem pool) -> DenseNet(deep_stem, blur):
+    eval-mode logits parity."""
+    import torch
+
+    dn = _load_vendored("densenet")
+    torch.manual_seed(193)
+    ref = dn.densenetblur121d(pretrained=False)
+    rng = np.random.default_rng(193)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import densenet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = densenet_state_dict_to_flax(ref.state_dict())
+    model = create_model("densenetblur121d", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
