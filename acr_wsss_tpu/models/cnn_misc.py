@@ -290,6 +290,59 @@ class DlaBottleneck(nn.Module):
         return nn.relu(y + shortcut).astype(self.dtype)
 
 
+class DlaBottle2neck(nn.Module):
+    """Res2Net DLA bottleneck (reference ``models/dla.py:124-183``):
+    res2net cascade over ``scale`` splits of the grouped mid width; the
+    passthrough split is avg-pooled on strided (is_first) blocks."""
+
+    out_chs: int
+    stride: int = 1
+    scale: int = 4
+    cardinality: int = 8
+    base_width: int = 4
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, shortcut, train: bool = False):
+        import math as _math
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32,
+                axis_name=self.bn_axis_name if train else None, name=name)
+
+        is_first = self.stride > 1
+        mid = int(_math.floor(self.out_chs * (self.base_width / 64))
+                  ) * self.cardinality // 2
+        y = nn.Conv(mid * self.scale, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(bn("bn1")(y)).astype(self.dtype)
+        splits = [y[..., i * mid:(i + 1) * mid] for i in range(self.scale)]
+        outs = []
+        sp = None
+        for i in range(max(1, self.scale - 1)):
+            sp = splits[i] if (i == 0 or is_first) else sp + splits[i]
+            sp = nn.Conv(mid, (3, 3), strides=(self.stride,) * 2,
+                         padding=[(1, 1)] * 2,
+                         feature_group_count=self.cardinality,
+                         use_bias=False, dtype=self.dtype,
+                         name=f"convs_{i}")(sp)
+            sp = nn.relu(bn(f"bns_{i}")(sp)).astype(self.dtype)
+            outs.append(sp)
+        if self.scale > 1:
+            last = splits[-1]
+            if is_first:
+                last = nn.avg_pool(last, (3, 3), strides=(self.stride,) * 2,
+                                   padding=[(1, 1)] * 2)
+            outs.append(last)
+        y = nn.Conv(self.out_chs, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(jnp.concatenate(outs, axis=-1))
+        y = bn("bn3")(y)
+        return nn.relu(y + shortcut).astype(self.dtype)
+
+
 class DlaTree(nn.Module):
     """Hierarchical aggregation tree (reference ``models/dla.py:206-253``):
     levels==1 runs two basic blocks joined by a root 1x1 (concat order
@@ -312,7 +365,7 @@ class DlaTree(nn.Module):
     def __call__(self, x, children=None, train: bool = False):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         blk_kw = dict(kw)
-        if self.block is DlaBottleneck:
+        if self.block in (DlaBottleneck, DlaBottle2neck):
             blk_kw.update(cardinality=self.cardinality,
                           base_width=self.base_width)
         tree_kw = dict(block=self.block, cardinality=self.cardinality,
@@ -1709,3 +1762,25 @@ def densenet264d_iabn(**kwargs):
     kwargs.setdefault("block_config", (6, 12, 64, 48))
     kwargs.setdefault("deep_stem", True)
     return DenseNet(**kwargs)
+
+
+@register_model
+def dla60_res2net(**kwargs):
+    # dla.py:349-353
+    kwargs.setdefault("levels", (1, 1, 1, 2, 3, 1))
+    kwargs.setdefault("channels", (16, 32, 128, 256, 512, 1024))
+    kwargs.setdefault("block", DlaBottle2neck)
+    kwargs.setdefault("cardinality", 1)
+    kwargs.setdefault("base_width", 28)
+    return DLA(**kwargs)
+
+
+@register_model
+def dla60_res2next(**kwargs):
+    # dla.py:357-361
+    kwargs.setdefault("levels", (1, 1, 1, 2, 3, 1))
+    kwargs.setdefault("channels", (16, 32, 128, 256, 512, 1024))
+    kwargs.setdefault("block", DlaBottle2neck)
+    kwargs.setdefault("cardinality", 8)
+    kwargs.setdefault("base_width", 4)
+    return DLA(**kwargs)

@@ -2106,6 +2106,12 @@ def _map_dla_name(name: str):
         return None
     if len(rest) == 3:
         mod, sub, leaf = rest
+        # DlaBottle2neck cascade (dla.py:124-183): convs.{i} / bns.{i}
+        if mod == "convs" and leaf == "weight":
+            return ("params", *base, f"convs_{sub}", "kernel"), _conv
+        if mod == "bns" and leaf in _BN_LEAVES:
+            coll, l = _BN_LEAVES[leaf]
+            return (coll, *base, f"bns_{sub}", l), ident
         if mod == "project":
             if sub == "0" and leaf == "weight":
                 return ("params", *base, "project_conv", "kernel"), _conv

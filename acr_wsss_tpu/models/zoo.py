@@ -134,6 +134,8 @@ ZOO_URLS: Dict[str, str] = {
     "dla102x": "http://dl.yf.io/dla/models/imagenet/dla102x-ad62be81.pth",
     "dla102x2": "http://dl.yf.io/dla/models/imagenet/dla102x2-262837b6.pth",
     "dla169": "http://dl.yf.io/dla/models/imagenet/dla169-0914e092.pth",
+    "dla60_res2net": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-res2net/res2net_dla60_4s-d88db7f9.pth",
+    "dla60_res2next": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-res2net/res2next_dla60_4s-d327927b.pth",
     # CoaT-Lite (reference cfg models/coat.py:37-44)
     "coat_lite_tiny": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-coat-weights/coat_lite_tiny-461b07a7.pth",
     "coat_lite_mini": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-coat-weights/coat_lite_mini-d7842000.pth",

@@ -2361,3 +2361,35 @@ def test_densenetblur121d_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_dla60_res2next_converted_forward_parity():
+    """dla60_res2next (dla.py:124-183 DlaBottle2neck: res2net cascade with
+    cardinality-8 grouped splits inside the DLA trees) -> DLA hybrids."""
+    import torch
+
+    dla = _load_vendored("dla")
+    torch.manual_seed(197)
+    ref = dla.dla60_res2next(pretrained=False)
+    rng = np.random.default_rng(197)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import dla_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = dla_state_dict_to_flax(ref.state_dict())
+    model = create_model("dla60_res2next", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
