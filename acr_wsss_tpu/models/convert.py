@@ -3055,8 +3055,18 @@ def generic_effnet_state_dict_to_flax(
             base, rest = f"blocks_{m.group(1)}_{m.group(2)}", m.group(3)
         else:
             base, rest = None, name
+        mm = re.match(r"routing_fn\.(weight|bias)$", rest)
+        if mm and base:   # CondConv routing head
+            leaf = "kernel" if mm.group(1) == "weight" else "bias"
+            _set(variables, ("params", base, "routing_fn", leaf),
+                 _linear(v) if leaf == "kernel" else v)
+            continue
         mm = re.match(r"(conv_\w+|conv)\.(weight|bias)$", rest)
         if mm:
+            if mm.group(2) == "weight" and v.ndim == 2 and base:
+                # CondConv expert bank: stored flattened verbatim
+                _set(variables, ("params", base, mm.group(1), "weight"), v)
+                continue
             leaf = "kernel" if mm.group(2) == "weight" else "bias"
             _set(variables, ("params",) + ((base,) if base else ())
                  + (mm.group(1), leaf), _conv(v) if leaf == "kernel" else v)

@@ -31,6 +31,7 @@ import re
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from acr_wsss_tpu.models.registry import register_model
@@ -98,6 +99,8 @@ def _decode_block_str(block_str: str) -> Tuple[Dict[str, Any], int]:
                   exp_kernel_size=_parse_ksize(options.get("a", "1")),
                   pw_kernel_size=_parse_ksize(options.get("p", "1")),
                   exp_ratio=float(options["e"]))
+        if "cc" in options:
+            ba["num_experts"] = int(options["cc"])
     elif block_type == "er":
         ba.update(exp_kernel_size=_parse_ksize(options["k"]),
                   pw_kernel_size=_parse_ksize(options.get("p", "1")),
@@ -404,6 +407,7 @@ class GenericEfficientNet(nn.Module):
     scale_features: bool = False     # True = round_channels(1280 * cm)
     fix_first_last: bool = False
     depth_trunc: str = "ceil"
+    experts_multiplier: int = 1    # CondConv expert scaling (cc_*_8e)
     act: str = "silu"
     bn_eps: float = 1e-5
     same_pad: bool = False
@@ -472,6 +476,13 @@ class GenericEfficientNet(nn.Module):
                     raise NotImplementedError("mixed ds dw kernels")
                 cls = {"ds": _DSBlock, "dsa": _DSBlock, "ir": _IRBlock,
                        "er": _ERBlock, "cn": _CNBlock}[btype]
+                if ba.get("num_experts"):
+                    cls = _CCBlock
+                    ba["num_experts"] *= self.experts_multiplier
+                    ba.pop("exp_kernel_size", None)
+                    ba.pop("pw_kernel_size", None)
+                else:
+                    ba.pop("num_experts", None)
                 blk_kw = dict(kw)
                 if btype == "cn":
                     ba.pop("se_ratio", None)
@@ -898,3 +909,124 @@ _register_mixnet("mixnet_xxl", ARCH_MIXNET_M, 24, cm=2.4, dm=1.3)
 _register_mixnet("tf_mixnet_s", ARCH_MIXNET_S, 16, tf=True)
 _register_mixnet("tf_mixnet_m", ARCH_MIXNET_M, 24, tf=True)
 _register_mixnet("tf_mixnet_l", ARCH_MIXNET_M, 24, cm=1.3, tf=True)
+
+
+class _CondConv(nn.Module):
+    """CondConv2d (reference ``layers/cond_conv2d.py:34-100``): per-sample
+    kernels as a routed mixture of experts. The expert weights live
+    FLATTENED exactly like the torch checkpoint ((E, out*in/groups*k*k))
+    so conversion is a verbatim copy; conv linearity lets us run E plain
+    convs and mix outputs instead of materializing per-sample kernels —
+    the XLA-friendly formulation."""
+
+    out_chs: int
+    kernel_size: int = 1
+    stride: int = 1
+    depthwise: bool = False
+    same_pad: bool = False
+    dtype: Dtype = jnp.bfloat16
+    num_experts: int = 4
+
+    @nn.compact
+    def __call__(self, x, routing):     # routing: (B, E) sigmoid weights
+        in_chs = x.shape[-1]
+        k = self.kernel_size
+        groups = in_chs if self.depthwise else 1
+        in_g = in_chs // groups
+        numel = self.out_chs * in_g * k * k
+        weight = self.param(
+            "weight",
+            nn.initializers.variance_scaling(2.0, "fan_out",
+                                             "truncated_normal"),
+            (self.num_experts, numel), jnp.float32)
+        # torch per-expert layout (out, in/g, kh, kw) -> HWIO
+        w = weight.reshape(self.num_experts, self.out_chs, in_g, k, k)
+        w = w.transpose(0, 3, 4, 2, 1).astype(self.dtype)
+        outs = []
+        for e in range(self.num_experts):
+            outs.append(jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w[e],
+                window_strides=(self.stride,) * 2,
+                padding="SAME" if self.same_pad
+                else [(k // 2, k // 2)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups))
+        stacked = jnp.stack(outs, axis=0)             # (E, B, H, W, C)
+        r = routing.T[:, :, None, None, None].astype(stacked.dtype)
+        return jnp.sum(stacked * r, axis=0)
+
+
+class _CCBlock(nn.Module):
+    """CondConvResidual (reference ``efficientnet_blocks.py:289-340``):
+    an inverted residual whose three convs are expert mixtures routed by
+    one sigmoid linear head on the pooled block input."""
+
+    out_chs: int
+    dw_kernel_size: int = 3
+    stride: int = 1
+    exp_ratio: float = 6.0
+    se_ratio: float = 0.0
+    act: str = "silu"
+    noskip: bool = False
+    num_experts: int = 4
+    se_reduce_mid: bool = False
+    se_divisor: int = 1
+    se_gate: str = "sigmoid"
+    se_act: str = ""
+    same_pad: bool = False
+    bn_eps: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_chs = x.shape[-1]
+        act = _act_fn(self.act)
+        mid = make_divisible(in_chs * self.exp_ratio)
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        routing = nn.sigmoid(nn.Dense(self.num_experts, dtype=jnp.float32,
+                                      name="routing_fn")(pooled))
+        cc = dict(same_pad=self.same_pad, dtype=self.dtype,
+                  num_experts=self.num_experts)
+        y = _CondConv(mid, 1, 1, name="conv_pw", **cc)(x, routing)
+        y = act(_bn(self.bn_eps, self.bn_axis_name, train, "bn1")(y))
+        y = _CondConv(mid, self.dw_kernel_size, self.stride, depthwise=True,
+                      name="conv_dw", **cc)(y, routing)
+        y = act(_bn(self.bn_eps, self.bn_axis_name, train, "bn2")(y))
+        if self.se_ratio > 0:
+            base = mid if self.se_reduce_mid else in_chs
+            y = _SE(make_divisible(base * self.se_ratio, self.se_divisor),
+                    act=self.se_act or self.act, gate=self.se_gate,
+                    dtype=self.dtype, name="se")(y)
+        y = _CondConv(self.out_chs, 1, 1, name="conv_pwl", **cc)(y, routing)
+        y = _bn(self.bn_eps, self.bn_axis_name, train, "bn3")(y)
+        if (self.stride == 1 and in_chs == self.out_chs
+                and not self.noskip):
+            y = y + x
+        return y.astype(self.dtype)
+
+
+ARCH_EFFNET_CC = (
+    ("ds_r1_k3_s1_e1_c16_se0.25",),
+    ("ir_r2_k3_s2_e6_c24_se0.25",),
+    ("ir_r2_k5_s2_e6_c40_se0.25",),
+    ("ir_r3_k3_s2_e6_c80_se0.25",),
+    ("ir_r3_k5_s1_e6_c112_se0.25_cc4",),
+    ("ir_r4_k5_s2_e6_c192_se0.25_cc4",),
+    ("ir_r1_k3_s1_e6_c320_se0.25_cc4",),
+)
+
+
+def _register_cc(name, dm=1.0, experts_mult=1, tf=False):
+    cfg = dict(arch=ARCH_EFFNET_CC, depth_mult=dm, scale_features=True,
+               act="silu", experts_multiplier=experts_mult)
+    if tf:
+        cfg.update(same_pad=True, bn_eps=1e-3)
+    _register(name, **cfg)
+
+
+for _tf in (False, True):
+    _p = "tf_efficientnet" if _tf else "efficientnet"
+    _register_cc(f"{_p}_cc_b0_4e", tf=_tf)
+    _register_cc(f"{_p}_cc_b0_8e", experts_mult=2, tf=_tf)
+    _register_cc(f"{_p}_cc_b1_8e", dm=1.1, experts_mult=2, tf=_tf)

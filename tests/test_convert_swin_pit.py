@@ -2393,3 +2393,39 @@ def test_dla60_res2next_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+@pytest.mark.parametrize("name,size", [("efficientnet_cc_b0_4e", 64),
+                                       ("tf_efficientnet_cc_b0_8e", 65)])
+def test_condconv_converted_forward_parity(name, size):
+    """CondConv EfficientNets (efficientnet_blocks.py:289-340 routed
+    expert mixtures; cond_conv2d.py flattened expert banks) vs vendored
+    torch — validates the conv-linearity mixture formulation."""
+    import torch
+
+    ef = _load_vendored("efficientnet")
+    torch.manual_seed(hash(name) % 2**31)
+    ref = getattr(ef, name)(pretrained=False)
+    rng = np.random.default_rng(hash(name) % 2**31)
+    _advance_bn_and_eval(ref, rng, size=size)
+
+    from acr_wsss_tpu.models.convert import (
+        generic_effnet_state_dict_to_flax,
+    )
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = generic_effnet_state_dict_to_flax(ref.state_dict())
+    model = create_model(name, num_classes=1000, dtype=jnp.float32)
+    x = jnp.zeros((1, size, size, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, size, size)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
