@@ -243,6 +243,7 @@ class _DSBlock(nn.Module):
     dw_kernel_size: int = 3
     stride: int = 1
     se_ratio: float = 0.0
+    se_chs: int = 0        # pruned cfgs: explicit SE reduce width
     act: str = "relu"
     pw_act: bool = False
     noskip: bool = False
@@ -266,8 +267,9 @@ class _DSBlock(nn.Module):
         y = act(_bn(self.bn_eps, self.bn_axis_name, train, "bn1")(y))
         if self.se_ratio > 0:
             base = in_chs  # ds: mid == in (reduce_mid is the same base)
-            y = _SE(make_divisible(base * self.se_ratio, self.se_divisor),
-                    act=self.se_act or self.act, gate=self.se_gate,
+            red = self.se_chs or make_divisible(
+                base * self.se_ratio, self.se_divisor)
+            y = _SE(red, act=self.se_act or self.act, gate=self.se_gate,
                     dtype=self.dtype, name="se")(y)
         y = nn.Conv(self.out_chs, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv_pw")(y)
@@ -290,6 +292,8 @@ class _IRBlock(nn.Module):
     exp_kernel_size: Any = 1       # tuple -> split-grouped 1x1s (MixNet)
     pw_kernel_size: Any = 1
     se_ratio: float = 0.0
+    mid_chs: int = 0       # pruned cfgs: explicit expansion width
+    se_chs: int = 0
     act: str = "relu"
     noskip: bool = False
     se_reduce_mid: bool = False
@@ -305,7 +309,7 @@ class _IRBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         in_chs = x.shape[-1]
         act = _act_fn(self.act)
-        mid = make_divisible(in_chs * self.exp_ratio)
+        mid = self.mid_chs or make_divisible(in_chs * self.exp_ratio)
         y = _conv_or_mixed(x, mid, self.exp_kernel_size, 1, False,
                            self.same_pad, self.dtype, "conv_pw")
         y = act(_bn(self.bn_eps, self.bn_axis_name, train, "bn1")(y))
@@ -314,8 +318,9 @@ class _IRBlock(nn.Module):
         y = act(_bn(self.bn_eps, self.bn_axis_name, train, "bn2")(y))
         if self.se_ratio > 0:
             base = mid if self.se_reduce_mid else in_chs
-            y = _SE(make_divisible(base * self.se_ratio, self.se_divisor),
-                    act=self.se_act or self.act, gate=self.se_gate,
+            red = self.se_chs or make_divisible(
+                base * self.se_ratio, self.se_divisor)
+            y = _SE(red, act=self.se_act or self.act, gate=self.se_gate,
                     dtype=self.dtype, name="se")(y)
         y = _conv_or_mixed(y, self.out_chs, self.pw_kernel_size, 1, False,
                            self.same_pad, self.dtype, "conv_pwl")
@@ -416,6 +421,9 @@ class GenericEfficientNet(nn.Module):
     # classifier. SE config per resolve_se_args.
     mbv3_head: bool = False
     head_bias: bool = True
+    # pruned cfgs (reference models/pruned/*.txt via helpers.py:315-360):
+    # per-flat-block (mid, out, se) channel overrides
+    block_overrides: Tuple = ()
     se_reduce_mid: bool = False
     se_divisor: int = 1
     se_gate: str = "sigmoid"
@@ -445,12 +453,20 @@ class GenericEfficientNet(nn.Module):
 
         taps: Dict[int, jnp.ndarray] = {}
         stride = 2
+        flat_bi = 0
         for si, stage in enumerate(stages):
             for bi, ba in enumerate(stage):
                 ba = dict(ba)
                 btype = ba.pop("block_type")
                 ba["out_chs"] = round_channels(ba["out_chs"],
                                                self.channel_mult)
+                if self.block_overrides:
+                    mid_o, out_o, se_o = self.block_overrides[flat_bi]
+                    ba["out_chs"] = out_o
+                    ba["se_chs"] = se_o
+                    if btype == "ir":
+                        ba["mid_chs"] = mid_o
+                flat_bi += 1
                 if ba.get("fake_in_chs"):
                     ba["fake_in_chs"] = round_channels(ba["fake_in_chs"],
                                                        self.channel_mult)
@@ -1030,3 +1046,42 @@ for _tf in (False, True):
     _register_cc(f"{_p}_cc_b0_4e", tf=_tf)
     _register_cc(f"{_p}_cc_b0_8e", experts_mult=2, tf=_tf)
     _register_cc(f"{_p}_cc_b1_8e", dm=1.1, experts_mult=2, tf=_tf)
+
+
+# ---------------------------------------------------------------------------
+# Pruned EfficientNets (reference efficientnet.py:1260-1290 + the
+# models/pruned/*.txt adapt tables from arxiv 2002.08258, embedded here as
+# per-block (mid, out, se) widths so the repo stays standalone).
+# ---------------------------------------------------------------------------
+
+_PRUNED_EFFNET = {
+    "efficientnet_b1_pruned": (1.0, 1.1, 1280, (
+        (32, 16, 8), (16, 16, 4), (48, 12, 4), (62, 12, 6), (48, 12, 6),
+        (70, 35, 6), (61, 35, 10), (51, 35, 10), (175, 74, 10),
+        (188, 74, 20), (137, 74, 20), (164, 74, 20), (399, 67, 20),
+        (201, 67, 28), (160, 67, 28), (213, 67, 28), (637, 192, 27),
+        (806, 192, 48), (798, 192, 48), (891, 192, 48), (990, 192, 48),
+        (1152, 320, 48), (1912, 320, 80))),
+    "efficientnet_b2_pruned": (1.1, 1.2, 1408, (
+        (32, 16, 8), (16, 16, 4), (54, 17, 4), (69, 17, 6), (61, 17, 6),
+        (86, 42, 6), (72, 42, 12), (98, 42, 12), (245, 85, 12),
+        (274, 85, 22), (254, 85, 22), (292, 85, 22), (502, 116, 22),
+        (315, 116, 30), (354, 116, 30), (443, 116, 30), (719, 208, 30),
+        (1148, 208, 52), (1160, 208, 52), (1182, 208, 52), (1228, 208, 52),
+        (1248, 352, 52), (2112, 352, 88))),
+    "efficientnet_b3_pruned": (1.2, 1.4, 1536, (
+        (40, 24, 10), (24, 24, 6), (27, 12, 6), (49, 12, 8), (48, 12, 8),
+        (83, 40, 8), (90, 40, 12), (85, 40, 12), (215, 93, 12),
+        (261, 93, 24), (219, 93, 24), (254, 93, 24), (236, 93, 24),
+        (480, 120, 24), (235, 120, 34), (217, 120, 34), (226, 120, 33),
+        (340, 120, 34), (802, 232, 34), (1030, 232, 58), (924, 232, 58),
+        (1016, 232, 58), (1130, 232, 58), (1266, 232, 58), (1392, 384, 58),
+        (2301, 384, 96))),
+}
+
+for _n, (_cm, _dm, _nf, _ov) in _PRUNED_EFFNET.items():
+    # pruned defs run with TF SAME padding + bn eps 1e-3 (reference
+    # :1262-1263); stem width follows the channel multiplier
+    _register(_n, arch=ARCH_EFFNET, channel_mult=_cm, depth_mult=_dm,
+              num_features=_nf, act="silu", same_pad=True, bn_eps=1e-3,
+              block_overrides=_ov)

@@ -21,7 +21,7 @@ SENet-154, gluon b/c/d/s) without touching them.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -187,6 +187,10 @@ class TimmBottleneck(nn.Module):
     avg_down: bool = False
     down_kernel_size: int = 1
     blur: bool = False
+    # pruned cfgs: explicit conv1/conv2/out widths; the ECA kernel keeps
+    # the UNPRUNED out_chs arithmetic (adapt_model_from_file never
+    # touches Conv1d, helpers.py:326-340)
+    override: Tuple[int, int, int] = ()
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -197,6 +201,9 @@ class TimmBottleneck(nn.Module):
                     ) * self.cardinality
         first = width // self.reduce_first
         out_chs = self.planes * 4
+        attn_chs = out_chs
+        if self.override:
+            first, width, out_chs = self.override
         shortcut = x
         if self.stride != 1 or in_chs != out_chs:
             shortcut = _Downsample(out_chs, self.stride,
@@ -213,7 +220,7 @@ class TimmBottleneck(nn.Module):
             y = _blur_pool(y, self.stride)
         y = _conv(out_chs, 1, 1, dtype=self.dtype, name="conv3")(y)
         y = _bn(self.bn_axis_name, train, "bn3")(y)
-        mod = _attn(self.attn, out_chs, self.se_ratio, self.dtype)
+        mod = _attn(self.attn, attn_chs, self.se_ratio, self.dtype)
         if mod is not None:
             y = mod(y)
         return nn.relu(y + shortcut).astype(self.dtype)
@@ -237,6 +244,7 @@ class TimmResNet(nn.Module):
     attn: Optional[str] = None        # None | 'se' | 'eca'
     se_ratio: Optional[float] = None  # ResNet-RS: SE ratio 0.25
     blur: bool = False                # BlurPool anti-aliased striding
+    block_overrides: Tuple = ()       # pruned: per-block (c1, c2, out)
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: Optional[str] = None
 
@@ -275,16 +283,21 @@ class TimmResNet(nn.Module):
                         avg_down=self.avg_down, blur=self.blur,
                         dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         taps: Dict[int, jnp.ndarray] = {}
+        flat_bi = 0
         for si, (depth, planes) in enumerate(
                 zip(self.layers, (64, 128, 256, 512))):
             for bi in range(depth):
                 stride = 2 if bi == 0 and si > 0 else 1
                 dks = self.down_kernel_size if bi == 0 else 1
+                ov = (tuple(self.block_overrides[flat_bi])
+                      if self.block_overrides else ())
+                flat_bi += 1
                 if self.bottleneck:
                     x = TimmBottleneck(planes, stride,
                                        cardinality=self.cardinality,
                                        base_width=self.base_width,
                                        down_kernel_size=dks,
+                                       override=ov,
                                        name=f"layer{si + 1}_{bi}",
                                        **block_kw)(x, train)
                 else:
@@ -432,3 +445,29 @@ def _register_timm_resnet(name, cfg):
 
 for _n, _cfg in _TIMM_RESNET_CFGS.items():
     _register_timm_resnet(_n, _cfg)
+
+
+# Pruned ECA-ResNets (reference helpers.py:315-360 adapt tables from
+# models/pruned/ecaresnet{50,101}d_pruned.txt, embedded as per-block
+# (conv1, conv2, out) widths; strides/stems follow the 50d/101d plans).
+_ECARESNET50D_PRUNED = (
+    (47, 18, 19), (52, 22, 19), (64, 35, 19), (85, 37, 171),
+    (107, 80, 171), (120, 85, 171), (125, 87, 171), (198, 126, 818),
+    (255, 232, 818), (256, 233, 818), (253, 235, 818), (256, 225, 818),
+    (256, 239, 818), (492, 237, 2022), (512, 500, 2022), (512, 490, 2022))
+_ECARESNET101D_PRUNED = (
+    (45, 25, 26), (53, 20, 26), (60, 27, 26), (81, 24, 142), (93, 49, 142),
+    (102, 54, 142), (122, 78, 142), (101, 25, 278), (239, 160, 278),
+    (234, 156, 278), (250, 176, 278), (253, 191, 278), (251, 175, 278),
+    (230, 128, 278), (244, 154, 278), (244, 159, 278), (238, 97, 278),
+    (244, 149, 278), (253, 181, 278), (245, 119, 278), (255, 216, 278),
+    (256, 201, 278), (253, 149, 278), (254, 141, 278), (256, 190, 278),
+    (256, 217, 278), (255, 156, 278), (256, 155, 278), (256, 232, 278),
+    (256, 214, 278), (499, 289, 2042), (512, 512, 2042), (512, 502, 2042))
+
+_register_timm_resnet("ecaresnet50d_pruned", dict(
+    layers=(3, 4, 6, 3), attn="eca", stem_width=32, stem_type="deep",
+    avg_down=True, block_overrides=_ECARESNET50D_PRUNED))
+_register_timm_resnet("ecaresnet101d_pruned", dict(
+    layers=(3, 4, 23, 3), attn="eca", stem_width=32, stem_type="deep",
+    avg_down=True, block_overrides=_ECARESNET101D_PRUNED))

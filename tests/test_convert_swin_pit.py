@@ -2429,3 +2429,70 @@ def test_condconv_converted_forward_parity(name, size):
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_pruned_effnet_converted_forward_parity():
+    """efficientnet_b1_pruned (helpers.py:315-360 adapt_model_from_file
+    over models/pruned/efficientnet_b1_pruned.txt) -> GenericEfficientNet
+    with embedded per-block channel overrides: eval-mode logits parity."""
+    import torch
+
+    ef = _load_vendored("efficientnet")
+    torch.manual_seed(199)
+    ref = ef.efficientnet_b1_pruned(pretrained=False)
+    rng = np.random.default_rng(199)
+    _advance_bn_and_eval(ref, rng, size=65)
+
+    from acr_wsss_tpu.models.convert import (
+        generic_effnet_state_dict_to_flax,
+    )
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = generic_effnet_state_dict_to_flax(ref.state_dict())
+    model = create_model("efficientnet_b1_pruned", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 65, 65, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 65, 65)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_pruned_ecaresnet_converted_forward_parity():
+    """ecaresnet50d_pruned (adapt table over the 50d plan; ECA kernels
+    keep unpruned-width arithmetic) -> TimmResNet(block_overrides)."""
+    import torch
+
+    resnet = _load_vendored("resnet")
+    torch.manual_seed(211)
+    ref = resnet.ecaresnet50d_pruned(pretrained=False)
+    rng = np.random.default_rng(211)
+    _advance_bn_and_eval(ref, rng)
+
+    from acr_wsss_tpu.models.convert import timm_resnet_state_dict_to_flax
+    from acr_wsss_tpu.models.registry import create_model
+
+    variables = timm_resnet_state_dict_to_flax(ref.state_dict())
+    model = create_model("ecaresnet50d_pruned", num_classes=1000,
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=True))
+    assert_trees_match(expected, variables)
+
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=2e-3, rtol=1e-3)
