@@ -2209,13 +2209,16 @@ def coat_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
     (conv_list order follows the {3:2, 5:3, 7:3} window dict); serial
     blocks flatten to ``s{s}_b{b}_{norm1,qkv,proj,norm2,mlp}``. The
     lite head uses only ``norm4`` (-> ``norm``); the unused norm1-3 of
-    the checkpoint are intentionally dropped."""
+    the checkpoint are intentionally dropped. Full CoaT checkpoints
+    (parallel_blocks present) additionally map the per-stage final norms,
+    the parallel blocks (shared mlp2) and the Conv1d(3,1,1) aggregate."""
+    parallel = any(k.startswith("parallel_blocks.") for k in state_dict)
     variables: Dict = {}
     for name, value in state_dict.items():
         v = (value.detach().cpu().numpy()
              if hasattr(value, "detach") else np.asarray(value))
         v = v.astype(np.float32)
-        mapped = _map_coat_name(name)
+        mapped = _map_coat_name(name, parallel)
         if mapped is None:
             continue
         leaf_path, transform = mapped
@@ -2223,8 +2226,41 @@ def coat_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
     return variables
 
 
-def _map_coat_name(name: str):
+def _map_coat_name(name: str, parallel: bool = False):
     ident = lambda x: x
+    if parallel:
+        m = re.match(r"norm(\d)\.(weight|bias)$", name)
+        if m:
+            if m.group(1) == "1":   # stage-1 final norm is unused
+                return None
+            leaf = "scale" if m.group(2) == "weight" else "bias"
+            return ("params", f"norm{m.group(1)}", leaf), ident
+        if name == "aggregate.weight":   # Conv1d(3,1,1) -> (3,) weights
+            return ("params", "aggregate_w"), (lambda x: x.reshape(-1))
+        if name == "aggregate.bias":
+            return ("params", "aggregate_b"), (lambda x: x.reshape(()))
+        m = re.match(r"parallel_blocks\.(\d+)\.(.+)$", name)
+        if m:
+            pi, rest = m.group(1), m.group(2)
+            mm = re.match(r"norm(1|2)(\d)\.(weight|bias)$", rest)
+            if mm:
+                leaf = "scale" if mm.group(3) == "weight" else "bias"
+                return ("params",
+                        f"p{pi}_norm{mm.group(1)}{mm.group(2)}",
+                        leaf), ident
+            mm = re.match(r"factoratt_crpe(\d)\.(qkv|proj)\."
+                          r"(weight|bias)$", rest)
+            if mm:
+                leaf = "kernel" if mm.group(3) == "weight" else "bias"
+                si = int(mm.group(1)) - 1
+                return ("params", f"p{pi}_s{si}_{mm.group(2)}", leaf), (
+                    _linear if leaf == "kernel" else ident)
+            mm = re.match(r"mlp2\.fc(\d)\.(weight|bias)$", rest)
+            if mm:
+                leaf = "kernel" if mm.group(2) == "weight" else "bias"
+                return ("params", f"p{pi}_mlp", f"fc{mm.group(1)}",
+                        leaf), (_linear if leaf == "kernel" else ident)
+            return None
     m = re.match(r"cls_token(\d)$", name)
     if m:
         return ("params", f"cls{int(m.group(1)) - 1}"), ident

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -171,6 +172,10 @@ class CoaTLite(nn.Module):
     depths: Sequence[int] = (2, 2, 2, 2)
     num_heads: int = 8
     mlp_ratios: Sequence[int] = (8, 8, 4, 4)
+    # full CoaT (coat_tiny/coat_mini, reference coat.py:247-349,634-648):
+    # parallel blocks over stages 2-4 with cross-scale token interpolation
+    # and a Conv1d(3->1) cls aggregate head
+    parallel_depth: int = 0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -180,6 +185,7 @@ class CoaTLite(nn.Module):
         windows = ((3, 2), (5, 3), (7, 3))        # (window, head split)
         taps: Dict[int, jnp.ndarray] = {}
         tokens = None
+        streams, sizes, encs = [], [], []
         for si, (dim, depth, ratio) in enumerate(zip(
                 self.embed_dims, self.depths, self.mlp_ratios)):
             patch = 4 if si == 0 else 2
@@ -212,12 +218,121 @@ class CoaTLite(nn.Module):
                                  crpe_convs)
             taps[si] = y[:, 1:].reshape(B, h, w, dim)
             tokens = taps[si]
+            streams.append(y)
+            sizes.append((h, w))
+            encs.append((cpe, crpe_convs))
+        if self.parallel_depth:
+            for pi in range(self.parallel_depth):
+                streams = self._parallel(streams, sizes, encs, pi)
+            for si in range(1, 4):
+                taps[si] = streams[si][:, 1:].reshape(
+                    B, *sizes[si], self.embed_dims[si])
+            # aggregate head (coat.py:486-489,612-619): per-stage final
+            # norms on the cls tokens, Conv1d(3,1,1) == learned weighted sum
+            cls_list = []
+            for si in range(1, 4):
+                n = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                 name=f"norm{si + 1}")(
+                    streams[si].astype(jnp.float32))
+                cls_list.append(n[:, 0])
+            merged = jnp.stack(cls_list, axis=1)          # (B, 3, C)
+            aw = self.param("aggregate_w", trunc_normal_init(0.02),
+                            (3,), jnp.float32)
+            ab = self.param("aggregate_b", nn.initializers.zeros,
+                            (), jnp.float32)
+            merged = jnp.einsum("bsc,s->bc", merged, aw) + ab
+            logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                              name="head")(merged)
+            return {"logits": logits,
+                    "features": taps[len(self.depths) - 1], "taps": taps}
         final = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(
             y.astype(jnp.float32))
         logits = nn.Dense(self.num_classes, dtype=jnp.float32,
                           name="head")(final[:, 0])
         return {"logits": logits, "features": taps[len(self.depths) - 1],
                 "taps": taps}
+
+
+    def _fact_att(self, y, size, prefix, crpe_convs):
+        """Factorized attention + crpe (coat.py:97-165) on normed tokens
+        ``y``; parameter names under ``prefix``."""
+        B, N, C = y.shape
+        h, w = size
+        heads = self.num_heads
+        Ch = C // heads
+        qkv = nn.Dense(3 * C, dtype=self.dtype,
+                       name=f"{prefix}_qkv")(y.astype(self.dtype))
+        qkv = qkv.reshape(B, N, 3, heads, Ch).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        k_soft = nn.softmax(k.astype(jnp.float32), axis=2).astype(v.dtype)
+        ctx = jnp.einsum("bhnd,bhne->bhde", k_soft, v)
+        fat = jnp.einsum("bhnd,bhde->bhne", q, ctx) * (Ch ** -0.5)
+        v_img = v[:, :, 1:].transpose(0, 2, 1, 3).reshape(B, h, w, C)
+        splits = []
+        start = 0
+        for conv, (wnd, split) in zip(crpe_convs, ((3, 2), (5, 3), (7, 3))):
+            width = split * Ch
+            splits.append(conv(v_img[..., start:start + width]))
+            start += width
+        conv_v = jnp.concatenate(splits, axis=-1)
+        conv_v = conv_v.reshape(B, h * w, heads, Ch).transpose(0, 2, 1, 3)
+        fat = fat.at[:, :, 1:].add(q[:, :, 1:] * conv_v.astype(q.dtype))
+        out = fat.transpose(0, 2, 1, 3).reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, name=f"{prefix}_proj")(out)
+
+    @staticmethod
+    def _interp(y, size, new_size):
+        """Bilinear cls-preserving token-grid resize (coat.py:285-309;
+        F.interpolate align_corners=False == jax.image.resize bilinear)."""
+        B, N, C = y.shape
+        h, w = size
+        cls, img = y[:, :1], y[:, 1:].reshape(B, h, w, C)
+        img = jax.image.resize(img.astype(jnp.float32),
+                               (B, new_size[0], new_size[1], C),
+                               method="bilinear").astype(y.dtype)
+        return jnp.concatenate(
+            [cls, img.reshape(B, new_size[0] * new_size[1], C)], axis=1)
+
+    def _parallel(self, streams, sizes, encs, pi):
+        """One ParallelBlock (coat.py:247-349): shared cpes/crpes with the
+        serial blocks, per-stage factor attention, cross-scale sums, and
+        ONE mlp shared by stages 2-4 (reference :281-283)."""
+        x1 = streams[0]
+        outs = [x1]
+        curs = []
+        B = x1.shape[0]
+        # conv position encoding + attention per stage 2-4
+        for si in (1, 2, 3):
+            y = streams[si]
+            h, w = sizes[si]
+            dim = self.embed_dims[si]
+            cpe, crpe_convs = encs[si]
+            img = y[:, 1:].reshape(B, h, w, dim)
+            y = y.at[:, 1:].add(
+                cpe(img).reshape(B, h * w, dim).astype(y.dtype))
+            cur = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                               name=f"p{pi}_norm1{si + 1}")(y)
+            cur = self._fact_att(cur, (h, w), f"p{pi}_s{si}", crpe_convs)
+            outs.append(y)
+            curs.append(cur)
+        cur2, cur3, cur4 = curs
+        s2, s3, s4 = sizes[1], sizes[2], sizes[3]
+        cur2 = (cur2 + self._interp(cur3, s3, s2)
+                + self._interp(cur4, s4, s2))
+        cur3 = (cur3 + self._interp(cur4, s4, s3)
+                + self._interp(curs[0], s2, s3))
+        cur4 = (cur4 + self._interp(curs[1], s3, s4)
+                + self._interp(curs[0], s2, s4))
+        mlp = Mlp(self.embed_dims[1] * self.mlp_ratios[1],
+                  self.embed_dims[1], dtype=self.dtype, name=f"p{pi}_mlp")
+        new = [outs[0]]
+        for idx, (y, cur) in enumerate(zip(outs[1:], (cur2, cur3, cur4))):
+            y = y + cur
+            n = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                             name=f"p{pi}_norm2{idx + 2}")(y)
+            y = y + mlp(n.astype(self.dtype))
+            new.append(y)
+        return new
 
     def _serial(self, y, size, si, bi, dim, ratio, cpe, crpe_convs):
         """One serial block (coat.py:210-243): cpe -> norm1 ->
@@ -296,3 +411,21 @@ def tnt_b_patch16_224(**kwargs):
     kwargs.setdefault("inner_dim", 40)
     kwargs.setdefault("num_heads", 10)
     return TNT(**kwargs)
+
+
+@register_model
+def coat_tiny(**kwargs):
+    # reference coat.py:634-639
+    kwargs.setdefault("embed_dims", (152, 152, 152, 152))
+    kwargs.setdefault("mlp_ratios", (4, 4, 4, 4))
+    kwargs.setdefault("parallel_depth", 6)
+    return CoaTLite(**kwargs)
+
+
+@register_model
+def coat_mini(**kwargs):
+    # reference coat.py:642-648
+    kwargs.setdefault("embed_dims", (152, 216, 216, 216))
+    kwargs.setdefault("mlp_ratios", (4, 4, 4, 4))
+    kwargs.setdefault("parallel_depth", 6)
+    return CoaTLite(**kwargs)

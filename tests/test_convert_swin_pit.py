@@ -2496,3 +2496,38 @@ def test_pruned_ecaresnet_converted_forward_parity():
                       train=False)
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=2e-3, rtol=1e-3)
+
+
+@requires_reference
+def test_coat_full_converted_forward_parity():
+    """Full CoaT (coat.py:247-349 ParallelBlocks: shared cpes/crpes,
+    cross-scale bilinear token interpolation, ONE shared mlp for stages
+    2-4, Conv1d(3,1,1) cls aggregate) -> CoaTLite(parallel_depth):
+    eval-mode logits parity on a shrunken cfg."""
+    import torch
+
+    coat = _load_vendored("coat")
+    torch.manual_seed(223)
+    ref = coat.CoaT(patch_size=4, embed_dims=[32, 48, 48, 48],
+                    serial_depths=[1, 1, 1, 1], parallel_depth=2,
+                    num_heads=8, mlp_ratios=[4, 4, 4, 4])
+    ref.eval()
+
+    from acr_wsss_tpu.models.convert import coat_state_dict_to_flax
+    from acr_wsss_tpu.models.tnt_coat import CoaTLite
+
+    variables = coat_state_dict_to_flax(ref.state_dict())
+    model = CoaTLite(num_classes=1000, embed_dims=(32, 48, 48, 48),
+                     depths=(1, 1, 1, 1), mlp_ratios=(4, 4, 4, 4),
+                     parallel_depth=2, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    expected = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
+    assert_trees_match(expected, variables)
+
+    rng = np.random.default_rng(223)
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=1e-3, rtol=1e-3)
