@@ -252,3 +252,18 @@ def test_create_model_pretrained_roundtrip(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(grafted["params"]["stem"]["conv"]["kernel"]),
         np.asarray(ref_vars["params"]["stem"]["conv"]["kernel"]))
+
+
+def test_zoo_urls_resolve_to_registry_names():
+    """Every ZOO_URLS key is buildable: a registry name or one of the ACR
+    backbone short names (so fetch(name) always has a model target)."""
+    from acr_wsss_tpu.models.acr import BACKBONES
+    from acr_wsss_tpu.models.registry import list_models
+    from acr_wsss_tpu.models.zoo import ZOO_URLS
+
+    names = set(list_models()) | set(BACKBONES) | {
+        "swin_base_384", "swin_large_384", "swin_small", "swin_tiny",
+        "pit_b", "pit_s",
+    }
+    unknown = [k for k in ZOO_URLS if k not in names]
+    assert not unknown, f"zoo URLs without a model: {unknown}"
