@@ -209,4 +209,23 @@ def _disk_iterator(batch: int, crop: int, cfg):
 
 
 if __name__ == "__main__":
-    main()
+    # The axon TPU tunnel can be transiently unavailable (observed during
+    # round 3: backend init hangs or raises UNAVAILABLE). Retry a couple
+    # of times with a pause so a blip doesn't cost the round's BENCH
+    # artifact; backend state is process-global, so each retry re-execs
+    # (the attempt counter rides an env var across execs).
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — last-resort retry
+        attempt = int(os.environ.get("_BENCH_ATTEMPT", "0"))
+        if attempt + 1 >= int(os.environ.get("BENCH_ATTEMPTS", "3")):
+            raise
+        import sys
+        import traceback
+
+        traceback.print_exc()
+        print(f"bench attempt {attempt + 1} failed ({exc!r}); "
+              "re-exec after 60s", file=sys.stderr)
+        time.sleep(60)
+        os.environ["_BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
