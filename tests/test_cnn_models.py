@@ -345,7 +345,13 @@ def test_ghost_module_odd_width(rng):
 
 
 @pytest.mark.parametrize("name", ["resnet50", "efficientnet_b0",
-                                  "hrnet_w18_small"])
+                                  "hrnet_w18_small",
+                                  # round-3 builder machinery: gradients
+                                  # through MixedConv, ECA, CondConv
+                                  # routing, the mbv3 head
+                                  "mixnet_s", "ecaresnet26t",
+                                  "efficientnet_cc_b0_4e",
+                                  "mobilenetv3_small_100"])
 def test_cnn_family_train_step(name, rng):
     """'Swap into a trainer' grade: one SGD step on a graduated family —
     finite loss, nonzero grads on real leaves, BN stats advance (VERDICT r2
