@@ -66,9 +66,71 @@ def analytic_fwd_flops(batch: int, crop: int) -> float:
     return f * batch
 
 
+def _bench_infer() -> None:
+    """CAM-inference throughput (``BENCH_MODE=infer``): the serving path.
+
+    Measures the device-side rate of :func:`infer_cam.build_infer_fn` at
+    the config of record (``InferConfig`` defaults = reference
+    ``train_acr.sh:26-37``: vitb_hybrid 384, GETAM ``grad`` from layer 10,
+    affinity refinement, flip TTA, 4 class slots) on a synthetic batch of
+    ``BENCH_INFER_IMAGES`` images x 2 TTA views. One timed call = one
+    present-class slot chunk — the per-image cost for the typical 1-3
+    label VOC image. ``vs_baseline`` is null: the reference publishes no
+    inference rate and no GPU exists here to measure one (BASELINE.md)."""
+    from acr_wsss_tpu.configs import InferConfig
+    from acr_wsss_tpu.infer_cam import build_infer_fn
+    from acr_wsss_tpu.models.acr import ACR
+
+    icfg = InferConfig()
+    crop = int(os.environ.get("BENCH_CROP", str(icfg.crop_size)))
+    steps = int(os.environ.get("BENCH_STEPS", "25"))
+    n_imgs = int(os.environ.get("BENCH_INFER_IMAGES", "4"))
+    slots = int(os.environ.get("BENCH_INFER_SLOTS", str(icfg.class_slots)))
+
+    model = ACR(
+        num_classes=icfg.model.num_classes,
+        backbone_name="vitb_hybrid",
+        dtype=jnp.dtype(icfg.model.compute_dtype),
+        attn_impl=os.environ.get("BENCH_ATTN", icfg.model.attn_impl),
+        scan_blocks=icfg.model.scan_blocks,
+    )
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, crop, crop, 3), jnp.float32))
+    infer_fn = build_infer_fn(model, params, crop, icfg.start_layer,
+                              icfg.getam_func, icfg.use_aff,
+                              icfg.model.num_classes, class_slots=slots)
+
+    key = jax.random.key(1)
+    batch = jax.random.normal(key, (2 * n_imgs, crop, crop, 3), jnp.float32)
+    ids = jnp.arange(slots, dtype=jnp.int32)
+
+    out = infer_fn(batch, ids)          # warmup/compile
+    jax.device_get(out["logits"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = infer_fn(batch, ids)
+        # device_get (not block_until_ready): through the tunneled PJRT
+        # backend the latter can return before remote execution finishes.
+        jax.device_get(out["cams"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = n_imgs * steps / dt
+    print(json.dumps({
+        "metric": "cam_infer_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": None,
+        "ms_per_image": round(1000.0 * dt / (n_imgs * steps), 1),
+        "tta_views": 2, "class_slots": slots, "batch_images": n_imgs,
+    }))
+
+
 def main() -> None:
     from acr_wsss_tpu.configs import ModelConfig, TrainConfig
     from acr_wsss_tpu.train import create_train_state, make_train_step
+
+    if os.environ.get("BENCH_MODE", "train") == "infer":
+        return _bench_infer()
 
     # Batch 24 is the measured single-chip sweet spot (batch 32/48
     # measure lower under remat/memory pressure, fused or not). The
