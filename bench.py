@@ -270,6 +270,42 @@ def _disk_iterator(batch: int, crop: int, cfg):
                                   num_workers=cfg.num_workers)
 
 
+def _wait_for_backend() -> None:
+    """Block until the TPU backend answers, probing in a SUBPROCESS.
+
+    A down axon tunnel makes ``jax.devices()`` HANG (observed round 3),
+    which the exception-based re-exec retry below cannot catch — the
+    whole bench would sit silent until the driver's timeout kills it.
+    Probing in a killable child (timeout + retry, bounded by
+    BENCH_PROBE_TRIES x BENCH_PROBE_TIMEOUT + sleeps) converts the hang
+    into either a recovered run or a fast, loud failure. Skipped for
+    explicit CPU runs."""
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return
+    tries = int(os.environ.get("BENCH_PROBE_TRIES", "5"))
+    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "240"))
+    for attempt in range(tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode(errors="replace")[-300:]
+        except subprocess.TimeoutExpired:
+            err = f"probe hung >{probe_timeout}s (tunnel down?)"
+        print(f"backend probe {attempt + 1}/{tries} failed: {err}",
+              file=sys.stderr, flush=True)
+        if attempt + 1 < tries:
+            time.sleep(int(os.environ.get("BENCH_PROBE_SLEEP", "120")))
+    raise RuntimeError(
+        f"TPU backend unreachable after {tries} probes — aborting instead "
+        "of hanging in backend init")
+
+
 if __name__ == "__main__":
     # The axon TPU tunnel can be transiently unavailable (observed during
     # round 3: backend init hangs or raises UNAVAILABLE). Retry a couple
@@ -277,6 +313,7 @@ if __name__ == "__main__":
     # artifact; backend state is process-global, so each retry re-execs
     # (the attempt counter rides an env var across execs).
     try:
+        _wait_for_backend()
         main()
     except Exception as exc:  # noqa: BLE001 — last-resort retry
         attempt = int(os.environ.get("_BENCH_ATTEMPT", "0"))
