@@ -362,6 +362,14 @@ def _softmax_parts(q, k, scale, n_pad):
     # trained-ViT logits stay under ~30): a row would have to be saturated
     # beyond fp32 softmax resolution (a 60-logit gap is a 1e-26 prob
     # ratio) before behavior could differ from the exact softmax.
+    # Considered and rejected: exp2 with log2(e) pre-folded into q (the
+    # classic flash-attention trick to drop the per-logit multiply that
+    # exp() lowers to). q arrives in bf16 here, and log2(e) is not a
+    # power of two, so the fold costs ~2^-9 relative logit error — up to
+    # ~2% probability error at logit 30, far beyond the 2e-4 parity the
+    # oracle tests hold; folding after the matmul (fp32 s) just
+    # reproduces the multiply exp() already performs internally. Dead
+    # end by analysis, not worth a chip measurement.
     p = jnp.exp(jnp.clip(s, -60.0, 60.0))
     z = jnp.sum(p, axis=-1, keepdims=True)
     if n_pad:
