@@ -155,7 +155,13 @@ def main() -> None:
     model, state = create_train_state(cfg, max_step=10_000, rng=rng, crop=crop)
 
     grid = (crop // 16, crop // 16)
-    train_step = jax.jit(make_train_step(model, cfg, grid), donate_argnums=0)
+    # BENCH_XLA_OPT="k=v,k=v" -> jit compiler_options (e.g.
+    # "xla_tpu_scoped_vmem_limit_kib=65536"). Rides CompileOptions, so it
+    # reaches the remote compiler through the tunnel (XLA_FLAGS may not).
+    copts = dict(kv.split("=", 1) for kv in
+                 os.environ.get("BENCH_XLA_OPT", "").split(",") if "=" in kv)
+    train_step = jax.jit(make_train_step(model, cfg, grid), donate_argnums=0,
+                         compiler_options=copts or None)
 
     key = jax.random.key(1)
     images = jax.random.normal(key, (batch, crop, crop, 3), jnp.float32)
