@@ -59,6 +59,15 @@ class ModelConfig:
     # the batch-24 v5e train step). False falls back to the HBM-export
     # path (always used by inference/GETAM and the xla impl).
     fuse_consistency: bool = True
+    # Sequence parallelism: name of a mesh axis to shard the TOKEN axis of
+    # every trunk activation over (scaling-book recipe: annotate with
+    # ``with_sharding_constraint``, let GSPMD insert the all-gathers around
+    # attention's all-pairs contraction). Composes with the 'data' and
+    # 'model' axes — a ('data','model','seq') mesh runs dp x tp x sp.
+    # Requires an ambient mesh (``jax.set_mesh``) carrying this axis and
+    # the XLA attention path (the Pallas kernel is opaque to GSPMD's token
+    # partitioner and stays batch-sharded). None (default) = off.
+    seq_axis: Optional[str] = None
     # Note: the reference ACR also instantiates DPT scratch convs that its
     # forward never uses (torch needed find_unused_parameters=True,
     # ``train_acr.py:99``); the converter drops them on import and the DPT
@@ -100,6 +109,9 @@ class TrainConfig:
     # (SURVEY.md §2.7); model axis enables tensor parallelism over heads/MLP.
     mesh_shape: Tuple[int, ...] = (-1,)          # -1: all devices on 'data'
     mesh_axes: Tuple[str, ...] = ("data",)
+    # GPipe microbatches per step when the mesh carries a 'pipe' axis
+    # (parallel/pipeline.py); ignored otherwise.
+    pp_microbatches: int = 2
     # Initialize jax.distributed before building the mesh (multi-host
     # pods/slices; reference equivalent: the -n/-nr NCCL rendezvous flags,
     # ``train_acr.py:70-89``). Coordinator details are auto-detected on TPU

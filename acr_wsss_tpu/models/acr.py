@@ -101,6 +101,9 @@ class ACR(nn.Module):
     # Override the backbone's tap (hook) indices — the reference exposes
     # this as the per-backbone hooks table (``DPT/ACR.py:59-65``).
     taps_override: Optional[Tuple[int, ...]] = None
+    # Sequence parallelism: (batch_axis, seq_axis) mesh-axis names for the
+    # trunk's token-axis sharding constraints (ModelConfig.seq_axis).
+    token_sharding: Optional[Tuple[Optional[str], Optional[str]]] = None
 
     @property
     def spec(self) -> BackboneSpec:
@@ -131,6 +134,7 @@ class ACR(nn.Module):
             attn_impl=self.attn_impl,
             scan_blocks=self.scan_blocks,
             probs_dtype=self.probs_dtype,
+            token_sharding=self.token_sharding,
             name="trunk",
         )
         self.cls_head = nn.Dense(self.num_classes, dtype=jnp.float32,

@@ -38,6 +38,21 @@ from acr_wsss_tpu.ops.attention import attention_with_probs
 Dtype = Any
 
 
+def _token_constraint(x, token_sharding):
+    """Constrain (B, N, D) tokens to P(batch_axis, seq_axis, None) —
+    sequence parallelism by GSPMD annotation. A no-op when traced outside
+    a mesh context (init, single-device runs) or under a mesh that lacks
+    the named axes, so the knob is safe to leave on in configs."""
+    if token_sharding is None:
+        return x
+    mesh = jax.sharding.get_abstract_mesh()
+    named = [a for a in token_sharding if a is not None]
+    if mesh.empty or any(a not in mesh.axis_names for a in named):
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, jax.sharding.PartitionSpec(*token_sharding, None))
+
+
 class Attention(nn.Module):
     """Multi-head self-attention with prob export (cf. reference
     ``models/vision_transformer.py:167-214``)."""
@@ -122,6 +137,10 @@ class Block(nn.Module):
     dtype: Dtype = jnp.bfloat16
     attn_impl: str = "xla"
     probs_dtype: Dtype = jnp.float32
+    # (batch_axis, seq_axis) mesh-axis names to constrain the (B, N, D)
+    # block output to — sequence parallelism via GSPMD annotation (see
+    # ``VisionTransformer.token_sharding``). None = no constraint.
+    token_sharding: Optional[Tuple[Optional[str], Optional[str]]] = None
 
     @nn.compact
     def __call__(self, x, probs_offset=None, export="mean"):
@@ -137,7 +156,11 @@ class Block(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim,
                 dtype=self.dtype, name="mlp")(h.astype(self.dtype))
-        return x + h, probs
+        # Re-anchor the sequence-parallel layout at every block output;
+        # GSPMD propagates it through LN/MLP (per-token) and inserts the
+        # all-gather attention's all-pairs contraction needs.
+        x = _token_constraint(x + h, self.token_sharding)
+        return x, probs
 
 
 class _BlockStep(nn.Module):
@@ -151,13 +174,15 @@ class _BlockStep(nn.Module):
     attn_impl: str
     export: str
     probs_dtype: Dtype = jnp.float32
+    token_sharding: Optional[Tuple[Optional[str], Optional[str]]] = None
 
     @nn.compact
     def __call__(self, carry, offset):
         y, probs = Block(
             self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
             self.dtype, attn_impl=self.attn_impl,
-            probs_dtype=self.probs_dtype, name="block",
+            probs_dtype=self.probs_dtype,
+            token_sharding=self.token_sharding, name="block",
         )(carry, probs_offset=offset, export=self.export)
         return y, (y, probs)
 
@@ -241,6 +266,10 @@ class VisionTransformer(nn.Module):
     # the same math). Param layout changes (blocks_scan/* with leading L),
     # so conversion/checkpoints are layout-specific.
     scan_blocks: bool = False
+    # Sequence parallelism (ModelConfig.seq_axis): (batch_axis, seq_axis)
+    # mesh-axis names; the token axis of every trunk activation is
+    # constrained to the seq axis and GSPMD inserts the collectives.
+    token_sharding: Optional[Tuple[Optional[str], Optional[str]]] = None
 
     @nn.compact
     def __call__(
@@ -340,6 +369,8 @@ class VisionTransformer(nn.Module):
                      jnp.concatenate([x[b2:, :start], patches2], axis=1)],
                     axis=0)
 
+        x = _token_constraint(x, self.token_sharding)
+
         taps: Dict[int, jnp.ndarray] = {}
         probs_list = []
         pair_sums = None
@@ -381,7 +412,8 @@ class VisionTransformer(nn.Module):
                 x, probs_i = block_cls(
                     self.embed_dim, self.num_heads, self.mlp_ratio,
                     self.qkv_bias, self.dtype, attn_impl=self.attn_impl,
-                    probs_dtype=self.probs_dtype, name=f"blocks_{i}",
+                    probs_dtype=self.probs_dtype,
+                    token_sharding=self.token_sharding, name=f"blocks_{i}",
                 )(x, offset_i, export)
                 if probs_i is not None:
                     probs_list.append(probs_i)
@@ -432,7 +464,7 @@ class VisionTransformer(nn.Module):
             length=self.depth,
         )(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
           self.dtype, self.attn_impl, export, self.probs_dtype,
-          name="blocks_scan")
+          self.token_sharding, name="blocks_scan")
 
         # probs_offsets=None scans with no xs (lax.scan length-only mode):
         # the body sees offset=None each step, which both avoids
