@@ -2,10 +2,24 @@
 
 The reference's only parallel strategy is DDP data parallelism over NCCL
 (``train_acr.py:83-99``; SURVEY.md §2.7). The TPU-native equivalent is a
-``jax.sharding.Mesh``: a 1-D ``('data',)`` mesh reproduces DDP (gradient
-all-reduce compiled into the jit program by XLA over ICI), and a 2-D
-``('data', 'model')`` mesh adds tensor parallelism over attention heads /
-MLP hidden — a capability the reference lacks.
+``jax.sharding.Mesh``; the axis names select the strategy and compose:
+
+* ``('data',)`` — reproduces DDP (gradient all-reduce compiled into the
+  jit program by XLA over ICI);
+* ``+ 'model'`` — tensor parallelism over attention heads / MLP hidden
+  (``sharding.TP_RULES``);
+* ``+ 'seq'`` — sequence parallelism: the trunk constrains its token axis
+  to this axis (``ModelConfig.seq_axis``) and GSPMD inserts the
+  all-gathers around attention;
+* ``+ 'pipe'`` — GPipe pipeline parallelism over the scanned block stack
+  (``parallel.pipeline.make_train_step_pp``: stages hop microbatches with
+  ``ppermute``; block params live sharded on their leading depth axis).
+
+All beyond-DDP strategies are capability upgrades the reference lacks;
+each is equivalence-tested against the serial step on the virtual CPU
+mesh (``tests/test_parallel.py``, ``tests/test_pipeline_parallel.py``).
+Expert parallelism has no target in this model family (no MoE anywhere in
+the reference); the mesh machinery is name-agnostic if one is added.
 
 Multi-host: call ``jax.distributed.initialize`` (via
 ``parallel.distributed.initialize``, wired to ``train.py --multihost``)

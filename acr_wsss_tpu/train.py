@@ -19,6 +19,7 @@ Differences that are deliberate capability upgrades (SURVEY.md §2.7, §5):
 from __future__ import annotations
 
 import argparse
+import contextlib
 import os
 from typing import Any, Dict, Optional, Tuple
 
@@ -50,6 +51,8 @@ def build_model(cfg: ModelConfig) -> ACR:
         scan_blocks=cfg.scan_blocks,
         probs_dtype=jnp.dtype(cfg.probs_dtype),
         taps_override=cfg.hooks,
+        token_sharding=(("data", cfg.seq_axis)
+                        if getattr(cfg, "seq_axis", None) else None),
     )
 
 
@@ -236,14 +239,27 @@ def train(cfg: TrainConfig) -> TrainState:
 
     model, state = create_train_state(
         cfg, max_step, jax.random.key(cfg.seed))
-    p_shardings = param_shardings(mesh, state.params)
+    pipelined = "pipe" in mesh.axis_names
+    if pipelined:
+        from acr_wsss_tpu.parallel import param_shardings_pp
+
+        p_shardings = param_shardings_pp(mesh, state.params)
+    else:
+        p_shardings = param_shardings(mesh, state.params)
     state = state.replace(
         params=jax.device_put(state.params, p_shardings),
         opt_state=jax.device_put(state.opt_state, replicated(mesh)),
     )
 
     grid = (cfg.crop_size // 16, cfg.crop_size // 16)
-    train_step = jax.jit(make_train_step(model, cfg, grid), donate_argnums=0)
+    if pipelined:
+        from acr_wsss_tpu.parallel import make_train_step_pp
+
+        train_step = jax.jit(make_train_step_pp(
+            model, cfg, grid, mesh, n_microbatches=cfg.pp_microbatches))
+    else:
+        train_step = jax.jit(make_train_step(model, cfg, grid),
+                             donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model))
 
     source = voc_data.VOCClassificationSource(cfg.image_dir, labels, cfg.crop_size)
@@ -278,6 +294,12 @@ def train(cfg: TrainConfig) -> TrainState:
         start_step = int(restored["step"]) + 1
         if host_id == 0:
             print(f"resumed from checkpoint step {latest}", flush=True)
+
+    # Sequence parallelism (ModelConfig.seq_axis) expresses its token-axis
+    # constraints as PartitionSpecs, which resolve against the AMBIENT mesh.
+    _mesh_ctx = contextlib.ExitStack()
+    if cfg.model.seq_axis:
+        _mesh_ctx.enter_context(jax.set_mesh(mesh))
 
     for step in range(start_step, total_micro_steps + 1):
         # Profiler window (SURVEY.md §5.1 rebuild note): capture a trace of
@@ -316,6 +338,7 @@ def train(cfg: TrainConfig) -> TrainState:
                 {"params": state.params, "opt_state": state.opt_state,
                  "step": step}))
 
+    _mesh_ctx.close()
     if host_id == 0:
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
         save_params_npz(
@@ -381,9 +404,25 @@ def parse_args(argv=None) -> TrainConfig:
     parser.add_argument("--pretrained", action="store_true",
                         help="init the trunk from the ImageNet zoo npz "
                              "(python -m acr_wsss_tpu.models.zoo fetch ...)")
+    parser.add_argument("--mesh", default="data=-1",
+                        help="device mesh as 'axis=size,...' — e.g. "
+                             "'data=-1' (pure dp), 'data=2,model=4' (dp x "
+                             "tp), 'data=2,pipe=4' (dp x GPipe; implies the "
+                             "scanned trunk), 'data=2,model=2,seq=2' "
+                             "(dp x tp x sp)")
+    parser.add_argument("--microbatches", default=2, type=int,
+                        help="GPipe microbatches per step (pipe meshes)")
     args = parser.parse_args(argv)
+    mesh_axes, mesh_shape = zip(*(
+        (a.strip(), int(s)) for a, s in
+        (kv.split("=") for kv in args.mesh.split(","))))
     return TrainConfig(
-        model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl),
+        model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl,
+                          seq_axis="seq" if "seq" in mesh_axes else None,
+                          scan_blocks="pipe" in mesh_axes),
+        mesh_shape=tuple(mesh_shape),
+        mesh_axes=tuple(mesh_axes),
+        pp_microbatches=args.microbatches,
         batch_size=args.batch_size,
         max_epochs=args.max_epoches,
         lr=args.lr,

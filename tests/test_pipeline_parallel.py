@@ -1,0 +1,119 @@
+"""Pipeline parallelism (GPipe over the scanned trunk) on the CPU mesh.
+
+The pipelined training step — stages over the 'pipe' axis, microbatches
+hopping between them with ppermute, in-stage consistency-loss folding —
+must reproduce the serial step exactly: same loss parts, same parameter
+tree after one SGD update. This is simultaneously the drift guard for the
+stage-local re-implementations of the embed/head fragments
+(``parallel/pipeline.py``).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acr_wsss_tpu.configs import ModelConfig, TrainConfig
+from acr_wsss_tpu.parallel import batch_sharding, make_mesh, replicated
+from acr_wsss_tpu.parallel.pipeline import (
+    make_train_step_pp, param_shardings_pp,
+)
+from acr_wsss_tpu.train import create_train_state, make_train_step
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+CROP = 64
+GRID = (CROP // 16, CROP // 16)
+
+
+def _cfg(backbone="vit_small"):
+    return TrainConfig(
+        model=ModelConfig(backbone=backbone, attn_impl="xla",
+                          compute_dtype="float32", scan_blocks=True),
+        crop_size=CROP, batch_size=8, lr=0.01, alpha=1.0,
+    )
+
+
+def _batch(rng):
+    return {
+        "image": jnp.asarray(
+            rng.normal(size=(8, CROP, CROP, 3)).astype(np.float32)),
+        "label": jnp.zeros((8, 20), jnp.float32).at[:, 2].set(1.0)
+                 .at[:4, 7].set(1.0),
+    }
+
+
+@pytest.mark.parametrize("pipe,microbatches", [(2, 2), (4, 2)])
+def test_pipelined_train_step_matches_serial(pipe, microbatches, rng):
+    cfg = _cfg()
+    model, state0 = create_train_state(cfg, 100, jax.random.key(0),
+                                       crop=CROP)
+    batch = _batch(rng)
+
+    state_ref, parts_ref = jax.jit(
+        make_train_step(model, cfg, GRID))(state0, batch)
+
+    mesh = make_mesh((-1, pipe), ("data", "pipe"))
+    state_pp = state0.replace(
+        params=jax.device_put(state0.params,
+                              param_shardings_pp(mesh, state0.params)),
+        opt_state=jax.device_put(state0.opt_state, replicated(mesh)),
+    )
+    sharded_batch = {k: jax.device_put(v, batch_sharding(mesh))
+                     for k, v in batch.items()}
+    step_pp = jax.jit(make_train_step_pp(
+        model, cfg, GRID, mesh, n_microbatches=microbatches))
+    state_out, parts = step_pp(state_pp, sharded_batch)
+
+    for k in ("cls_loss_1", "cls_loss_2", "cls_align_loss",
+              "aff_align_loss", "loss"):
+        assert abs(float(parts[k]) - float(parts_ref[k])) < 1e-5, k
+
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        jax.device_get(state_out.params), jax.device_get(state_ref.params))
+    assert max(jax.tree.leaves(diff)) < 1e-4
+
+
+def test_pipelined_step_hybrid_stem(rng):
+    """The flagship (hybrid R50 stem) backbone through the pipelined step:
+    replicated stem, pipe-sharded blocks."""
+    cfg = _cfg("vitb_hybrid")
+    model, state0 = create_train_state(cfg, 100, jax.random.key(0),
+                                       crop=CROP)
+    batch = _batch(rng)
+    state_ref, parts_ref = jax.jit(
+        make_train_step(model, cfg, GRID))(state0, batch)
+
+    mesh = make_mesh((2, 4), ("data", "pipe"))
+    state_pp = state0.replace(
+        params=jax.device_put(state0.params,
+                              param_shardings_pp(mesh, state0.params)),
+        opt_state=jax.device_put(state0.opt_state, replicated(mesh)),
+    )
+    sharded_batch = {k: jax.device_put(v, batch_sharding(mesh))
+                     for k, v in batch.items()}
+    step_pp = jax.jit(make_train_step_pp(
+        model, cfg, GRID, mesh, n_microbatches=2))
+    state_out, parts = step_pp(state_pp, sharded_batch)
+    assert abs(float(parts["loss"]) - float(parts_ref["loss"])) < 1e-5
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        jax.device_get(state_out.params), jax.device_get(state_ref.params))
+    assert max(jax.tree.leaves(diff)) < 1e-4
+
+
+def test_pp_constructor_validation():
+    cfg = _cfg()
+    model, _ = create_train_state(cfg, 10, jax.random.key(0), crop=CROP)
+    mesh = make_mesh((2, 4), ("data", "pipe"))
+    bad = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, scan_blocks=False))
+    with pytest.raises(ValueError, match="scan_blocks"):
+        make_train_step_pp(model, bad, GRID, mesh, n_microbatches=2)
+    with pytest.raises(ValueError, match="microbatches"):
+        make_train_step_pp(model, cfg, GRID, mesh, n_microbatches=3)
