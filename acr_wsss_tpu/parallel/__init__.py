@@ -8,6 +8,7 @@ from acr_wsss_tpu.parallel.pipeline import (  # noqa: F401
 )
 from acr_wsss_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
+    fsdp_shardings,
     param_shardings,
     replicated,
 )

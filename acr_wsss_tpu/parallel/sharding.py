@@ -21,6 +21,7 @@ import re
 from typing import Any, List, Tuple
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 TP_RULES: List[Tuple[str, P]] = [
@@ -54,6 +55,39 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def fsdp_shardings(mesh: Mesh, tree: Any, axis: str = "data",
+                   min_elems: int = 2 ** 12) -> Any:
+    """ZeRO-3 / FSDP-style placement: every large leaf is sharded over the
+    data axis on its largest dimension; XLA all-gathers parameters at their
+    use sites and reduce-scatters gradients (the GSPMD formulation of
+    FSDP — no wrapper module, just placement).
+
+    The rule is shape-based, so it applies unchanged to the OPTIMIZER
+    state (momentum mirrors each param's shape) — sharding both is what
+    makes it ZeRO-3 rather than plain DP. Small leaves (norm scales,
+    biases, scalar step counts) stay replicated: sharding them saves
+    nothing and costs latency-bound collectives.
+
+    The reference has no parameter sharding of any kind (SURVEY §2.7
+    "absent" list); equivalence with the single-device step is tested in
+    ``tests/test_parallel.py::test_fsdp_train_step_matches_single_device``.
+    """
+    n = mesh.shape[axis]
+
+    def spec_for(leaf):
+        shape = getattr(leaf, "shape", ())
+        if not shape or int(np.prod(shape)) < min_elems:
+            return NamedSharding(mesh, P())
+        dim = int(np.argmax(shape))
+        if shape[dim] < n:
+            return NamedSharding(mesh, P())
+        spec = [None] * len(shape)
+        spec[dim] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(spec_for, tree)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
