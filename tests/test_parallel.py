@@ -85,6 +85,50 @@ def test_sharded_train_step_matches_single_device(mesh_spec, rng):
     assert max(jax.tree.leaves(diff)) < 1e-4
 
 
+def test_train_loop_end_to_end_on_seq_mesh(rng, tmp_path):
+    """The FULL train() loop under a ('data','model','seq') mesh with the
+    sequence-parallel trunk (what `train --mesh data=2,model=2,seq=2`
+    runs) — exercises the ambient-mesh context around the step loop."""
+    import os
+
+    from PIL import Image
+
+    from acr_wsss_tpu.train import train
+
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    names, labels = [], {}
+    for i in range(8):
+        name = f"t{i}"
+        names.append(name)
+        Image.fromarray(
+            rng.integers(0, 255, size=(40, 40, 3)).astype(np.uint8)
+        ).save(img_dir / f"{name}.jpg")
+        lab = np.zeros(20, np.float32)
+        lab[i % 20] = 1.0
+        labels[name] = lab
+    np.save(tmp_path / "cls_labels.npy", labels)  # type: ignore[arg-type]
+    (tmp_path / "train.txt").write_text("\n".join(names) + "\n")
+    (tmp_path / "val.txt").write_text("")
+
+    cfg = TrainConfig(
+        model=ModelConfig(backbone="vit_small", attn_impl="xla",
+                          compute_dtype="float32", seq_axis="seq"),
+        crop_size=32, batch_size=4, max_epochs=1, lr=0.001, alpha=1.0,
+        log_every=2, val_every=1000, checkpoint_every=1000,
+        checkpoint_dir=str(tmp_path / "weight"), session_name="sp_e2e",
+        image_dir=str(img_dir), train_list=str(tmp_path / "train.txt"),
+        val_list=str(tmp_path / "val.txt"),
+        cls_labels_path=str(tmp_path / "cls_labels.npy"),
+        num_workers=2,
+        mesh_shape=(2, 2, 2), mesh_axes=("data", "model", "seq"),
+    )
+    state = train(cfg)
+    assert int(state.step) == 3
+    assert os.path.exists(os.path.join(cfg.checkpoint_dir,
+                                       "sp_e2e_last.npz"))
+
+
 def test_fsdp_train_step_matches_single_device(rng):
     """ZeRO-3 / FSDP placement: params AND optimizer state sharded over
     'data' (largest dim per leaf); XLA all-gathers weights at use sites and

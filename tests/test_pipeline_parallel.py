@@ -107,6 +107,50 @@ def test_pipelined_step_hybrid_stem(rng):
     assert max(jax.tree.leaves(diff)) < 1e-4
 
 
+def test_train_loop_end_to_end_on_pipe_mesh(rng, tmp_path):
+    """The FULL train() loop — iterator, pp step selection via
+    cfg.mesh_axes, orbax checkpointing of pipe-sharded params, final npz —
+    on a ('data','pipe') mesh (what `train --mesh data=2,pipe=4` runs)."""
+    import os
+
+    from PIL import Image
+
+    from acr_wsss_tpu.train import train
+
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    names, labels = [], {}
+    for i in range(8):
+        name = f"t{i}"
+        names.append(name)
+        Image.fromarray(
+            rng.integers(0, 255, size=(40, 40, 3)).astype(np.uint8)
+        ).save(img_dir / f"{name}.jpg")
+        lab = np.zeros(20, np.float32)
+        lab[i % 20] = 1.0
+        labels[name] = lab
+    np.save(tmp_path / "cls_labels.npy", labels)  # type: ignore[arg-type]
+    (tmp_path / "train.txt").write_text("\n".join(names) + "\n")
+    (tmp_path / "val.txt").write_text("")
+
+    cfg = TrainConfig(
+        model=ModelConfig(backbone="vit_small", attn_impl="xla",
+                          compute_dtype="float32", scan_blocks=True),
+        crop_size=32, batch_size=4, max_epochs=1, lr=0.001, alpha=1.0,
+        log_every=2, val_every=1000, checkpoint_every=1000,
+        checkpoint_dir=str(tmp_path / "weight"), session_name="pp_e2e",
+        image_dir=str(img_dir), train_list=str(tmp_path / "train.txt"),
+        val_list=str(tmp_path / "val.txt"),
+        cls_labels_path=str(tmp_path / "cls_labels.npy"),
+        num_workers=2,
+        mesh_shape=(2, 4), mesh_axes=("data", "pipe"), pp_microbatches=2,
+    )
+    state = train(cfg)
+    assert int(state.step) == 3  # 2 steps/epoch -> steps 0..2
+    assert os.path.exists(os.path.join(cfg.checkpoint_dir,
+                                       "pp_e2e_last.npz"))
+
+
 def test_pp_constructor_validation():
     cfg = _cfg()
     model, _ = create_train_state(cfg, 10, jax.random.key(0), crop=CROP)
