@@ -133,6 +133,18 @@ class TrainConfig:
     # ``DPT/ACR.py`` use_pretrain=True -> timm load_pretrained). Run
     # ``python -m acr_wsss_tpu.models.zoo fetch <backbone>`` once first.
     pretrained: bool = False
+    # TPU-native input pipeline (data/device_aug.py): host ships raw uint8
+    # rasters + a 9-int augmentation descriptor; resize/flip/normalize/crop
+    # run fused inside the jit train step. Same rng stream and (to float
+    # tolerance) same crops as the host chain; removes the host float-math
+    # bottleneck on thin TPU-VM hosts and quarters the H2D bytes.
+    device_aug: bool = False
+    # Static square the raw rasters are zero-padded to for device_aug —
+    # must cover the corpus's largest image (VOC: 500).
+    aug_pad: int = 512
+    # Keep decoded uint8 rasters in RAM after first read (decoded VOC
+    # train_aug ~6 GB): later epochs skip JPEG decode entirely.
+    cache_decoded: bool = False
     # Un-mirror the flipped view's TOKEN ORDER once after the pos-embed
     # (the trunk is permutation-equivariant) instead of un-flipping every
     # layer's (B, N, N) attention export in the loss — identical math

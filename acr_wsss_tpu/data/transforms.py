@@ -16,7 +16,7 @@ transposes to NCHW for torch).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 from PIL import Image
@@ -126,15 +126,76 @@ def random_crop(img: np.ndarray, cropsize: int,
     return container, cropping
 
 
+class AugParams(NamedTuple):
+    """Every random decision of one training augmentation, drawn up front.
+
+    Factoring the *sampling* out of the *pixel work* lets the pixel work run
+    either on host (:func:`train_transform`) or fused into the jit train step
+    (:mod:`acr_wsss_tpu.data.device_aug`) from the SAME rng stream — the two
+    paths see identical crops. Field semantics follow the reference chain
+    (``myTool.py:995-1008`` resize, ``:1158-1199`` flip, ``:923-955`` crop).
+    """
+
+    src_h: int        # original image height
+    src_w: int        # original image width
+    resized_h: int    # after RandomResizeLong
+    resized_w: int
+    flip: bool        # horizontal flip of the resized image
+    cont_top: int     # paste offsets into the crop_size^2 container ...
+    cont_left: int
+    img_top: int      # ... and the matching read offsets into the image
+    img_left: int
+
+
+def train_aug_params(shape_hw: Tuple[int, int], crop_size: int,
+                     rng: np.random.Generator) -> AugParams:
+    """Draw one augmentation's parameters — rng stream identical to
+    :func:`train_transform` (resize long side, flip coin, crop w then h)."""
+    h, w = shape_hw
+    min_long, max_long = int(crop_size * 0.9), int(crop_size / 0.875)
+    target_long = int(rng.integers(min_long, max_long + 1))
+    if w < h:
+        rh, rw = target_long, int(round(w * target_long / h))
+    else:
+        rh, rw = int(round(h * target_long / w)), target_long
+    flip = bool(rng.uniform() > 0.5)
+
+    # crop draws: width first, then height (reference RandomCrop order)
+    w_space, h_space = rw - crop_size, rh - crop_size
+    if w_space > 0:
+        cont_left, img_left = 0, int(rng.integers(0, w_space + 1))
+    else:
+        cont_left, img_left = int(rng.integers(0, -w_space + 1)), 0
+    if h_space > 0:
+        cont_top, img_top = 0, int(rng.integers(0, h_space + 1))
+    else:
+        cont_top, img_top = int(rng.integers(0, -h_space + 1)), 0
+    return AugParams(h, w, rh, rw, flip, cont_top, cont_left, img_top, img_left)
+
+
+def apply_crop(img: np.ndarray, p: AugParams,
+               cropsize: int) -> Tuple[np.ndarray, np.ndarray]:
+    """The deterministic tail of :func:`random_crop` for pre-drawn params."""
+    h, w = img.shape[:2]
+    ch, cw = min(cropsize, h), min(cropsize, w)
+    container = np.zeros((cropsize, cropsize, img.shape[-1]), np.float32)
+    cropping = np.zeros((cropsize, cropsize), bool)
+    container[p.cont_top:p.cont_top + ch, p.cont_left:p.cont_left + cw] = \
+        img[p.img_top:p.img_top + ch, p.img_left:p.img_left + cw]
+    cropping[p.cont_top:p.cont_top + ch, p.cont_left:p.cont_left + cw] = True
+    return container, cropping
+
+
 def train_transform(img: np.ndarray, crop_size: int,
                     rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
     """Full training augmentation chain; returns (normalized crop HWC f32,
     valid mask)."""
-    img = random_resize_long(img, int(crop_size * 0.9), int(crop_size / 0.875), rng)
-    if rng.uniform() > 0.5:
+    p = train_aug_params(img.shape[:2], crop_size, rng)
+    img = resize_bilinear_np(img, (p.resized_h, p.resized_w))
+    if p.flip:
         img = img[:, ::-1]
     img = normalize(img)
-    return random_crop(img, crop_size, rng)
+    return apply_crop(img, p, crop_size)
 
 
 def val_transform(img: np.ndarray, crop_size: int) -> np.ndarray:

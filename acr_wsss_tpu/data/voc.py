@@ -86,23 +86,54 @@ def load_cls_labels(path: str) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 class VOCClassificationSource:
-    """Loads and augments single examples; thread-safe."""
+    """Loads and augments single examples; thread-safe.
+
+    ``cache_decoded=True`` keeps decoded uint8 rasters in RAM after the
+    first epoch (decoded VOC train_aug is ~6 GB — trivial next to a TPU
+    host's memory), removing the per-epoch JPEG re-decode the reference
+    pays every step (``myTool.py:1168``). Dict insertion is GIL-atomic, so
+    the threaded iterator needs no lock; a racing double-decode is benign.
+    """
 
     def __init__(self, image_dir: str, labels: Dict[str, np.ndarray],
-                 crop_size: int):
+                 crop_size: int, cache_decoded: bool = False):
         self.image_dir = image_dir
         self.labels = labels
         self.crop_size = crop_size
+        self._cache: Optional[Dict[str, np.ndarray]] = (
+            {} if cache_decoded else None)
 
-    def load_train(self, name: str, rng: np.random.Generator):
+    def _decoded(self, name: str) -> np.ndarray:
+        if self._cache is not None:
+            img = self._cache.get(name)
+            if img is not None:
+                return img
         img = transforms.load_image_rgb(
             os.path.join(self.image_dir, f"{name}.jpg"))
+        if self._cache is not None:
+            self._cache[name] = img
+        return img
+
+    def load_train(self, name: str, rng: np.random.Generator):
+        img = self._decoded(name)
         crop, _ = transforms.train_transform(img, self.crop_size, rng)
         return crop, self.labels[name].astype(np.float32)
 
+    def load_train_packed(self, name: str, rng: np.random.Generator,
+                          pad_to: int):
+        """Device-augmentation path: raw uint8 raster (padded to a static
+        square) + the augmentation descriptor; the pixel math runs inside
+        the jit train step (``data/device_aug.py``)."""
+        from acr_wsss_tpu.data import device_aug
+
+        img = self._decoded(name)
+        params = transforms.train_aug_params(
+            img.shape[:2], self.crop_size, rng)
+        padded, vec = device_aug.pack_example(img, params, pad_to)
+        return padded, vec, self.labels[name].astype(np.float32)
+
     def load_val(self, name: str):
-        img = transforms.load_image_rgb(
-            os.path.join(self.image_dir, f"{name}.jpg"))
+        img = self._decoded(name)
         return transforms.val_transform(img, self.crop_size), \
             self.labels[name].astype(np.float32)
 
@@ -127,6 +158,8 @@ class TrainIterator:
         num_hosts: int = 1,
         num_workers: int = 8,
         prefetch: int = 2,
+        device_aug: bool = False,
+        aug_pad: int = 512,
     ):
         self.source = source
         self.names = list(names)
@@ -140,6 +173,11 @@ class TrainIterator:
         self._name_iter = self._iter_names()
         self.prefetch = prefetch
         self._pending: List = []
+        # device_aug: emit {"image_u8", "aug"} batches for the fused
+        # in-step augmentation (data/device_aug.py) instead of host-side
+        # float crops. aug_pad must cover the corpus's largest raster.
+        self.device_aug = device_aug
+        self.aug_pad = aug_pad
 
     def _iter_names(self) -> Iterator[str]:
         while True:
@@ -160,6 +198,8 @@ class TrainIterator:
 
         def load(name, seed_seq):
             rng = np.random.default_rng(seed_seq)
+            if self.device_aug:
+                return self.source.load_train_packed(name, rng, self.aug_pad)
             return self.source.load_train(name, rng)
 
         futures = [self.pool.submit(load, n, s) for n, s in zip(names, seeds)]
@@ -173,6 +213,13 @@ class TrainIterator:
             self._submit_batch()
         names, futures = self._pending.pop(0)
         results = [f.result() for f in futures]
+        if self.device_aug:
+            return {
+                "image_u8": np.stack([r[0] for r in results]),  # (B,S,S,3) u8
+                "aug": np.stack([r[1] for r in results]),       # (B, 9) i32
+                "label": np.stack([r[2] for r in results]),
+                "name": names,
+            }
         images = np.stack([r[0] for r in results])       # (B, H, W, 3) f32
         labels = np.stack([r[1] for r in results])       # (B, C)
         return {"image": images, "label": labels, "name": names}

@@ -131,6 +131,16 @@ def make_train_step(model: ACR, cfg: TrainConfig, grid: Tuple[int, int]):
         return total, parts
 
     def train_step(state: TrainState, batch):
+        if "image_u8" in batch:
+            # device-side augmentation (data/device_aug.py): the batch
+            # carries raw uint8 rasters + descriptors; materialize the
+            # normalized crops inside the jit program so the resample/
+            # normalize fuse with the first stem conv's input.
+            from acr_wsss_tpu.data import device_aug
+
+            batch = dict(batch)
+            batch["image"] = device_aug.device_augment(
+                batch.pop("image_u8"), batch.pop("aug"), cfg.crop_size)
         (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch)
         state = state.apply_gradients(grads=grads)
@@ -262,10 +272,14 @@ def train(cfg: TrainConfig) -> TrainState:
                              donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model))
 
-    source = voc_data.VOCClassificationSource(cfg.image_dir, labels, cfg.crop_size)
+    source = voc_data.VOCClassificationSource(
+        cfg.image_dir, labels, cfg.crop_size,
+        cache_decoded=getattr(cfg, "cache_decoded", False))
     train_iter = voc_data.TrainIterator(
         source, names, cfg.batch_size // num_hosts, seed=cfg.seed,
-        host_id=host_id, num_hosts=num_hosts, num_workers=cfg.num_workers)
+        host_id=host_id, num_hosts=num_hosts, num_workers=cfg.num_workers,
+        device_aug=getattr(cfg, "device_aug", False),
+        aug_pad=getattr(cfg, "aug_pad", 512))
 
     b_sharding = batch_sharding(mesh)
     ckpt = CheckpointManager(os.path.join(cfg.checkpoint_dir, cfg.session_name))
@@ -404,6 +418,14 @@ def parse_args(argv=None) -> TrainConfig:
     parser.add_argument("--pretrained", action="store_true",
                         help="init the trunk from the ImageNet zoo npz "
                              "(python -m acr_wsss_tpu.models.zoo fetch ...)")
+    parser.add_argument("--device_aug", action="store_true",
+                        help="run resize/flip/normalize/crop fused inside "
+                             "the jit step (uint8 H2D; thin-host fast path)")
+    parser.add_argument("--aug_pad", default=512, type=int,
+                        help="static pad square for --device_aug rasters")
+    parser.add_argument("--cache_decoded", action="store_true",
+                        help="cache decoded uint8 images in RAM (skips "
+                             "JPEG re-decode after the first epoch)")
     parser.add_argument("--mesh", default="data=-1",
                         help="device mesh as 'axis=size,...' — e.g. "
                              "'data=-1' (pure dp), 'data=2,model=4' (dp x "
@@ -438,6 +460,9 @@ def parse_args(argv=None) -> TrainConfig:
         multihost=args.multihost,
         accum_steps=args.accum_steps,
         pretrained=args.pretrained,
+        device_aug=args.device_aug,
+        aug_pad=args.aug_pad,
+        cache_decoded=args.cache_decoded,
     )
 
 

@@ -33,6 +33,13 @@ def parse_args(argv=None) -> TrainConfig:
                              "if omitted")
     parser.add_argument("--attn_impl", default="pallas", choices=["xla", "pallas"])
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--device_aug", action="store_true",
+                        help="fused in-step augmentation (uint8 H2D)")
+    parser.add_argument("--aug_pad", default=640, type=int,
+                        help="static pad square for --device_aug (COCO "
+                             "images go up to 640 px)")
+    parser.add_argument("--cache_decoded", action="store_true",
+                        help="cache decoded rasters in RAM")
     args = parser.parse_args(argv)
     return TrainConfig(
         model=ModelConfig(backbone=args.backbone, num_classes=80,
@@ -50,6 +57,9 @@ def parse_args(argv=None) -> TrainConfig:
         cls_labels_path=args.bbox_dir,
         val_every=30000,
         seed=args.seed,
+        device_aug=args.device_aug,
+        aug_pad=args.aug_pad,
+        cache_decoded=args.cache_decoded,
     )
 
 

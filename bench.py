@@ -189,9 +189,14 @@ def main() -> None:
             # BEFORE consuming step k overlaps the transfer with compute
             # (double-buffering; matters through the tunneled backend where
             # the 42 MB/step copy is a real serial cost).
-            return {"image": jax.device_put(b["image"]),
-                    "label": jax.device_put(b["label"])}
+            return {k: jax.device_put(v) for k, v in b.items()
+                    if k != "name"}
 
+        # warm-compile with the REAL batch structure: device-aug batches
+        # carry {image_u8, aug} instead of {image} — a different jit
+        # signature than the synthetic warmup above.
+        state, parts = train_step(state, to_device(next(train_iter)))
+        float(parts["loss"])
         nxt = to_device(next(train_iter))  # warm decode threads + buffer
         t0 = time.perf_counter()
         for _ in range(steps):
@@ -271,9 +276,16 @@ def _disk_iterator(batch: int, crop: int, cfg):
     rng = np.random.default_rng(1)
     labels = {n: (rng.uniform(size=20) > 0.8).astype(np.float32)
               for n in names}
-    source = voc_data.VOCClassificationSource(img_dir, labels, crop)
-    return voc_data.TrainIterator(source, names, batch, seed=0,
-                                  num_workers=cfg.num_workers)
+    # BENCH_DEVICE_AUG=1: fused in-step augmentation (uint8 H2D);
+    # BENCH_CACHE_DECODED=1: in-RAM decoded-raster cache. Together these
+    # are the thin-host fast path (BASELINE.md input-pipeline table).
+    source = voc_data.VOCClassificationSource(
+        img_dir, labels, crop,
+        cache_decoded=bool(os.environ.get("BENCH_CACHE_DECODED")))
+    return voc_data.TrainIterator(
+        source, names, batch, seed=0, num_workers=cfg.num_workers,
+        device_aug=bool(os.environ.get("BENCH_DEVICE_AUG")),
+        aug_pad=640)  # bench corpus rasters go up to 620 px wide
 
 
 def _wait_for_backend() -> None:
