@@ -105,3 +105,16 @@ def device_augment(images_u8: jax.Array, aug: jax.Array,
     normalized, pad region zeroed — the jit-side replacement for the host
     train_transform. Call inside the train step so XLA fuses it."""
     return jax.vmap(lambda im, a: _augment_one(im, a, crop))(images_u8, aug)
+
+
+def materialize_batch(batch: dict, crop: int) -> dict:
+    """Inside a train step: turn a packed ``{image_u8, aug, ...}`` batch
+    into a plain ``{image, ...}`` one (no-op for host-augmented batches).
+    Shared by every trainer so the jit signature dispatch lives in one
+    place."""
+    if "image_u8" not in batch:
+        return batch
+    batch = dict(batch)
+    batch["image"] = device_augment(
+        batch.pop("image_u8"), batch.pop("aug"), crop)
+    return batch

@@ -131,16 +131,13 @@ def make_train_step(model: ACR, cfg: TrainConfig, grid: Tuple[int, int]):
         return total, parts
 
     def train_step(state: TrainState, batch):
-        if "image_u8" in batch:
-            # device-side augmentation (data/device_aug.py): the batch
-            # carries raw uint8 rasters + descriptors; materialize the
-            # normalized crops inside the jit program so the resample/
-            # normalize fuse with the first stem conv's input.
-            from acr_wsss_tpu.data import device_aug
+        # device-side augmentation (data/device_aug.py): a packed batch
+        # carries raw uint8 rasters + descriptors; materialize the
+        # normalized crops inside the jit program so the resample/
+        # normalize fuse with the first stem conv's input.
+        from acr_wsss_tpu.data import device_aug
 
-            batch = dict(batch)
-            batch["image"] = device_aug.device_augment(
-                batch.pop("image_u8"), batch.pop("aug"), cfg.crop_size)
+        batch = device_aug.materialize_batch(batch, cfg.crop_size)
         (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch)
         state = state.apply_gradients(grads=grads)

@@ -68,6 +68,9 @@ def make_swin_train_step(model, cfg: TrainConfig, crop_size: int):
                        "window_consistency": cons}
 
     def train_step(state: TrainState, batch):
+        from acr_wsss_tpu.data import device_aug
+
+        batch = device_aug.materialize_batch(batch, crop_size)
         (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch)
         state = state.apply_gradients(grads=grads)
@@ -119,6 +122,13 @@ def main(argv=None):
     parser.add_argument("--pretrained", action="store_true",
                         help="graft ImageNet weights from the zoo npz "
                              "(python -m acr_wsss_tpu.models.zoo fetch ...)")
+    parser.add_argument("--device_aug", action="store_true",
+                        help="fused in-step augmentation (uint8 H2D; "
+                             "data/device_aug.py)")
+    parser.add_argument("--aug_pad", default=512, type=int,
+                        help="static pad square for --device_aug rasters")
+    parser.add_argument("--cache_decoded", action="store_true",
+                        help="cache decoded uint8 rasters in RAM")
     args = parser.parse_args(argv)
 
     cfg = TrainConfig(
@@ -140,9 +150,12 @@ def main(argv=None):
                       donate_argnums=0)
 
     labels = voc_data.load_cls_labels(cfg.cls_labels_path)
-    source = voc_data.VOCClassificationSource(cfg.image_dir, labels,
-                                              cfg.crop_size)
-    it = voc_data.TrainIterator(source, names, cfg.batch_size)
+    source = voc_data.VOCClassificationSource(
+        cfg.image_dir, labels, cfg.crop_size,
+        cache_decoded=args.cache_decoded)
+    it = voc_data.TrainIterator(source, names, cfg.batch_size,
+                                device_aug=args.device_aug,
+                                aug_pad=args.aug_pad)
     meter, timer = AverageMeter("loss"), Timer("Session started: ")
     b_sh = batch_sharding(mesh)
     for step in range(max_step + 1):

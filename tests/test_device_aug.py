@@ -142,3 +142,32 @@ def test_iterator_device_aug_feeds_equivalent_train_batches(tmp_path):
     np.testing.assert_allclose(float(parts_dev["loss"]),
                                float(parts_host["loss"]), rtol=1e-4)
     assert int(state2.step) == int(state.step) + 1
+
+
+def test_swin_train_step_accepts_packed_batch():
+    """The shared materialize_batch hook covers the Swin trainer too."""
+    from acr_wsss_tpu.configs import ModelConfig, TrainConfig
+    from acr_wsss_tpu.train_swin import (
+        create_swin_train_state, make_swin_train_step)
+
+    crop = 32
+    cfg = TrainConfig(model=ModelConfig(backbone="swin"),
+                      crop_size=crop, batch_size=2)
+    model, state = create_swin_train_state(cfg, 100, jax.random.key(0),
+                                           "swin_tiny")
+    step = jax.jit(make_swin_train_step(model, cfg, crop))
+
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 255, size=(2, 40, 48, 3), dtype=np.uint8)
+    packed, vecs = [], []
+    for i in range(2):
+        p = transforms.train_aug_params((40, 48), crop,
+                                        np.random.default_rng((9, i)))
+        im, vec = device_aug.pack_example(imgs[i], p, pad_to=64)
+        packed.append(im)
+        vecs.append(vec)
+    label = np.zeros((2, 20), np.float32)
+    label[:, 3] = 1.0
+    _, parts = step(state, {"image_u8": np.stack(packed),
+                            "aug": np.stack(vecs), "label": label})
+    assert np.isfinite(float(parts["loss"]))
