@@ -105,6 +105,14 @@ def parse_args(argv=None):
     parser.add_argument("--pretrained", action="store_true",
                         help="init the trunk from the ImageNet zoo npz "
                              "(the reference's default initialization)")
+    parser.add_argument("--device_aug", action="store_true",
+                        help="fused in-step augmentation (uint8 H2D; "
+                             "data/device_aug.py)")
+    parser.add_argument("--aug_pad", default=None, type=int,
+                        help="static pad square for --device_aug; default "
+                             "512 (VOC) / 640 (COCO)")
+    parser.add_argument("--cache_decoded", action="store_true",
+                        help="cache decoded uint8 rasters in RAM")
     # infer (train_acr.sh:26-37)
     parser.add_argument("--infer_list", default=None,
                         help="default: voc12/train_id.txt (VOC) or the "
@@ -165,6 +173,9 @@ def main(argv=None) -> None:
         val_image_dir=args.valpath,
         cls_labels_path=labels_path,
         pretrained=args.pretrained,
+        device_aug=args.device_aug,
+        aug_pad=args.aug_pad or (640 if coco else 512),
+        cache_decoded=args.cache_decoded,
     )
     infer_cfg = InferConfig(
         model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl,
