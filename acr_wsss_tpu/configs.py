@@ -145,6 +145,13 @@ class TrainConfig:
     # Keep decoded uint8 rasters in RAM after first read (decoded VOC
     # train_aug ~6 GB): later epochs skip JPEG decode entirely.
     cache_decoded: bool = False
+    # ZeRO-3 / FSDP placement (parallel.fsdp_shardings): shard every large
+    # parameter AND optimizer-state leaf over the 'data' axis; XLA
+    # all-gathers params at use sites and reduce-scatters gradients. Cuts
+    # per-device state memory ~N_data-fold; step math is unchanged
+    # (equivalence-tested). Not composable with a 'pipe' mesh axis (the
+    # pipeline step carries its own stage-sharded placement).
+    fsdp: bool = False
     # Un-mirror the flipped view's TOKEN ORDER once after the pos-embed
     # (the trunk is permutation-equivariant) instead of un-flipping every
     # layer's (B, N, N) attention export in the loss — identical math

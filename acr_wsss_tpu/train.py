@@ -250,12 +250,23 @@ def train(cfg: TrainConfig) -> TrainState:
     if pipelined:
         from acr_wsss_tpu.parallel import param_shardings_pp
 
+        if cfg.fsdp:
+            raise ValueError("--fsdp is not composable with a 'pipe' mesh "
+                             "axis (the GPipe step carries its own "
+                             "stage-sharded parameter placement)")
         p_shardings = param_shardings_pp(mesh, state.params)
+        o_shardings = replicated(mesh)
+    elif cfg.fsdp:
+        from acr_wsss_tpu.parallel import fsdp_shardings
+
+        p_shardings = fsdp_shardings(mesh, state.params)
+        o_shardings = fsdp_shardings(mesh, state.opt_state)
     else:
         p_shardings = param_shardings(mesh, state.params)
+        o_shardings = replicated(mesh)
     state = state.replace(
         params=jax.device_put(state.params, p_shardings),
-        opt_state=jax.device_put(state.opt_state, replicated(mesh)),
+        opt_state=jax.device_put(state.opt_state, o_shardings),
     )
 
     grid = (cfg.crop_size // 16, cfg.crop_size // 16)
@@ -299,7 +310,7 @@ def train(cfg: TrainConfig) -> TrainState:
                                  "step": 0})
         state = state.replace(
             params=jax.device_put(restored["params"], p_shardings),
-            opt_state=jax.device_put(restored["opt_state"], replicated(mesh)),
+            opt_state=jax.device_put(restored["opt_state"], o_shardings),
             step=restored["step"],
         )
         start_step = int(restored["step"]) + 1
@@ -312,6 +323,15 @@ def train(cfg: TrainConfig) -> TrainState:
     if cfg.model.seq_axis:
         _mesh_ctx.enter_context(jax.set_mesh(mesh))
 
+    # Double-buffered feeding: batch N+1's host work + H2D copy are enqueued
+    # while the device still runs step N. jax dispatch is async, so
+    # ``train_step`` returns before the step finishes — the blocking point
+    # is the ``float(parts["loss"])`` sync, which therefore must come AFTER
+    # the next ``shard_batch``. (The reference's loader overlaps via torch
+    # DataLoader workers + pin_memory, ``train_acr.py:112-135``; here one
+    # in-flight batch bounds the pipeline depth and keeps step errors
+    # surfacing promptly.)
+    batch = shard_batch(next(train_iter), b_sharding)
     for step in range(start_step, total_micro_steps + 1):
         # Profiler window (SURVEY.md §5.1 rebuild note): capture a trace of
         # steady-state steps when requested.
@@ -320,8 +340,9 @@ def train(cfg: TrainConfig) -> TrainState:
         if cfg.profile_dir and step == 20:
             jax.profiler.stop_trace()
 
-        batch = shard_batch(next(train_iter), b_sharding)
         state, parts = train_step(state, batch)
+        if step < total_micro_steps:
+            batch = shard_batch(next(train_iter), b_sharding)
         meter.add({"loss": float(parts["loss"])})
 
         if step % cfg.log_every == 0 and host_id == 0:
@@ -431,6 +452,10 @@ def parse_args(argv=None) -> TrainConfig:
                              "(dp x tp x sp)")
     parser.add_argument("--microbatches", default=2, type=int,
                         help="GPipe microbatches per step (pipe meshes)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-3 placement: shard large params + "
+                             "optimizer state over the data axis "
+                             "(parallel.fsdp_shardings)")
     args = parser.parse_args(argv)
     mesh_axes, mesh_shape = zip(*(
         (a.strip(), int(s)) for a, s in
@@ -460,6 +485,7 @@ def parse_args(argv=None) -> TrainConfig:
         device_aug=args.device_aug,
         aug_pad=args.aug_pad,
         cache_decoded=args.cache_decoded,
+        fsdp=args.fsdp,
     )
 
 

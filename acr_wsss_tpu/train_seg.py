@@ -120,12 +120,19 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     meter, timer = AverageMeter("loss"), Timer("Session started: ")
     b_sh = batch_sharding(mesh)
-    for step in range(max_step + 1):
+    def _next_batch(step):
         batch_names = [names[(step * args.batch_size + i) % len(names)]
                        for i in range(args.batch_size)]
-        batch = load_seg_batch(_Src, args.pseudo_dir, batch_names,
-                               args.crop_size, rng)
-        state, parts = step_fn(state, shard_batch(batch, b_sh))
+        return shard_batch(load_seg_batch(_Src, args.pseudo_dir, batch_names,
+                                          args.crop_size, rng), b_sh)
+
+    # Double-buffered feeding (see train.py): enqueue batch N+1's H2D before
+    # the float() sync on step N so host and device overlap.
+    batch = _next_batch(0)
+    for step in range(max_step + 1):
+        state, parts = step_fn(state, batch)
+        if step < max_step:
+            batch = _next_batch(step + 1)
         meter.add({"loss": float(parts["loss"])})
         if step % 50 == 0:
             timer.update_progress(max(step, 1) / max_step)

@@ -158,8 +158,13 @@ def main(argv=None):
                                 aug_pad=args.aug_pad)
     meter, timer = AverageMeter("loss"), Timer("Session started: ")
     b_sh = batch_sharding(mesh)
+    # Double-buffered feeding (see train.py): enqueue batch N+1's H2D before
+    # the float() sync on step N so host and device overlap.
+    batch = shard_batch(next(it), b_sh)
     for step in range(max_step + 1):
-        state, parts = step_fn(state, shard_batch(next(it), b_sh))
+        state, parts = step_fn(state, batch)
+        if step < max_step:
+            batch = shard_batch(next(it), b_sh)
         meter.add({"loss": float(parts["loss"])})
         if step % 50 == 0:
             timer.update_progress(max(step, 1) / max_step)

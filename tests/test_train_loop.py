@@ -99,6 +99,30 @@ def test_train_loop_accum_steps_runs_full_update_count(tiny_voc, tmp_path):
     assert int(state.opt_state.gradient_step) == 4
 
 
+def test_train_loop_fsdp_matches_replicated(tiny_voc, tmp_path):
+    """The FULL train() loop under --fsdp (ZeRO-3 param+opt-state sharding,
+    parallel.fsdp_shardings) ends at the same parameters as the replicated
+    loop: placement only, no math change. Complements the single-step
+    equivalence test in test_parallel.py with iterator/checkpoint wiring."""
+    import dataclasses as dc
+
+    from acr_wsss_tpu.train import train
+
+    root, names = tiny_voc
+    base = dc.replace(_cfg(root, tmp_path), max_epochs=1,
+                      checkpoint_every=10**6,
+                      checkpoint_dir=str(tmp_path / "w_rep"))
+    state_rep = train(base)
+    state_fsdp = train(dc.replace(
+        base, fsdp=True, checkpoint_dir=str(tmp_path / "w_fsdp")))
+    # Identical seeds -> identical batch streams; the only difference is
+    # sharded vs replicated arithmetic order (reduce-scatter vs all-reduce).
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5),
+        jax.device_get(state_rep.params), jax.device_get(state_fsdp.params))
+
+
 def test_validate_pads_remainder_single_compile(tiny_voc, tmp_path):
     """Remainder val batches are padded+masked to the steady-state shape:
     eval_step compiles exactly once (round-1 regression: one compile per
