@@ -125,12 +125,71 @@ def _bench_infer() -> None:
     }))
 
 
+def _bench_serving() -> None:
+    """Request latency through the SERVING artifact (``BENCH_MODE=serving``):
+    export the CAM program (serving.export_infer), round-trip it through
+    serialize/deserialize — exactly what a deployment consumes — and time
+    ``exported.call(params, x, ids)`` per request. Reports p50/p99 call
+    latency; one call serves one image's flip-TTA pair at the config of
+    record. ``vs_baseline`` is null: the reference has no serving path at
+    all (its inference is eager per-class backwards, ``infer_cam.py``)."""
+    from acr_wsss_tpu.configs import InferConfig
+    from acr_wsss_tpu.models.acr import ACR
+    from acr_wsss_tpu.serving import export_infer, load_exported, \
+        save_exported
+
+    icfg = InferConfig()
+    crop = int(os.environ.get("BENCH_CROP", str(icfg.crop_size)))
+    steps = int(os.environ.get("BENCH_STEPS", "25"))
+    slots = int(os.environ.get("BENCH_INFER_SLOTS", str(icfg.class_slots)))
+
+    model = ACR(num_classes=icfg.model.num_classes,
+                backbone_name="vitb_hybrid",
+                dtype=jnp.dtype(icfg.model.compute_dtype),
+                attn_impl="xla", scan_blocks=icfg.model.scan_blocks)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, crop, crop, 3), jnp.float32))
+    exported = export_infer(model, params, crop, batch=2,
+                            start_layer=icfg.start_layer,
+                            getam_func=icfg.getam_func, use_aff=icfg.use_aff,
+                            num_classes=icfg.model.num_classes,
+                            class_slots=slots)
+    art = os.path.join(os.environ.get("TMPDIR", "/tmp"), "bench_serving.jaxexp")
+    save_exported(art, exported)
+    served = load_exported(art)
+
+    x = jax.device_put(
+        jax.random.normal(jax.random.key(1), (2, crop, crop, 3), jnp.float32))
+    ids = jax.device_put(jnp.arange(slots, dtype=jnp.int32))
+    params = jax.device_put(params)
+    jax.device_get(served.call(params, x, ids)["cams"])  # warm compile
+
+    lat = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        jax.device_get(served.call(params, x, ids)["cams"])
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    print(json.dumps({
+        "metric": "serving_ms_per_request",
+        "value": round(1000.0 * lat[len(lat) // 2], 1),
+        "unit": "ms (p50)",
+        "vs_baseline": None,
+        "p99_ms": round(1000.0 * lat[min(len(lat) - 1,
+                                         int(len(lat) * 0.99))], 1),
+        "artifact_mb": round(os.path.getsize(art) / 2 ** 20, 1),
+        "tta_views": 2, "class_slots": slots,
+    }))
+
+
 def main() -> None:
     from acr_wsss_tpu.configs import ModelConfig, TrainConfig
     from acr_wsss_tpu.train import create_train_state, make_train_step
 
     if os.environ.get("BENCH_MODE", "train") == "infer":
         return _bench_infer()
+    if os.environ.get("BENCH_MODE", "train") == "serving":
+        return _bench_serving()
 
     # Batch 24 is the measured single-chip sweet spot (batch 32/48
     # measure lower under remat/memory pressure, fused or not). The

@@ -106,12 +106,14 @@ def eval_cams(cam_dir: str, root: str, names, thresholds):
         input_type="npy", thresholds=list(thresholds), num_workers=4)
     scored = [(present_miou(ll), t, ll) for t, ll in zip(thresholds, curves)]
     best = max(scored, key=lambda s: s[0])
-    return {"best_present_miou": round(best[0], 3),
+    from acr_wsss_tpu.configs import VOC_CATEGORIES
+
+    present = VOC_CATEGORIES[:N_SHAPE_CLASSES + 1]
+    return {"best_present_miou": round(float(best[0]), 3),
             "best_threshold": best[1],
-            "miou_21cls_at_best": round(best[2]["mIoU"], 3),
-            "per_class_at_best": {k: round(v, 3)
-                                  for k, v in best[2].items()
-                                  if isinstance(v, float)}}
+            "miou_21cls_at_best": round(float(best[2]["mIoU"]), 3),
+            "per_class_at_best": {k: round(float(best[2][k]), 3)
+                                  for k in present}}
 
 
 def main(argv=None):
