@@ -130,7 +130,11 @@ def main(argv=None):
                          "at step 0)")
     ap.add_argument("--backbone", default="vit_small")
     ap.add_argument("--attn_impl", default="xla")
-    ap.add_argument("--getam_func", default="grad")
+    ap.add_argument("--getam_func", default="cam_grad",
+                    help="cam_grad measures best from scratch (the "
+                         "reference recipe's 'grad' assumes pretrained "
+                         "attention; sweep in bench_artifacts/"
+                         "learnability_r3.json)")
     ap.add_argument("--start_layer", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workdir", default=None,
