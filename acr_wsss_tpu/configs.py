@@ -24,6 +24,18 @@ IMAGENET_MEAN: Tuple[float, float, float] = (0.485, 0.456, 0.406)
 IMAGENET_STD: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
 
+def parse_bool(s: str) -> bool:
+    """Strict argparse bool: the reference CLIs take ``--aff True/False``
+    strings (``train_acr.sh:37``); ``type=bool`` would treat every
+    non-empty string — including ``"False"`` — as True."""
+    v = s.strip().lower()
+    if v in ("true", "1", "yes", "on"):
+        return True
+    if v in ("false", "0", "no", "off"):
+        return False
+    raise ValueError(f"expected a boolean, got {s!r}")
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """ACR task-model configuration (reference ``DPT/ACR.py:147-165``)."""

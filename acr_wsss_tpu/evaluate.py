@@ -32,7 +32,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 from PIL import Image
 
-from acr_wsss_tpu.configs import VOC_CATEGORIES
+from acr_wsss_tpu.configs import VOC_CATEGORIES, parse_bool
 
 
 def _decode_npy(path: str) -> tuple:
@@ -197,7 +197,7 @@ def main(argv=None) -> None:
     parser.add_argument("--comment", required=True, type=str)
     parser.add_argument("--type", default="png", choices=["npy", "png"], type=str)
     parser.add_argument("--t", default=None, type=float)
-    parser.add_argument("--curve", default=False, type=bool)
+    parser.add_argument("--curve", default=False, type=parse_bool)
     parser.add_argument("--num_workers", default=8, type=int)
     args = parser.parse_args(argv)
 

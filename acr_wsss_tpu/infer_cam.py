@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from acr_wsss_tpu.configs import InferConfig, ModelConfig, VOC_CLASSES
+from acr_wsss_tpu.configs import (InferConfig, ModelConfig, VOC_CLASSES,
+                                  parse_bool)
 from acr_wsss_tpu.data import transforms, voc as voc_data
 from acr_wsss_tpu.getam import getam_cams, make_forward_for_getam
 from acr_wsss_tpu.models.acr import ACR
@@ -377,7 +378,7 @@ def parse_args(argv=None) -> InferConfig:
     parser.add_argument("--start_layer", default=10, type=int)
     parser.add_argument("--getam_func", default="grad",
                         choices=["grad", "grad_s", "cam_grad", "cam_grad_s"])
-    parser.add_argument("--aff", default=True, type=bool)
+    parser.add_argument("--aff", default=True, type=parse_bool)
     parser.add_argument("--crop_size", default=384, type=int)
     parser.add_argument("--low_alpha", default=1, type=int)
     parser.add_argument("--high_alpha", default=12, type=int)

@@ -813,6 +813,15 @@ def init_with_pretrained(model, rng, dummy_input,
     (reference classifier-filtered ``load_pretrained``)."""
     params = model.init(rng, dummy_input)
     pretrained = load_backbone_params(model.backbone_name, directory)
+    if ("blocks_scan" in params["params"]["trunk"]
+            and any(k.startswith("blocks_") and k != "blocks_scan"
+                    for k in pretrained["params"]["trunk"])):
+        # scan_blocks models (pipeline parallelism, the inference trunk)
+        # expect the stacked trunk/blocks_scan/block layout; zoo npz files
+        # store the unrolled per-block one.
+        from acr_wsss_tpu.models.convert import unrolled_to_scanned
+
+        pretrained = unrolled_to_scanned(pretrained)
     params = dict(params)
     inner = dict(params["params"])
     inner["trunk"] = pretrained["params"]["trunk"]

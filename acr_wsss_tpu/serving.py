@@ -43,7 +43,7 @@ from typing import Any, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from acr_wsss_tpu.configs import ModelConfig
+from acr_wsss_tpu.configs import ModelConfig, parse_bool as _parse_bool
 from acr_wsss_tpu.getam import GETAM_FUNCS, getam_cams, make_forward_for_getam
 
 
@@ -118,7 +118,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                         help="images per call (2 = the flip-TTA pair)")
     parser.add_argument("--start_layer", default=10, type=int)
     parser.add_argument("--getam_func", default="grad", choices=GETAM_FUNCS)
-    parser.add_argument("--aff", default=True, type=lambda s: s != "False")
+    parser.add_argument("--aff", default=True, type=_parse_bool)
     parser.add_argument("--num_classes", default=20, type=int)
     parser.add_argument("--class_slots", default=0, type=int)
     parser.add_argument("--platforms", default="tpu,cpu")

@@ -271,10 +271,20 @@ def train(cfg: TrainConfig) -> TrainState:
 
     grid = (cfg.crop_size // 16, cfg.crop_size // 16)
     if pipelined:
+        from acr_wsss_tpu.data import device_aug
         from acr_wsss_tpu.parallel import make_train_step_pp
 
-        train_step = jax.jit(make_train_step_pp(
-            model, cfg, grid, mesh, n_microbatches=cfg.pp_microbatches))
+        pp_step = make_train_step_pp(
+            model, cfg, grid, mesh, n_microbatches=cfg.pp_microbatches)
+
+        def _pp_step(state, batch):
+            # --device_aug batches arrive packed ({image_u8, aug, label});
+            # the GPipe shard_map's in_specs consume {image, label}, so
+            # materialize the crops here, still inside the jit program.
+            return pp_step(state, device_aug.materialize_batch(
+                batch, cfg.crop_size))
+
+        train_step = jax.jit(_pp_step, donate_argnums=0)
     else:
         train_step = jax.jit(make_train_step(model, cfg, grid),
                              donate_argnums=0)

@@ -257,6 +257,10 @@ def main() -> None:
         state, parts = train_step(state, to_device(next(train_iter)))
         float(parts["loss"])
         nxt = to_device(next(train_iter))  # warm decode threads + buffer
+        # cost_analysis below must lower the SAME jit program the loop
+        # times: device-aug batches ({image_u8, aug}) compile a different
+        # executable than the synthetic {image} one.
+        batch_data = nxt
         t0 = time.perf_counter()
         for _ in range(steps):
             bd = nxt

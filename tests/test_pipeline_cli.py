@@ -142,3 +142,30 @@ def test_pipeline_all_stages(tiny_voc, tmp_path):
     # eval artifact: evallog entry with mIoU
     text = logfile.read_text()
     assert "pipe_test" in text and "mIoU" in text
+
+
+def test_strict_bool_flags():
+    """CLI booleans follow the reference's ``--flag True/False`` string
+    convention (``train_acr.sh:37,46``) with STRICT parsing: ``type=bool``
+    (and the old ``s != "False"`` lambda) silently treated "false"/"0" as
+    True — the exported/deployed program would include affinity refinement
+    the operator disabled."""
+    import pytest as _pytest
+
+    from acr_wsss_tpu.configs import parse_bool
+
+    for s in ("True", "true", "1", "yes", "on"):
+        assert parse_bool(s) is True
+    for s in ("False", "false", "0", "no", "off"):
+        assert parse_bool(s) is False
+    with _pytest.raises(ValueError):
+        parse_bool("affirmative")
+
+    # wired into the argparse surfaces that take bool-valued strings
+    import acr_wsss_tpu.evaluate as ev
+    import acr_wsss_tpu.infer_cam as ic
+    import acr_wsss_tpu.serving as sv
+
+    for mod, flag in ((ic, "--aff"), (sv, "--aff"), (ev, "--curve")):
+        src = open(mod.__file__).read()
+        assert "type=bool" not in src, (mod.__name__, flag)

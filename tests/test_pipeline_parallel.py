@@ -161,3 +161,54 @@ def test_pp_constructor_validation():
         make_train_step_pp(model, bad, GRID, mesh, n_microbatches=2)
     with pytest.raises(ValueError, match="microbatches"):
         make_train_step_pp(model, cfg, GRID, mesh, n_microbatches=3)
+
+
+def test_pipelined_loop_with_device_aug(tmp_path):
+    """The FULL train() loop on a ('data','pipe') mesh fed by --device_aug
+    packed batches ({image_u8, aug, label}): the crops must materialize
+    inside the jit program before the GPipe shard_map (whose in_specs
+    consume {image, label}) — the round-3 fix; previously this combination
+    raised a pytree mismatch deep inside the first step. Equivalence
+    anchor: the data-only mesh loop on the SAME device_aug stream."""
+    import dataclasses as dc
+
+    from PIL import Image
+
+    from acr_wsss_tpu.train import train
+
+    root = tmp_path / "data"
+    root.mkdir()
+    nrng = np.random.default_rng(0)
+    names, labels = [], {}
+    for i in range(8):
+        names.append(f"t{i}")
+        Image.fromarray(nrng.integers(
+            0, 255, size=(70, 90, 3), dtype=np.uint8)
+        ).save(root / f"t{i}.jpg")
+        lab = np.zeros(20, np.float32)
+        lab[i % 20] = 1.0
+        labels[f"t{i}"] = lab
+    np.save(tmp_path / "cls_labels.npy", labels)  # type: ignore[arg-type]
+    (tmp_path / "train.txt").write_text("\n".join(names) + "\n")
+    (tmp_path / "val.txt").write_text(names[0] + "\n")
+
+    base = TrainConfig(
+        model=ModelConfig(backbone="vit_small", attn_impl="xla",
+                          compute_dtype="float32", scan_blocks=True),
+        crop_size=CROP, batch_size=4, max_epochs=1, lr=0.001, alpha=1.0,
+        log_every=10, val_every=1000, checkpoint_every=10**6,
+        image_dir=str(root), train_list=str(tmp_path / "train.txt"),
+        val_list=str(tmp_path / "val.txt"),
+        cls_labels_path=str(tmp_path / "cls_labels.npy"),
+        num_workers=2, device_aug=True, aug_pad=128,
+    )
+    state_serial = train(dc.replace(
+        base, checkpoint_dir=str(tmp_path / "w_serial")))
+    state_pp = train(dc.replace(
+        base, mesh_shape=(2, 4), mesh_axes=("data", "pipe"),
+        pp_microbatches=2, checkpoint_dir=str(tmp_path / "w_pp")))
+
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        jax.device_get(state_serial.params), jax.device_get(state_pp.params))
+    assert max(jax.tree.leaves(diff)) < 1e-4

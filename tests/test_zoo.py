@@ -267,3 +267,35 @@ def test_zoo_urls_resolve_to_registry_names():
     }
     unknown = [k for k in ZOO_URLS if k not in names]
     assert not unknown, f"zoo URLs without a model: {unknown}"
+
+
+def test_init_with_pretrained_scan_layout(tmp_path):
+    """A scan_blocks=True model (pipeline parallelism, the scanned
+    inference trunk) grafts an UNROLLED zoo npz: init_with_pretrained must
+    restack trunk/blocks_i into trunk/blocks_scan/block (the round-3 fix —
+    previously the unrolled tree was grafted wholesale and the scanned
+    step KeyError'd on blocks_scan at trace time)."""
+    from acr_wsss_tpu.models import zoo
+    from acr_wsss_tpu.models.acr import ACR
+    from acr_wsss_tpu.utils.checkpoint import save_params_npz
+
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    unrolled = ACR(backbone_name="vit_small", dtype=jnp.float32)
+    src = unrolled.init(jax.random.key(1), x)
+    save_params_npz(zoo.npz_path("vit_small", str(tmp_path)), src)
+
+    scanned = ACR(backbone_name="vit_small", dtype=jnp.float32,
+                  scan_blocks=True)
+    params = zoo.init_with_pretrained(scanned, jax.random.key(0), x,
+                                      directory=str(tmp_path))
+    trunk = params["params"]["trunk"]
+    assert "blocks_scan" in trunk
+    assert not any(k.startswith("blocks_") and k != "blocks_scan"
+                   for k in trunk)
+    # stacked layer 0 == the unrolled blocks_0 weights
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(trunk["blocks_scan"]["block"])[0][0]),
+        np.asarray(jax.tree.leaves(
+            src["params"]["trunk"]["blocks_0"])[0]))
+    out = scanned.apply(params, x)
+    assert out["logits"].shape == (1, 20)
