@@ -430,7 +430,15 @@ def parse_args(argv=None) -> TrainConfig:
     parser.add_argument("--lr", default=0.05, type=float)
     parser.add_argument("--wt_dec", default=5e-4, type=float)
     parser.add_argument("--train_list", default="voc12/train_aug_id.txt")
+    parser.add_argument("--LISTpath", default=None,
+                        help="reference-compat alias: the reference's train "
+                             "loop reads its id list from --LISTpath "
+                             "(train_acr.py:60,107; its --train_list is "
+                             "unused there). Overrides --train_list.")
     parser.add_argument("--val_list", default="voc12/val_id.txt")
+    parser.add_argument("--num_workers", default=4, type=int,
+                        help="host-side decode/augment threads "
+                             "(reference train_acr.py:56)")
     parser.add_argument("--backbone", default="vitb_hybrid")
     parser.add_argument("--alpha", default=125, type=float)
     parser.add_argument("--session_name", default="acr_tpu")
@@ -485,8 +493,9 @@ def parse_args(argv=None) -> TrainConfig:
         session_name=args.session_name,
         crop_size=args.crop_size,
         image_dir=args.IMpath,
-        train_list=args.train_list,
+        train_list=args.LISTpath or args.train_list,
         val_list=args.val_list,
+        num_workers=args.num_workers,
         cls_labels_path=args.cls_labels,
         seed=args.seed,
         multihost=args.multihost,
