@@ -58,6 +58,10 @@ class ModelConfig:
     # Scan the transformer depth (stacked per-layer params): ~12x smaller
     # compiled program; checkpoint layout differs from the unrolled trunk.
     scan_blocks: bool = False
+    # Hybrid stem only: compute the 7x7/2 stem conv as space-to-depth +
+    # folded 4x4/1 conv (exact same params/outputs; MLPerf-ResNet trick for
+    # low-channel stride-2 convs on the MXU). See models/hybrid.py.
+    s2d_stem: bool = False
     # dtype of the exported head-mean probabilities (the largest HBM stream
     # in training). "bfloat16" halves that traffic at ~0.4% relative error
     # on the L1 regularizer inputs; "float32" matches the reference.

@@ -104,6 +104,9 @@ class ACR(nn.Module):
     # Sequence parallelism: (batch_axis, seq_axis) mesh-axis names for the
     # trunk's token-axis sharding constraints (ModelConfig.seq_axis).
     token_sharding: Optional[Tuple[Optional[str], Optional[str]]] = None
+    # Hybrid stem: compute the 7x7/2 stem conv via the exact space-to-depth
+    # fold (see ``models/hybrid.py::WSConvS2D``). Same params and outputs.
+    s2d_stem: bool = False
 
     @property
     def spec(self) -> BackboneSpec:
@@ -119,7 +122,8 @@ class ACR(nn.Module):
     def setup(self):
         spec = self.spec
         backbone = (
-            functools.partial(ResNetV2Stem, dtype=self.dtype)
+            functools.partial(ResNetV2Stem, dtype=self.dtype,
+                              s2d_stem=self.s2d_stem)
             if spec.hybrid else None
         )
         self.trunk = VisionTransformer(

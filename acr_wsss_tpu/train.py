@@ -53,6 +53,7 @@ def build_model(cfg: ModelConfig) -> ACR:
         taps_override=cfg.hooks,
         token_sharding=(("data", cfg.seq_axis)
                         if getattr(cfg, "seq_axis", None) else None),
+        s2d_stem=cfg.s2d_stem,
     )
 
 
@@ -474,6 +475,9 @@ def parse_args(argv=None) -> TrainConfig:
                         help="ZeRO-3 placement: shard large params + "
                              "optimizer state over the data axis "
                              "(parallel.fsdp_shardings)")
+    parser.add_argument("--s2d_stem", action="store_true",
+                        help="hybrid stem: space-to-depth fold of the "
+                             "7x7/2 stem conv (exact; MXU-friendlier)")
     args = parser.parse_args(argv)
     mesh_axes, mesh_shape = zip(*(
         (a.strip(), int(s)) for a, s in
@@ -481,7 +485,8 @@ def parse_args(argv=None) -> TrainConfig:
     return TrainConfig(
         model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl,
                           seq_axis="seq" if "seq" in mesh_axes else None,
-                          scan_blocks="pipe" in mesh_axes),
+                          scan_blocks="pipe" in mesh_axes,
+                          s2d_stem=args.s2d_stem),
         mesh_shape=tuple(mesh_shape),
         mesh_axes=tuple(mesh_axes),
         pp_microbatches=args.microbatches,

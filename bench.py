@@ -206,7 +206,8 @@ def main() -> None:
 
     cfg = TrainConfig(
         model=ModelConfig(backbone="vitb_hybrid", attn_impl=attn_impl,
-                          probs_dtype=probs_dtype),
+                          probs_dtype=probs_dtype,
+                          s2d_stem=os.environ.get("BENCH_S2D", "0") == "1"),
         crop_size=crop,
         batch_size=batch,
     )

@@ -168,3 +168,41 @@ def test_bkg_token_forward_flex_2_parity(torch_input):
     assert out["tokens"].shape == (1, n, 768)
     np.testing.assert_allclose(np.asarray(out["tokens"]),
                                tok_t.numpy(), atol=2e-4)
+
+
+def test_s2d_stem_fold_exact():
+    """WSConvS2D (space-to-depth folded stem conv) == WSConv(7,7,/2,'SAME')
+    on the same params — the fold is a pure reindexing of the standardized
+    kernel, so fp32 outputs must agree to reassociation tolerance, and the
+    param trees must be byte-compatible (models/hybrid.py::WSConvS2D)."""
+    from acr_wsss_tpu.models.hybrid import ResNetV2Stem, WSConvS2D
+    from acr_wsss_tpu.models.layers import WSConv
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 32, 48, 3)).astype(np.float32))
+
+    ref = WSConv(16, 7, strides=2, dtype=jnp.float32)
+    fold = WSConvS2D(16, dtype=jnp.float32)
+    params = ref.init(jax.random.key(3), x)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(fold.init(jax.random.key(0), x))
+
+    y_ref = ref.apply(params, x)
+    y_fold = fold.apply(params, x)
+    assert y_fold.shape == y_ref.shape == (2, 16, 24, 16)
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_ref),
+                               atol=5e-5)
+
+    # And through the full hybrid stem (stage taps identical too).
+    stem = ResNetV2Stem(layers=(1, 1, 1), channels=(128, 256, 512),
+                        stem_chs=32, dtype=jnp.float32)
+    stem_s2d = ResNetV2Stem(layers=(1, 1, 1), channels=(128, 256, 512),
+                            stem_chs=32, dtype=jnp.float32, s2d_stem=True)
+    sp = stem.init(jax.random.key(5), x)
+    out_a, taps_a = stem.apply(sp, x)
+    out_b, taps_b = stem_s2d.apply(sp, x)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
+                               atol=5e-5)
+    for k in taps_a:
+        np.testing.assert_allclose(np.asarray(taps_b[k]),
+                                   np.asarray(taps_a[k]), atol=5e-5)
