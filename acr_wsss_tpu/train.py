@@ -478,6 +478,11 @@ def parse_args(argv=None) -> TrainConfig:
     parser.add_argument("--s2d_stem", action="store_true",
                         help="hybrid stem: space-to-depth fold of the "
                              "7x7/2 stem conv (exact; MXU-friendlier)")
+    parser.add_argument("--clip_grad_norm", default=0.0, type=float,
+                        help="global-norm gradient clipping (0 = off, the "
+                             "reference behavior; useful for from-scratch "
+                             "runs where the alpha-weighted consistency "
+                             "gradients explode without ImageNet init)")
     args = parser.parse_args(argv)
     mesh_axes, mesh_shape = zip(*(
         (a.strip(), int(s)) for a, s in
@@ -510,6 +515,7 @@ def parse_args(argv=None) -> TrainConfig:
         aug_pad=args.aug_pad,
         cache_decoded=args.cache_decoded,
         fsdp=args.fsdp,
+        clip_grad_norm=args.clip_grad_norm,
     )
 
 

@@ -130,6 +130,9 @@ def main(argv=None):
                          "at step 0)")
     ap.add_argument("--backbone", default="vit_small")
     ap.add_argument("--attn_impl", default="xla")
+    ap.add_argument("--clip", type=float, default=0.0,
+                    help="global-norm gradient clipping (from-scratch "
+                         "ViT-B explodes at the defaults without it)")
     ap.add_argument("--getam_func", default="cam_grad",
                     help="cam_grad measures best from scratch (the "
                          "reference recipe's 'grad' assumes pretrained "
@@ -168,6 +171,7 @@ def main(argv=None):
         "--max_epoches", str(args.epochs),
         "--getam_func", args.getam_func,
         "--start_layer", str(args.start_layer),
+        "--clip_grad_norm", str(args.clip),
         "--logfile", os.path.join(work, "evallog.txt"),
     ]
     thresholds = [i / 50.0 for i in range(50)]
