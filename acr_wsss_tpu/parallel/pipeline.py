@@ -224,8 +224,11 @@ def make_train_step_pp(model, cfg, grid: Tuple[int, int], mesh: Mesh,
         # requires carry-in/carry-out type equality under shard_map's
         # varying-axis tracking.
         zero = jnp.zeros((), jnp.float32)
+        _pvary = (  # lax.pvary deprecated in favor of pcast (jax >= 0.9)
+            (lambda v, axes: jax.lax.pcast(v, axes, to="varying"))
+            if hasattr(jax.lax, "pcast") else jax.lax.pvary)
         carry0 = jax.tree.map(
-            lambda v: jax.lax.pvary(v, (data_axis, pipe_axis)),
+            lambda v: _pvary(v, (data_axis, pipe_axis)),
             (jnp.zeros((2 * mb, n_tokens, dim), tok.dtype),
              zero, zero, zero, zero))
         ticks = jnp.arange(M + n_stages - 1)

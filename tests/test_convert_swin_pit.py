@@ -24,6 +24,16 @@ from acr_wsss_tpu.models.swin import SwinTransformer
 from tests.conftest import requires_reference
 
 
+def _name_seed(name: str) -> int:
+    """Deterministic per-variant seed. Python's str hash() is salted per
+    process, so hash(name)-seeded weights differed between runs and the
+    tight converter-parity tolerances flaked ~once per few hundred draws
+    (observed: cspresnext50, 2/2000 logits at 2.25e-3 vs atol 2e-3)."""
+    import zlib
+
+    return zlib.crc32(name.encode())
+
+
 def _load_vendored(module_name: str):
     import sys
 
@@ -1750,9 +1760,9 @@ def test_generic_effnet_converted_forward_parity(name, size):
     import torch
 
     ef = _load_vendored("efficientnet")
-    torch.manual_seed(hash(name) % 2**31)
+    torch.manual_seed(_name_seed(name))
     ref = getattr(ef, name)(pretrained=False)
-    rng = np.random.default_rng(hash(name) % 2**31)
+    rng = np.random.default_rng(_name_seed(name))
     _advance_bn_and_eval(ref, rng, size=size)
 
     from acr_wsss_tpu.models.convert import (
@@ -1795,9 +1805,9 @@ def test_timm_resnet_converted_forward_parity(name, size):
 
     mod = _load_vendored("gluon_resnet" if name.startswith("gluon")
                          else "resnet")
-    torch.manual_seed(hash(name) % 2**31)
+    torch.manual_seed(_name_seed(name))
     ref = getattr(mod, name)(pretrained=False)
-    rng = np.random.default_rng(hash(name) % 2**31)
+    rng = np.random.default_rng(_name_seed(name))
     _advance_bn_and_eval(ref, rng, size=size)
 
     from acr_wsss_tpu.models.convert import timm_resnet_state_dict_to_flax
@@ -1829,7 +1839,7 @@ def test_nfnet_sweep_converted_forward_parity(name):
     import torch
 
     nf = _load_vendored("nfnet")
-    torch.manual_seed(hash(name) % 2**31)
+    torch.manual_seed(_name_seed(name))
     ref = getattr(nf, name)(pretrained=False)
     ref.eval()
 
@@ -1847,7 +1857,7 @@ def test_nfnet_sweep_converted_forward_parity(name):
     expected = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
     assert_trees_match(expected, variables)
 
-    rng = np.random.default_rng(hash(name) % 2**31)
+    rng = np.random.default_rng(_name_seed(name))
     img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
     with torch.no_grad():
         logits_t = ref(torch.from_numpy(img)).numpy()
@@ -2204,9 +2214,9 @@ def test_mbv3_builder_converted_forward_parity(name, size):
 
     mod = _load_vendored("hardcorenas" if name.startswith("hardcorenas")
                          else "mobilenetv3")
-    torch.manual_seed(hash(name) % 2**31)
+    torch.manual_seed(_name_seed(name))
     ref = getattr(mod, name)(pretrained=False)
-    rng = np.random.default_rng(hash(name) % 2**31)
+    rng = np.random.default_rng(_name_seed(name))
     _advance_bn_and_eval(ref, rng, size=size)
 
     from acr_wsss_tpu.models.convert import (
@@ -2239,9 +2249,9 @@ def test_cspnet_variants_converted_forward_parity(name):
     import torch
 
     csp = _load_vendored("cspnet")
-    torch.manual_seed(hash(name) % 2**31)
+    torch.manual_seed(_name_seed(name))
     ref = getattr(csp, name)(pretrained=False)
-    rng = np.random.default_rng(hash(name) % 2**31)
+    rng = np.random.default_rng(_name_seed(name))
     _advance_bn_and_eval(ref, rng)
 
     from acr_wsss_tpu.models.convert import cspnet_state_dict_to_flax
@@ -2304,9 +2314,9 @@ def test_mixnet_converted_forward_parity(name, size):
     import torch
 
     ef = _load_vendored("efficientnet")
-    torch.manual_seed(hash(name) % 2**31)
+    torch.manual_seed(_name_seed(name))
     ref = getattr(ef, name)(pretrained=False)
-    rng = np.random.default_rng(hash(name) % 2**31)
+    rng = np.random.default_rng(_name_seed(name))
     _advance_bn_and_eval(ref, rng, size=size)
 
     from acr_wsss_tpu.models.convert import (
@@ -2405,9 +2415,9 @@ def test_condconv_converted_forward_parity(name, size):
     import torch
 
     ef = _load_vendored("efficientnet")
-    torch.manual_seed(hash(name) % 2**31)
+    torch.manual_seed(_name_seed(name))
     ref = getattr(ef, name)(pretrained=False)
-    rng = np.random.default_rng(hash(name) % 2**31)
+    rng = np.random.default_rng(_name_seed(name))
     _advance_bn_and_eval(ref, rng, size=size)
 
     from acr_wsss_tpu.models.convert import (
