@@ -413,5 +413,10 @@ def parse_args(argv=None) -> InferConfig:
     )
 
 
+def main(argv=None) -> None:
+    """Console entry point (``acr-infer-cam``): parse flags, run inference."""
+    run(parse_args(argv))
+
+
 if __name__ == "__main__":
-    run(parse_args())
+    main()

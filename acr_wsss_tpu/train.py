@@ -35,6 +35,7 @@ from acr_wsss_tpu.models.acr import ACR
 from acr_wsss_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicated
 from acr_wsss_tpu.utils.checkpoint import CheckpointManager, save_params_npz
 from acr_wsss_tpu.utils.meters import AverageMeter, Timer
+from acr_wsss_tpu.utils.preemption import PreemptionGuard
 from acr_wsss_tpu.utils.schedule import make_optimizer
 
 
@@ -343,6 +344,8 @@ def train(cfg: TrainConfig) -> TrainState:
     # in-flight batch bounds the pipeline depth and keeps step errors
     # surfacing promptly.)
     batch = shard_batch(next(train_iter), b_sharding)
+    preempted = False
+    guard = _mesh_ctx.enter_context(PreemptionGuard())
     for step in range(start_step, total_micro_steps + 1):
         # Profiler window (SURVEY.md §5.1 rebuild note): capture a trace of
         # steady-state steps when requested.
@@ -381,7 +384,23 @@ def train(cfg: TrainConfig) -> TrainState:
                 {"params": state.params, "opt_state": state.opt_state,
                  "step": step}))
 
+        if guard.fired:
+            # Preemption-safe stop (utils/preemption.py): persist the full
+            # resumable state at this step boundary and exit cleanly. The
+            # restore block above continues from step+1 on the next launch.
+            ckpt.save(step, jax.device_get(
+                {"params": state.params, "opt_state": state.opt_state,
+                 "step": step}))
+            preempted = True
+            if host_id == 0:
+                print(f"preempted: checkpoint saved at step {step}; "
+                      "relaunch to resume", flush=True)
+            break
+
     _mesh_ctx.close()
+    if preempted:
+        ckpt.close()
+        return state
     if host_id == 0:
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
         save_params_npz(
@@ -519,5 +538,10 @@ def parse_args(argv=None) -> TrainConfig:
     )
 
 
+def main(argv=None) -> None:
+    """Console entry point (``acr-train``): parse flags, run training."""
+    train(parse_args(argv))
+
+
 if __name__ == "__main__":
-    train(parse_args())
+    main()

@@ -63,5 +63,10 @@ def parse_args(argv=None) -> TrainConfig:
     )
 
 
+def main(argv=None) -> None:
+    """Console entry point (``acr-train-coco``)."""
+    train(parse_args(argv))
+
+
 if __name__ == "__main__":
-    train(parse_args())
+    main()

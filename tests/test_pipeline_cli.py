@@ -169,3 +169,25 @@ def test_strict_bool_flags():
     for mod, flag in ((ic, "--aff"), (sv, "--aff"), (ev, "--curve")):
         src = open(mod.__file__).read()
         assert "type=bool" not in src, (mod.__name__, flag)
+
+
+def test_console_entry_points_resolve():
+    """Every [project.scripts] entry in pyproject.toml names an importable
+    module attribute that is callable — a pip-installed console script
+    crashes at launch otherwise (setuptools generates
+    ``from mod import attr; attr()``)."""
+    import importlib
+    import pathlib
+    import re
+
+    pyproject = pathlib.Path(__file__).resolve().parents[1] / "pyproject.toml"
+    text = pyproject.read_text()
+    block = re.search(r"\[project\.scripts\](.*?)(\n\[|\Z)", text, re.S)
+    assert block, "no [project.scripts] table found"
+    entries = re.findall(r'^\s*([\w-]+)\s*=\s*"([\w.]+):(\w+)"',
+                         block.group(1), re.M)
+    assert len(entries) >= 6, entries
+    for script, module, attr in entries:
+        mod = importlib.import_module(module)
+        fn = getattr(mod, attr, None)
+        assert callable(fn), f"{script} -> {module}:{attr} is not callable"

@@ -274,3 +274,58 @@ def test_fused_consistency_two_prefix_backbone(tiny_voc, tmp_path):
     for k in outs[False]:
         np.testing.assert_allclose(outs[True][k], outs[False][k],
                                    rtol=2e-5, atol=1e-6, err_msg=k)
+
+
+def test_train_loop_preemption_saves_and_resumes(tiny_voc, tmp_path,
+                                                 monkeypatch):
+    """SIGTERM mid-training (a cloud-TPU preemption notice) stops at the
+    next step boundary with a full resumable checkpoint — params, opt
+    state, step — and WITHOUT the final ``_last.npz`` (training is not
+    done); a relaunch resumes and finishes (``utils/preemption.py``;
+    SURVEY.md §5.3 — the reference hangs its per-step dist.barrier() and
+    loses optimizer state on a kill)."""
+    import signal
+
+    from acr_wsss_tpu import train as train_mod
+    from acr_wsss_tpu.train import train
+
+    root, names = tiny_voc
+    cfg = _cfg(root, tmp_path)
+
+    # deliver SIGTERM from inside the first loop iteration (meter.add runs
+    # every step in the main thread) — deterministic, no timing race
+    orig_add = train_mod.AverageMeter.add
+    state_holder = {"fired": False}
+
+    def add_then_sigterm(self, d):
+        orig_add(self, d)
+        if not state_holder["fired"]:
+            state_holder["fired"] = True
+            signal.raise_signal(signal.SIGTERM)
+
+    monkeypatch.setattr(train_mod.AverageMeter, "add", add_then_sigterm)
+    disposition_before = signal.getsignal(signal.SIGTERM)
+    state = train(cfg)
+    monkeypatch.setattr(train_mod.AverageMeter, "add", orig_add)
+
+    # exactly one optimizer apply ran, then the loop stopped cleanly
+    assert int(state.step) == 1
+    # not marked finished: no final npz export
+    assert not os.path.exists(os.path.join(cfg.checkpoint_dir,
+                                           "tinytrain_last.npz"))
+    # but a step-0 orbax checkpoint exists for resume
+    from acr_wsss_tpu.utils.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(os.path.join(cfg.checkpoint_dir,
+                                          cfg.session_name))
+    assert ckpt.latest_step() == 0
+    ckpt.close()
+
+    # the guard restored the previous signal disposition on exit
+    assert signal.getsignal(signal.SIGTERM) == disposition_before
+
+    # relaunch: resumes from the preemption checkpoint and completes
+    state2 = train(cfg)
+    assert int(state2.step) == 4
+    assert os.path.exists(os.path.join(cfg.checkpoint_dir,
+                                       "tinytrain_last.npz"))
