@@ -65,6 +65,7 @@ def getam_cams(
     start_index: int = 1,
     use_aff: bool = False,
     class_ids: Optional[jnp.ndarray] = None,
+    offsets_start: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Compute GETAM CAMs in one traced program.
 
@@ -84,6 +85,14 @@ def getam_cams(
         loops present classes only, ``infer_cam.py:171-172``) cuts the
         dominant per-class backward cost proportionally; pad unused slots
         with any valid id and discard on host.
+      offsets_start: absolute layer index of ``offsets[0]``. GETAM consumes
+        gradients only for layers >= start_layer, so the unrolled trunk can
+        take TRUNCATED offsets covering just the top layers
+        (``offsets_shape[0] == total_depth - offsets_start``) — the vjp
+        then never builds a backward through the lower blocks or the stem,
+        which dominates inference cost at the recipe's start_layer=10.
+        Requires ``offsets_start <= start_layer``; the forward must still
+        export FULL-depth probs (affinity sums every layer).
 
     Returns:
       cams: (K, B, N - start_index) per-slot CLS-row CAMs (ReLU'd).
@@ -112,12 +121,20 @@ def getam_cams(
     logits_zero = jnp.zeros_like(logits)
     probs_zero = jnp.zeros_like(probs_full)
 
+    if not 0 <= offsets_start <= start_layer:
+        raise ValueError(
+            f"offsets_start ({offsets_start}) must lie in [0, start_layer="
+            f"{start_layer}]: layers below start_layer contribute no "
+            "gradients, layers above it must all be tapped")
+
     def cam_for_class(c: jnp.ndarray) -> jnp.ndarray:
         one_hot = jax.nn.one_hot(c, num_classes, dtype=logits.dtype)
         cot_logits = logits_zero + one_hot[None, :]
         (grads,) = vjp_fn((cot_logits, probs_zero) + extras_zero)
-        per_layer = getam_reduce(grads, probs_full, func)   # (L, B, N, N)
-        cams = jnp.sum(per_layer[start_layer:], axis=0)     # (B, N, N)
+        # grads is (L - offsets_start, ...): align the probs slice, then
+        # sum from start_layer in ABSOLUTE layer numbering.
+        per_layer = getam_reduce(grads, probs_full[offsets_start:], func)
+        cams = jnp.sum(per_layer[start_layer - offsets_start:], axis=0)
         cls_cam = jax.nn.relu(cams[:, 0, start_index:])     # (B, N - start_index)
         if use_aff:
             # (B, N-s, N-s) @ (B, N-s) per batch item

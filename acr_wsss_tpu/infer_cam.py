@@ -53,12 +53,20 @@ def build_infer_fn(model: ACR, params, crop_size: int, start_layer: int,
     grid = crop_size // 16
     n_tokens = grid * grid + spec.num_prefix_tokens
 
+    # Truncated gradient taps (getam_cams offsets_start): with the unrolled
+    # trunk, offsets cover only layers >= start_layer, so the K-slot
+    # class backward traverses just the top (depth - start_layer) blocks
+    # instead of the whole trunk + stem. The scan trunk differentiates
+    # every scan iteration regardless, so it keeps full-depth taps.
+    off_start = (0 if getattr(model, "scan_blocks", False)
+                 else min(start_layer, spec.depth))
+
     @jax.jit
     def infer_with_params(p, x, class_ids):
         # params are a jit ARGUMENT, not a closure: closed-over arrays get
         # baked into the serialized program as giant constants (hundreds
         # of MB of HLO), which breaks AOT/remote compilation paths.
-        offsets_shape = (spec.depth, x.shape[0], spec.num_heads,
+        offsets_shape = (spec.depth - off_start, x.shape[0], spec.num_heads,
                          n_tokens, n_tokens)
         # One trunk evaluation serves GETAM (via vjp) AND the per-patch
         # CAM head (reference runs forward_cam separately,
@@ -68,7 +76,7 @@ def build_infer_fn(model: ACR, params, crop_size: int, start_layer: int,
             forward, offsets_shape, num_classes=num_classes,
             start_layer=start_layer, func=getam_func,
             start_index=spec.num_prefix_tokens, use_aff=use_aff,
-            class_ids=class_ids)
+            class_ids=class_ids, offsets_start=off_start)
         return {
             "cams": cams,                    # (K, B, grid*grid)
             "patch_cam": patch_cam,          # (B, grid*grid, C)

@@ -405,8 +405,20 @@ class VisionTransformer(nn.Module):
                 block_cls = nn.remat(
                     Block, static_argnums=(3,),
                     policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+            # GETAM gradient taps: ``probs_offsets`` may cover only the TOP
+            # layers (leading dim < depth, aligned to the end). Blocks below
+            # the first tapped layer then take the no-offset path, so a vjp
+            # w.r.t. the offsets never builds a backward through them (or
+            # the stem) — the reference equivalent backprops per class
+            # through the WHOLE network and discards the lower gradients
+            # (``infer_cam.py:171-188`` + ``DPT/ACR.py:208`` summing only
+            # blocks[start_layer:]).
+            off_start = (self.depth - probs_offsets.shape[0]
+                         if probs_offsets is not None else 0)
             for i in range(self.depth):
-                offset_i = None if probs_offsets is None else probs_offsets[i]
+                offset_i = (probs_offsets[i - off_start]
+                            if probs_offsets is not None and i >= off_start
+                            else None)
                 # all-positional call: nn.remat's static_argnums addresses
                 # positional args only (export is arg 2 after x, offset)
                 x, probs_i = block_cls(
@@ -452,6 +464,12 @@ class VisionTransformer(nn.Module):
     def _scan_trunk(self, x, probs_offsets, export):
         """lax.scan over one Block with stacked per-layer params."""
         B, N, _ = x.shape
+        if probs_offsets is not None and probs_offsets.shape[0] != self.depth:
+            raise ValueError(
+                f"scan trunk needs full-depth probs_offsets (got "
+                f"{probs_offsets.shape[0]} layers, depth {self.depth}): "
+                "lax.scan differentiates every iteration, so truncated "
+                "gradient taps only help the unrolled trunk")
         if export == "none":
             export = "mean"  # scan ys need a fixed structure; cheap anyway
 

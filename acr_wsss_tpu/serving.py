@@ -76,15 +76,21 @@ def export_infer(
     n_tokens = grid * grid + spec.num_prefix_tokens
     k = class_slots or num_classes
 
+    # Truncated gradient taps for the unrolled trunk (see infer_cam
+    # build_infer_fn): the exported program's per-class backward covers
+    # only layers >= start_layer.
+    off_start = (0 if getattr(model, "scan_blocks", False)
+                 else min(start_layer, spec.depth))
+
     def infer(p, x, class_ids):
-        offsets_shape = (spec.depth, x.shape[0], spec.num_heads,
+        offsets_shape = (spec.depth - off_start, x.shape[0], spec.num_heads,
                          n_tokens, n_tokens)
         forward = make_forward_for_getam(model, p, x, with_patch_cam=True)
         cams, logits, _, patch_cam = getam_cams(
             forward, offsets_shape, num_classes=num_classes,
             start_layer=start_layer, func=getam_func,
             start_index=spec.num_prefix_tokens, use_aff=use_aff,
-            class_ids=class_ids)
+            class_ids=class_ids, offsets_start=off_start)
         return {"cams": cams, "patch_cam": patch_cam, "logits": logits}
 
     x_spec = jax.ShapeDtypeStruct((batch, crop_size, crop_size, 3),

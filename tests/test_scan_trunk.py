@@ -147,3 +147,55 @@ def test_scan_supports_pair_consistency(rng):
                                    rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out_s["logits"]),
                                np.asarray(out_u["logits"]), atol=5e-5)
+
+
+@pytest.mark.parametrize("func", ["grad", "cam_grad_s"])
+def test_truncated_offsets_match_full(func, rng):
+    """Truncated gradient taps (getam_cams offsets_start, unrolled trunk)
+    produce BIT-IDENTICAL CAMs/logits/affinity to full-depth taps: GETAM
+    consumes gradients only for layers >= start_layer, so tapping only
+    those layers just skips dead backward work (the big CAM-inference
+    speedup; layers below run the no-offset attention path)."""
+    from acr_wsss_tpu.getam import getam_cams, make_forward_for_getam
+
+    m = ACR(backbone_name="vitb", dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    params = m.init(jax.random.key(0), x)
+    spec = m.spec
+    n = (64 // 16) ** 2 + 1
+    start_layer = 10
+    fwd = make_forward_for_getam(m, params, x)
+
+    full_shape = (spec.depth, 1, spec.num_heads, n, n)
+    cams_f, logits_f, aff_f = getam_cams(
+        fwd, full_shape, num_classes=20, start_layer=start_layer,
+        func=func, use_aff=True)
+
+    trunc_shape = (spec.depth - start_layer, 1, spec.num_heads, n, n)
+    cams_t, logits_t, aff_t = getam_cams(
+        fwd, trunc_shape, num_classes=20, start_layer=start_layer,
+        func=func, use_aff=True, offsets_start=start_layer)
+
+    np.testing.assert_allclose(np.asarray(logits_t), np.asarray(logits_f),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aff_t), np.asarray(aff_f),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cams_t), np.asarray(cams_f),
+                               atol=1e-6)
+
+
+def test_truncated_offsets_rejected_by_scan_trunk(rng):
+    """The scan trunk differentiates every iteration, so it refuses
+    truncated taps with a clear error instead of misaligning layers."""
+    from acr_wsss_tpu.getam import getam_cams, make_forward_for_getam
+
+    m = ACR(backbone_name="vitb", dtype=jnp.float32, scan_blocks=True)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    params = m.init(jax.random.key(0), x)
+    spec = m.spec
+    n = (32 // 16) ** 2 + 1
+    shape = (spec.depth - 10, 1, spec.num_heads, n, n)
+    with pytest.raises(ValueError, match="full-depth probs_offsets"):
+        getam_cams(make_forward_for_getam(m, params, x), shape,
+                   num_classes=20, start_layer=10, func="grad",
+                   offsets_start=10)
