@@ -302,15 +302,21 @@ def run(cfg: InferConfig) -> None:
         if cfg.weights.endswith(".npz") else load_params_npz(cfg.weights + ".npz")
     if "params" not in params:
         params = {"params": params}
-    # Adapt checkpoint layout: training saves the unrolled trunk; the
-    # scanned trunk (default here: ~12x smaller compiled program) stacks
-    # the per-layer blocks.
+    # Adapt checkpoint layout either way: standard training saves the
+    # unrolled trunk, pipe-mesh training saves the scanned (stacked)
+    # layout; inference defaults to the unrolled trunk (truncated GETAM
+    # gradient taps, ~2.2x faster) with --scan opting into the ~12x
+    # smaller compiled program.
     trunk_keys = params["params"].get("trunk", {})
     if cfg.model.scan_blocks and any(k.startswith("blocks_") and k != "blocks_scan"
                                      for k in trunk_keys):
         from acr_wsss_tpu.models.convert import unrolled_to_scanned
 
         params = unrolled_to_scanned(params)
+    elif not cfg.model.scan_blocks and "blocks_scan" in trunk_keys:
+        from acr_wsss_tpu.models.convert import scanned_to_unrolled
+
+        params = scanned_to_unrolled(params)
 
     infer_fns = {
         scale: build_infer_fn(
@@ -397,12 +403,18 @@ def parse_args(argv=None) -> InferConfig:
                         help="images per compiled pass (overlaps host-side "
                              "loading with the device pass; outputs "
                              "identical to one-at-a-time)")
+    parser.add_argument("--scan", action="store_true",
+                        help="use the scanned trunk: ~12x smaller compiled "
+                             "program, but the GETAM backward then covers "
+                             "every layer (~2.2x slower per image than the "
+                             "default unrolled trunk, whose gradient taps "
+                             "truncate at --start_layer)")
     parser.add_argument("--no_scan", action="store_true",
-                        help="use the unrolled trunk (larger compile)")
+                        help="deprecated: the unrolled trunk is the default")
     args = parser.parse_args(argv)
     return InferConfig(
         model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl,
-                          scan_blocks=not args.no_scan),
+                          scan_blocks=args.scan),
         weights=args.weights,
         crop_size=args.crop_size,
         start_layer=args.start_layer,
@@ -423,6 +435,9 @@ def parse_args(argv=None) -> InferConfig:
 
 def main(argv=None) -> None:
     """Console entry point (``acr-infer-cam``): parse flags, run inference."""
+    from acr_wsss_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     run(parse_args(argv))
 
 

@@ -1024,6 +1024,28 @@ def unrolled_to_scanned(params: Dict) -> Dict:
     return params
 
 
+def scanned_to_unrolled(params: Dict) -> Dict:
+    """Inverse of :func:`unrolled_to_scanned`: slice the stacked scan layout
+    (trunk/blocks_scan/block/... leading layer dim) back into per-layer
+    trunk/blocks_i subtrees — lets the unrolled trunk (the fast CAM
+    inference path; truncated GETAM gradient taps) load checkpoints saved
+    by scan-trunk runs (pipe-mesh training)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.tree.map(lambda x: x, params)  # shallow copy of structure
+    trunk = params["params"]["trunk"]
+    if "blocks_scan" not in trunk:
+        return params
+    stacked = trunk.pop("blocks_scan")["block"]
+    depth = jax.tree.leaves(stacked)[0].shape[0]
+    for i in range(depth):
+        trunk[f"blocks_{i}"] = jax.tree.map(lambda x, i=i: jnp.asarray(x[i]),
+                                            stacked)
+    return params
+
+
 def main(argv=None) -> None:
     """CLI: convert a reference torch checkpoint (.pth state dict) to the
     flax .npz interchange format.

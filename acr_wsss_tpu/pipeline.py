@@ -120,6 +120,11 @@ def parse_args(argv=None):
     parser.add_argument("--infer_list", default=None,
                         help="default: voc12/train_id.txt (VOC) or the "
                              "image-dir listing (COCO)")
+    parser.add_argument("--infer_scan", action="store_true",
+                        help="infer stage: scanned trunk (~12x smaller "
+                             "compiled program) instead of the default "
+                             "unrolled trunk with start_layer-truncated "
+                             "GETAM gradient taps (~2.2x faster/image)")
     parser.add_argument("--start_layer", default=10, type=int)
     parser.add_argument("--getam_func", default="grad",
                         choices=["grad", "grad_s", "cam_grad", "cam_grad_s"])
@@ -134,6 +139,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None) -> None:
+    from acr_wsss_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = parse_args(argv)
     stages = tuple(s.strip() for s in args.stages.split(",") if s.strip())
     coco = args.dataset == "coco"
@@ -183,7 +191,8 @@ def main(argv=None) -> None:
     )
     infer_cfg = InferConfig(
         model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl,
-                          num_classes=num_classes, scan_blocks=True),
+                          num_classes=num_classes,
+                          scan_blocks=args.infer_scan),
         dataset=args.dataset,
         weights=os.path.join(args.weight_dir, f"{args.session_name}_last.npz"),
         crop_size=args.crop_size,

@@ -116,6 +116,9 @@ def load_exported(path: str) -> "jax.export.Exported":
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
+    from acr_wsss_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     parser.add_argument("--weights", required=True, help="npz param file")
     parser.add_argument("--backbone", default="vitb_hybrid")

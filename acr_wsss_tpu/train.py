@@ -540,6 +540,9 @@ def parse_args(argv=None) -> TrainConfig:
 
 def main(argv=None) -> None:
     """Console entry point (``acr-train``): parse flags, run training."""
+    from acr_wsss_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     train(parse_args(argv))
 
 

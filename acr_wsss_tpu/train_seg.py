@@ -80,6 +80,9 @@ def load_seg_batch(source, pseudo_dir: str, names, crop_size: int,
 
 
 def main(argv=None):
+    from acr_wsss_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--IMpath", required=True)
     parser.add_argument("--pseudo_dir", required=True,

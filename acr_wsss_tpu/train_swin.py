@@ -101,6 +101,9 @@ def create_swin_train_state(cfg: TrainConfig, max_step: int, rng,
 
 
 def main(argv=None):
+    from acr_wsss_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from acr_wsss_tpu.data import voc as voc_data
     from acr_wsss_tpu.parallel import (
         batch_sharding, make_data_mesh_for_batch, param_shardings,

@@ -199,3 +199,35 @@ def test_truncated_offsets_rejected_by_scan_trunk(rng):
         getam_cams(make_forward_for_getam(m, params, x), shape,
                    num_classes=20, start_layer=10, func="grad",
                    offsets_start=10)
+
+
+def test_scanned_to_unrolled_roundtrip(rng):
+    """Layout converters invert each other, so the unrolled infer default
+    can load pipe-mesh (scanned) checkpoints and vice versa."""
+    from acr_wsss_tpu.models.convert import (scanned_to_unrolled,
+                                             unrolled_to_scanned)
+
+    m = ACR(backbone_name="vitb", dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 32, 3))
+    p = m.init(jax.random.key(1), x)
+    rt = scanned_to_unrolled(unrolled_to_scanned(p))
+    flat_a = jax.tree_util.tree_flatten_with_path(p)
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_flatten_with_path(rt)[0]}
+    for k, v in flat_a[0]:
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(flat_b[jax.tree_util.keystr(k)]),
+                                      err_msg=jax.tree_util.keystr(k))
+
+
+def test_persistent_compile_cache_helper(tmp_path, monkeypatch):
+    """CLI compile-cache helper: honors the env dir and the opt-out."""
+    from acr_wsss_tpu.utils.compile_cache import enable_persistent_cache
+
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "cc"))
+    assert enable_persistent_cache() == str(tmp_path / "cc")
+    assert (tmp_path / "cc").is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+
+    monkeypatch.setenv("ACR_NO_COMPILE_CACHE", "1")
+    assert enable_persistent_cache() is None
