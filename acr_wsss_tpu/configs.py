@@ -212,6 +212,12 @@ class InferConfig:
     # host-side loading/dispatch with the device pass. 1 = reference-style
     # one-image-at-a-time.
     batch_images: int = 1
+    # PAMR refinement iterations (0 = off, the reference behavior — it
+    # imports PAMR but never invokes it, ``infer_cam.py:14``). When on,
+    # each TTA view's CAM is refined at crop resolution by the crop's
+    # pixel-adaptive affinities (``ops/pamr.py``) before TTA summation.
+    pamr_iters: int = 0
+    pamr_dilations: Sequence[int] = (1, 2, 4, 8, 12, 24)
 
 
 @dataclasses.dataclass(frozen=True)

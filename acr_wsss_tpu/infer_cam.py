@@ -101,8 +101,14 @@ def process_image(
     flip_tta: bool = True,
     scales: Sequence[float] = (1.0,),
     infer_fns_by_scale: Optional[Dict[float, Any]] = None,
+    pamr_fn: Optional[Any] = None,
 ) -> Tuple[Dict[int, np.ndarray], Dict[int, np.ndarray], np.ndarray]:
     """Returns (getam cam_dict, patch cam_dict, original RGB image).
+
+    ``pamr_fn`` (``ops.pamr.pamr_jit``) optionally refines each view's CAM
+    with pixel-adaptive affinities of the crop at crop resolution — a
+    capability the reference imports but never invokes
+    (``infer_cam.py:14``, SURVEY.md §2.5); opt-in here via ``--pamr``.
 
     Multi-scale TTA (reference ``infer_cam.py:145-146`` scale hook /
     ``DPT/DPT.py:400-417``): each scale runs through its own fixed-shape
@@ -150,6 +156,13 @@ def process_image(
         cams = out["cams"].reshape(num_classes, -1, grid, grid).copy()
         patch = out["patch_cam"].transpose(0, 2, 1).reshape(
             -1, num_classes, grid, grid).copy()
+        if pamr_fn is not None:
+            # guidance = the normalized crop views; pamr upsamples the
+            # grid-res CAM to crop res internally (align_corners=True)
+            x_views = jnp.asarray(np.stack(views).transpose(0, 3, 1, 2))
+            refined = jax.device_get(
+                pamr_fn(x_views, jnp.asarray(cams.transpose(1, 0, 2, 3))))
+            cams = np.ascontiguousarray(refined.transpose(1, 0, 2, 3))
         if flip_tta:
             cams[:, 1] = cams[:, 1, :, ::-1]
             patch[1] = patch[1, :, :, ::-1]
@@ -179,6 +192,7 @@ def process_images_batched(
     flip_tta: bool = True,
     scales: Sequence[float] = (1.0,),
     infer_fns_by_scale: Optional[Dict[float, Any]] = None,
+    pamr_fn: Optional[Any] = None,
 ):
     """Batched :func:`process_image`: V images per compiled pass.
 
@@ -232,6 +246,11 @@ def process_images_batched(
         cams = out["cams"].reshape(num_classes, nB, grid, grid)
         patch = out["patch_cam"].transpose(0, 2, 1).reshape(
             nB, num_classes, grid, grid)
+        if pamr_fn is not None:
+            x_views = jnp.asarray(np.stack(views).transpose(0, 3, 1, 2))
+            refined = jax.device_get(
+                pamr_fn(x_views, jnp.asarray(cams.transpose(1, 0, 2, 3))))
+            cams = np.ascontiguousarray(refined.transpose(1, 0, 2, 3))
         for v in range(V):
             cam_v = cams[:, v]
             patch_v = patch[v]
@@ -326,6 +345,12 @@ def run(cfg: InferConfig) -> None:
         for scale in cfg.scales
     }
     infer_fn = infer_fns[cfg.scales[0]]
+    pamr_fn = None
+    if getattr(cfg, "pamr_iters", 0):
+        from acr_wsss_tpu.ops.pamr import pamr_jit
+
+        # one jit fn serves every scale (recompiles per input shape)
+        pamr_fn = pamr_jit(cfg.pamr_iters, tuple(cfg.pamr_dilations))
 
     if getattr(cfg, "dataset", "voc12") == "coco":
         from acr_wsss_tpu.data import coco as coco_data
@@ -357,13 +382,15 @@ def run(cfg: InferConfig) -> None:
             results = [process_image(
                 infer_fn, os.path.join(cfg.image_dir, f"{group[0]}.jpg"),
                 labels[group[0]], cfg.crop_size, cfg.flip_tta,
-                scales=cfg.scales, infer_fns_by_scale=infer_fns)]
+                scales=cfg.scales, infer_fns_by_scale=infer_fns,
+                pamr_fn=pamr_fn)]
         else:
             results = process_images_batched(
                 infer_fn,
                 [os.path.join(cfg.image_dir, f"{n}.jpg") for n in padded],
                 [labels[n] for n in padded], cfg.crop_size, cfg.flip_tta,
-                scales=cfg.scales, infer_fns_by_scale=infer_fns)
+                scales=cfg.scales, infer_fns_by_scale=infer_fns,
+                pamr_fn=pamr_fn)
         for name, (cam_dict, patch_dict, rgb) in zip(group, results):
             if cfg.out_cam:
                 np.save(os.path.join(cfg.out_cam, f"{name}.npy"), cam_dict)  # type: ignore[arg-type]
@@ -403,6 +430,12 @@ def parse_args(argv=None) -> InferConfig:
                         help="images per compiled pass (overlaps host-side "
                              "loading with the device pass; outputs "
                              "identical to one-at-a-time)")
+    parser.add_argument("--pamr", default=0, type=int, metavar="ITERS",
+                        help="PAMR refinement iterations (0 = off, the "
+                             "reference behavior; it imports PAMR but "
+                             "never calls it). 10 is the usual setting.")
+    parser.add_argument("--pamr_dilations", default="1,2,4,8,12,24",
+                        help="comma-separated PAMR dilation list")
     parser.add_argument("--scan", action="store_true",
                         help="use the scanned trunk: ~12x smaller compiled "
                              "program, but the GETAM backward then covers "
@@ -430,6 +463,9 @@ def parse_args(argv=None) -> InferConfig:
         cls_labels_path=args.cls_labels,
         class_slots=args.class_slots,
         batch_images=args.batch_images,
+        pamr_iters=args.pamr,
+        pamr_dilations=tuple(
+            int(d) for d in args.pamr_dilations.split(",") if d.strip()),
     )
 
 

@@ -32,6 +32,12 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
 
     import jax
 
+    # TPU-only: XLA:CPU persists AOT machine code keyed loosely enough that
+    # reloading on a host with different CPU features warns about possible
+    # SIGILL; CPU compiles are also fast enough not to need a cache.
+    if jax.default_backend() == "cpu":
+        return None
+
     jax.config.update("jax_compilation_cache_dir", path)
     # cache anything that took a real compile; trivial programs stay out
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -39,3 +39,40 @@ def test_pamr_preserves_uniform_mask(rng):
     mask = np.full((1, 2, 12, 12), 0.5, np.float32)
     out = np.asarray(pamr(jnp.asarray(x), jnp.asarray(mask), num_iter=2))
     np.testing.assert_allclose(out, 0.5, atol=1e-5)
+
+
+def test_infer_pipeline_pamr_option(tmp_path, rng):
+    """--pamr wiring: process_image with a pamr_fn returns crop-resolution
+    refined CAMs in the same dict format, and iters=0 (the default / the
+    reference behavior) is exactly the unrefined path."""
+    from PIL import Image
+
+    from acr_wsss_tpu.infer_cam import process_image
+    from acr_wsss_tpu.ops.pamr import pamr_jit
+
+    crop, grid, C = 32, 2, 3
+    img = rng.integers(0, 255, size=(40, 48, 3)).astype(np.uint8)
+    path = tmp_path / "im.jpg"
+    Image.fromarray(img).save(path)
+    label = np.array([1.0, 0.0, 1.0], np.float32)
+
+    cams_fixed = rng.uniform(size=(C, 2, grid * grid)).astype(np.float32)
+
+    def stub_infer(batch, class_ids=None):
+        B = batch.shape[0]
+        return {
+            "cams": jnp.asarray(cams_fixed.transpose(0, 1, 2).reshape(C, B, -1)),
+            "patch_cam": jnp.zeros((B, grid * grid, C), jnp.float32),
+            "logits": jnp.zeros((B, C), jnp.float32),
+        }
+
+    base, _, _ = process_image(stub_infer, str(path), label, crop)
+    refined, _, _ = process_image(stub_infer, str(path), label, crop,
+                                  pamr_fn=pamr_jit(3, (1, 2)))
+
+    assert sorted(base) == sorted(refined) == [0, 2]
+    for c in base:
+        assert refined[c].shape == base[c].shape == img.shape[:2]
+        assert np.isfinite(refined[c]).all()
+    # refinement moves mass along image affinities — outputs must differ
+    assert max(float(np.abs(refined[c] - base[c]).max()) for c in base) > 1e-4

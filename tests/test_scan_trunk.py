@@ -221,13 +221,23 @@ def test_scanned_to_unrolled_roundtrip(rng):
 
 
 def test_persistent_compile_cache_helper(tmp_path, monkeypatch):
-    """CLI compile-cache helper: honors the env dir and the opt-out."""
-    from acr_wsss_tpu.utils.compile_cache import enable_persistent_cache
+    """CLI compile-cache helper: honors the env dir, the opt-out, and the
+    TPU-only scoping (tests run on the CPU backend, where persisting AOT
+    machine code across hosts is unsafe and unneeded)."""
+    import acr_wsss_tpu.utils.compile_cache as cc
 
     monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "cc"))
-    assert enable_persistent_cache() == str(tmp_path / "cc")
+    # on the CPU backend the helper declines (cache stays unset)
+    assert cc.enable_persistent_cache() is None
+
+    # on an accelerator backend it configures jax and creates the dir
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert cc.enable_persistent_cache() == str(tmp_path / "cc")
     assert (tmp_path / "cc").is_dir()
     assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
 
     monkeypatch.setenv("ACR_NO_COMPILE_CACHE", "1")
-    assert enable_persistent_cache() is None
+    assert cc.enable_persistent_cache() is None
+
+    # leave the process-global jax config as we found it for later tests
+    jax.config.update("jax_compilation_cache_dir", None)
