@@ -34,11 +34,14 @@ import jax.numpy as jnp
 GETAM_FUNCS = ("grad", "grad_s", "cam_grad", "cam_grad_s")
 
 
-def getam_reduce(grads: jnp.ndarray, probs: jnp.ndarray, func: str) -> jnp.ndarray:
+def getam_reduce(grads: jnp.ndarray, probs: Optional[jnp.ndarray],
+                 func: str) -> jnp.ndarray:
     """Per-layer head reduction.
 
     Args:
-      grads, probs: (L, B, H, N, N) fp32.
+      grads: (L, B, H, N, N) fp32.
+      probs: (L, B, H, N, N) fp32; only read by the ``cam_grad*`` variants
+        (may be None for ``grad``/``grad_s``).
     Returns:
       (L, B, N, N) per-layer CAM contributions.
     """
@@ -114,7 +117,18 @@ def getam_cams(
     # refinement also works for 2-prefix backbones (deit_distilled) — the
     # reference's fixed [1:, 1:] slice would shape-mismatch its own
     # (N-2)-token CAM there (latent crash; it never ships that combo).
-    probs_mean = jnp.mean(probs_full, axis=2)              # (L, B, N, N)
+    # probs_full may arrive per-head (L, B, H, N, N) or already head-mean
+    # (L, B, N, N): the 'grad'/'grad_s' variants never read per-head probs,
+    # so their forward can export 'mean' — 12x (num_heads) less exported
+    # probability traffic. cam_grad variants require per-head probs.
+    per_head_probs = probs_full.ndim == 5
+    if not per_head_probs and func in ("cam_grad", "cam_grad_s"):
+        raise ValueError(
+            f"getam func {func!r} multiplies per-head probs into the "
+            "gradient; run the forward with export='full' (got head-mean "
+            "probs)")
+    probs_mean = (jnp.mean(probs_full, axis=2) if per_head_probs
+                  else probs_full)                         # (L, B, N, N)
     patch_aff = jnp.sum(
         probs_mean[:, :, start_index:, start_index:], axis=0)
 
@@ -133,7 +147,10 @@ def getam_cams(
         (grads,) = vjp_fn((cot_logits, probs_zero) + extras_zero)
         # grads is (L - offsets_start, ...): align the probs slice, then
         # sum from start_layer in ABSOLUTE layer numbering.
-        per_layer = getam_reduce(grads, probs_full[offsets_start:], func)
+        per_layer = getam_reduce(
+            grads,
+            probs_full[offsets_start:] if per_head_probs else None,
+            func)
         cams = jnp.sum(per_layer[start_layer - offsets_start:], axis=0)
         cls_cam = jax.nn.relu(cams[:, 0, start_index:])     # (B, N - start_index)
         if use_aff:
@@ -169,8 +186,8 @@ def make_forward_for_getam(model, params, x, export: str = "full",
         out = model.apply(
             params, x, probs_offsets=offsets, export=export, method=method,
         )
-        probs = out["probs"]            # (B, L, H, N, N)
-        probs = jnp.transpose(probs, (1, 0, 2, 3, 4))
+        probs = out["probs"]            # (B, L, H, N, N) or (B, L, N, N)
+        probs = jnp.moveaxis(probs, 1, 0)  # layer-major
         if with_patch_cam:
             return out["logits"], probs, out["patch_cam"]
         return out["logits"], probs

@@ -71,7 +71,13 @@ def build_infer_fn(model: ACR, params, crop_size: int, start_layer: int,
         # One trunk evaluation serves GETAM (via vjp) AND the per-patch
         # CAM head (reference runs forward_cam separately,
         # infer_cam.py:155, on top of the per-class backwards).
-        forward = make_forward_for_getam(model, p, x, with_patch_cam=True)
+        # 'grad'/'grad_s' never read per-head probs — export head-mean
+        # (num_heads x less exported probability traffic); cam_grad
+        # variants multiply per-head probs into the gradient.
+        export = ("full" if getam_func in ("cam_grad", "cam_grad_s")
+                  else "mean")
+        forward = make_forward_for_getam(model, p, x, export=export,
+                                         with_patch_cam=True)
         cams, logits, _, patch_cam = getam_cams(
             forward, offsets_shape, num_classes=num_classes,
             start_layer=start_layer, func=getam_func,

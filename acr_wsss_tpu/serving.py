@@ -85,7 +85,10 @@ def export_infer(
     def infer(p, x, class_ids):
         offsets_shape = (spec.depth - off_start, x.shape[0], spec.num_heads,
                          n_tokens, n_tokens)
-        forward = make_forward_for_getam(model, p, x, with_patch_cam=True)
+        export = ("full" if getam_func in ("cam_grad", "cam_grad_s")
+                  else "mean")
+        forward = make_forward_for_getam(model, p, x, export=export,
+                                         with_patch_cam=True)
         cams, logits, _, patch_cam = getam_cams(
             forward, offsets_shape, num_classes=num_classes,
             start_layer=start_layer, func=getam_func,

@@ -241,3 +241,31 @@ def test_persistent_compile_cache_helper(tmp_path, monkeypatch):
 
     # leave the process-global jax config as we found it for later tests
     jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_mean_export_matches_full_for_grad_funcs(rng):
+    """'grad'/'grad_s' never read per-head probs, so a head-mean-export
+    forward produces identical CAMs/affinity to the full-export one (and
+    cam_grad* on head-mean probs is rejected with a clear error)."""
+    from acr_wsss_tpu.getam import getam_cams, make_forward_for_getam
+
+    m = ACR(backbone_name="vitb", dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    params = m.init(jax.random.key(2), x)
+    spec = m.spec
+    n = (64 // 16) ** 2 + 1
+    shape = (spec.depth, 1, spec.num_heads, n, n)
+
+    for func in ("grad", "grad_s"):
+        outs = {}
+        for export in ("full", "mean"):
+            fwd = make_forward_for_getam(m, params, x, export=export)
+            outs[export] = getam_cams(fwd, shape, num_classes=20,
+                                      start_layer=9, func=func, use_aff=True)
+        for a, b in zip(outs["full"], outs["mean"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, err_msg=func)
+
+    with pytest.raises(ValueError, match="per-head probs"):
+        getam_cams(make_forward_for_getam(m, params, x, export="mean"),
+                   shape, num_classes=20, start_layer=9, func="cam_grad")
