@@ -95,6 +95,9 @@ def main(argv=None):
     parser.add_argument("--crop_size", default=384, type=int)
     parser.add_argument("--session_name", default="acr_seg")
     parser.add_argument("--weight_dir", default="weight")
+    parser.add_argument("--save_every", default=5000, type=int,
+                        help="periodic npz snapshot cadence in steps "
+                             "(reference saves every 5000)")
     parser.add_argument("--val_list", default=None,
                         help="run evaluate.seg_validation on these names "
                              "after training (myTool.py:1826-1895)")
@@ -129,25 +132,37 @@ def main(argv=None):
         return shard_batch(load_seg_batch(_Src, args.pseudo_dir, batch_names,
                                           args.crop_size, rng), b_sh)
 
-    # Double-buffered feeding (see train.py): enqueue batch N+1's H2D before
-    # the float() sync on step N so host and device overlap.
-    batch = _next_batch(0)
-    for step in range(max_step + 1):
-        state, parts = step_fn(state, batch)
-        if step < max_step:
-            batch = _next_batch(step + 1)
-        meter.add({"loss": float(parts["loss"])})
-        if step % 50 == 0:
-            timer.update_progress(max(step, 1) / max_step)
-            print(f"Iter:{step:5d}/{max_step}",
-                  "Loss:%.4f" % meter.pop("loss"), flush=True)
-
     from acr_wsss_tpu.utils.checkpoint import save_params_npz
+    from acr_wsss_tpu.utils.preemption import PreemptionGuard
 
     os.makedirs(args.weight_dir, exist_ok=True)
     ckpt_path = os.path.join(args.weight_dir, f"{args.session_name}_last.npz")
+
+    # Double-buffered feeding (see train.py): enqueue batch N+1's H2D before
+    # the float() sync on step N so host and device overlap.
+    batch = _next_batch(0)
+    preempted = False
+    with PreemptionGuard() as guard:
+        for step in range(max_step + 1):
+            state, parts = step_fn(state, batch)
+            if step < max_step:
+                batch = _next_batch(step + 1)
+            meter.add({"loss": float(parts["loss"])})
+            if step % 50 == 0:
+                timer.update_progress(max(step, 1) / max_step)
+                print(f"Iter:{step:5d}/{max_step}",
+                      "Loss:%.4f" % meter.pop("loss"), flush=True)
+            if step and args.save_every and step % args.save_every == 0:
+                save_params_npz(ckpt_path, jax.device_get(state.params))
+                print(f"model saved (step {step})", flush=True)
+            if guard.fired:
+                preempted = True
+                break
+
     save_params_npz(ckpt_path, jax.device_get(state.params))
-    print("model saved!", flush=True)
+    print("model saved%s!" % (" (preempted)" if preempted else ""), flush=True)
+    if preempted:
+        return None
 
     if args.val_list and args.gt_dir:
         from acr_wsss_tpu import evaluate

@@ -13,6 +13,8 @@ blocks are skipped, where the mirrored partition straddles windows.
 from __future__ import annotations
 
 import argparse
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -132,6 +134,11 @@ def main(argv=None):
                         help="static pad square for --device_aug rasters")
     parser.add_argument("--cache_decoded", action="store_true",
                         help="cache decoded uint8 rasters in RAM")
+    parser.add_argument("--weight_dir", default="weight")
+    parser.add_argument("--save_every", default=5000, type=int,
+                        help="periodic npz snapshot cadence in steps "
+                             "(reference train_acr.py:189-196 saves every "
+                             "5000)")
     args = parser.parse_args(argv)
 
     cfg = TrainConfig(
@@ -161,19 +168,37 @@ def main(argv=None):
                                 aug_pad=args.aug_pad)
     meter, timer = AverageMeter("loss"), Timer("Session started: ")
     b_sh = batch_sharding(mesh)
+    from acr_wsss_tpu.utils.checkpoint import save_params_npz
+    from acr_wsss_tpu.utils.preemption import PreemptionGuard
+
+    os.makedirs(args.weight_dir, exist_ok=True)
+    ckpt_path = os.path.join(args.weight_dir, f"{cfg.session_name}_last.npz")
+
+    def save(tag=""):
+        save_params_npz(ckpt_path, jax.device_get(state.params))
+        print(f"model saved{tag}: {ckpt_path}", flush=True)
+
     # Double-buffered feeding (see train.py): enqueue batch N+1's H2D before
     # the float() sync on step N so host and device overlap.
     batch = shard_batch(next(it), b_sh)
-    for step in range(max_step + 1):
-        state, parts = step_fn(state, batch)
-        if step < max_step:
-            batch = shard_batch(next(it), b_sh)
-        meter.add({"loss": float(parts["loss"])})
-        if step % 50 == 0:
-            timer.update_progress(max(step, 1) / max_step)
-            print(f"Iter:{step:5d}/{max_step}",
-                  "Loss:%.4f" % meter.pop("loss"),
-                  "Fin:%s" % timer.str_est_finish(), flush=True)
+    with PreemptionGuard() as guard:
+        for step in range(max_step + 1):
+            state, parts = step_fn(state, batch)
+            if step < max_step:
+                batch = shard_batch(next(it), b_sh)
+            meter.add({"loss": float(parts["loss"])})
+            if step % 50 == 0:
+                timer.update_progress(max(step, 1) / max_step)
+                print(f"Iter:{step:5d}/{max_step}",
+                      "Loss:%.4f" % meter.pop("loss"),
+                      "Fin:%s" % timer.str_est_finish(), flush=True)
+            if step and args.save_every and step % args.save_every == 0:
+                save(f" (step {step})")
+            if guard.fired:
+                save(f" (preempted at step {step})")
+                return state
+    save()
+    return state
 
 
 if __name__ == "__main__":
