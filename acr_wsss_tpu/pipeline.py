@@ -125,6 +125,9 @@ def parse_args(argv=None):
                              "compiled program) instead of the default "
                              "unrolled trunk with start_layer-truncated "
                              "GETAM gradient taps (~2.2x faster/image)")
+    parser.add_argument("--pamr", default=0, type=int, metavar="ITERS",
+                        help="PAMR CAM refinement iterations in the infer "
+                             "stage (0 = off, the reference behavior)")
     parser.add_argument("--start_layer", default=10, type=int)
     parser.add_argument("--getam_func", default="grad",
                         choices=["grad", "grad_s", "cam_grad", "cam_grad_s"])
@@ -204,6 +207,7 @@ def main(argv=None) -> None:
         image_dir=args.IMpath,
         infer_list=infer_list,
         cls_labels_path=labels_path,
+        pamr_iters=args.pamr,
     )
     eval_cfg = EvalConfig(
         predict_dir=args.out_cam,

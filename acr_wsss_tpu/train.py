@@ -384,7 +384,22 @@ def train(cfg: TrainConfig) -> TrainState:
                 {"params": state.params, "opt_state": state.opt_state,
                  "step": step}))
 
-        if guard.fired:
+        # Preemption check. Multi-host: the signal may reach only some
+        # processes, and diverging on a per-process flag would desync the
+        # SPMD program (one host breaks, the rest hang at their next
+        # collective) — so the flag is AGREED via an allgather at a
+        # deterministic cadence (every log_every steps; a preemption
+        # notice allows ~30s, far more than 50 steps).
+        fired = guard.fired
+        if num_hosts > 1:
+            if step % cfg.log_every == 0:
+                from jax.experimental import multihost_utils
+
+                fired = bool(np.any(multihost_utils.process_allgather(
+                    np.asarray([guard.fired]))))
+            else:
+                fired = False
+        if fired:
             # Preemption-safe stop (utils/preemption.py): persist the full
             # resumable state at this step boundary and exit cleanly. The
             # restore block above continues from step+1 on the next launch.
