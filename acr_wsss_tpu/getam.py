@@ -121,6 +121,13 @@ def getam_cams(
     # (L, B, N, N): the 'grad'/'grad_s' variants never read per-head probs,
     # so their forward can export 'mean' — 12x (num_heads) less exported
     # probability traffic. cam_grad variants require per-head probs.
+    if probs_full.shape[0] - offsets_start != L:
+        raise ValueError(
+            f"offsets cover {L} layers starting at absolute layer "
+            f"{offsets_start}, but the forward exports "
+            f"{probs_full.shape[0]} layers — offsets_shape[0] must equal "
+            "total_depth - offsets_start (the trunk aligns truncated "
+            "offsets to the LAST layers)")
     per_head_probs = probs_full.ndim == 5
     if not per_head_probs and func in ("cam_grad", "cam_grad_s"):
         raise ValueError(
@@ -197,6 +204,26 @@ def make_forward_for_getam(model, params, x, export: str = "full",
 
 def offsets_shape_for(model_spec, batch: int, num_tokens: int) -> Tuple[int, ...]:
     return (model_spec.depth, batch, model_spec.num_heads, num_tokens, num_tokens)
+
+
+def tap_config(model, start_layer: int, func: str) -> Tuple[int, str]:
+    """The two inference tap policies, shared by ``infer_cam.build_infer_fn``
+    and ``serving.export_infer`` so the exported artifact can never
+    desynchronize from the live path:
+
+    * ``off_start`` — with the unrolled trunk, gradient taps cover only
+      layers >= start_layer (the K-slot class backward then traverses just
+      the top blocks; GETAM discards lower gradients anyway). The scan
+      trunk differentiates every iteration, so it keeps full-depth taps.
+    * ``export`` — 'grad'/'grad_s' never read per-head probs (head-mean
+      suffices for the affinity sum: num_heads x less export traffic);
+      cam_grad variants multiply per-head probs into the gradient.
+    """
+    spec = model.spec
+    off_start = (0 if getattr(model, "scan_blocks", False)
+                 else min(start_layer, spec.depth))
+    export = "full" if func in ("cam_grad", "cam_grad_s") else "mean"
+    return off_start, export
 
 
 def grad_cam(features: jnp.ndarray,

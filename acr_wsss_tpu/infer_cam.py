@@ -33,7 +33,7 @@ from PIL import Image
 from acr_wsss_tpu.configs import (InferConfig, ModelConfig, VOC_CLASSES,
                                   parse_bool)
 from acr_wsss_tpu.data import transforms, voc as voc_data
-from acr_wsss_tpu.getam import getam_cams, make_forward_for_getam
+from acr_wsss_tpu.getam import getam_cams, make_forward_for_getam, tap_config
 from acr_wsss_tpu.models.acr import ACR
 from acr_wsss_tpu.ops import imops
 from acr_wsss_tpu.utils.checkpoint import load_params_npz
@@ -53,13 +53,9 @@ def build_infer_fn(model: ACR, params, crop_size: int, start_layer: int,
     grid = crop_size // 16
     n_tokens = grid * grid + spec.num_prefix_tokens
 
-    # Truncated gradient taps (getam_cams offsets_start): with the unrolled
-    # trunk, offsets cover only layers >= start_layer, so the K-slot
-    # class backward traverses just the top (depth - start_layer) blocks
-    # instead of the whole trunk + stem. The scan trunk differentiates
-    # every scan iteration regardless, so it keeps full-depth taps.
-    off_start = (0 if getattr(model, "scan_blocks", False)
-                 else min(start_layer, spec.depth))
+    # Truncated gradient taps + func-aware probs export — the policy is
+    # shared with serving.export_infer via getam.tap_config.
+    off_start, export = tap_config(model, start_layer, getam_func)
 
     @jax.jit
     def infer_with_params(p, x, class_ids):
@@ -71,11 +67,6 @@ def build_infer_fn(model: ACR, params, crop_size: int, start_layer: int,
         # One trunk evaluation serves GETAM (via vjp) AND the per-patch
         # CAM head (reference runs forward_cam separately,
         # infer_cam.py:155, on top of the per-class backwards).
-        # 'grad'/'grad_s' never read per-head probs — export head-mean
-        # (num_heads x less exported probability traffic); cam_grad
-        # variants multiply per-head probs into the gradient.
-        export = ("full" if getam_func in ("cam_grad", "cam_grad_s")
-                  else "mean")
         forward = make_forward_for_getam(model, p, x, export=export,
                                          with_patch_cam=True)
         cams, logits, _, patch_cam = getam_cams(
@@ -163,9 +154,11 @@ def process_image(
         patch = out["patch_cam"].transpose(0, 2, 1).reshape(
             -1, num_classes, grid, grid).copy()
         if pamr_fn is not None:
-            # guidance = the normalized crop views; pamr upsamples the
-            # grid-res CAM to crop res internally (align_corners=True)
-            x_views = jnp.asarray(np.stack(views).transpose(0, 3, 1, 2))
+            # guidance = the normalized crop views, reusing the device
+            # array already uploaded for the infer pass (NHWC -> NCHW on
+            # device; no second H2D copy); pamr upsamples the grid-res
+            # CAM to crop res internally (align_corners=True)
+            x_views = jnp.transpose(batch, (0, 3, 1, 2))
             refined = jax.device_get(
                 pamr_fn(x_views, jnp.asarray(cams.transpose(1, 0, 2, 3))))
             cams = np.ascontiguousarray(refined.transpose(1, 0, 2, 3))
@@ -253,7 +246,9 @@ def process_images_batched(
         patch = out["patch_cam"].transpose(0, 2, 1).reshape(
             nB, num_classes, grid, grid)
         if pamr_fn is not None:
-            x_views = jnp.asarray(np.stack(views).transpose(0, 3, 1, 2))
+            # reuse the already-uploaded device batch as guidance (NHWC ->
+            # NCHW on device; no second H2D copy)
+            x_views = jnp.transpose(batch, (0, 3, 1, 2))
             refined = jax.device_get(
                 pamr_fn(x_views, jnp.asarray(cams.transpose(1, 0, 2, 3))))
             cams = np.ascontiguousarray(refined.transpose(1, 0, 2, 3))

@@ -27,8 +27,9 @@ single-file artifact for deployments that prefer it.
 
 Export targets the XLA attention path: the Pallas kernels are
 TPU-specific custom calls, while ``platforms=('tpu','cpu')`` keeps one
-artifact loadable on both (the GETAM path needs full per-head prob
-exports anyway, which is the XLA path's job — ``ops/attention.py``).
+artifact loadable on both (``ops/attention.py``; the tap/export policy —
+truncated gradient taps, func-aware probs export — is shared with the
+live path via ``getam.tap_config``).
 
 Round-trip parity (export → serialize → deserialize → call == the live
 ``build_infer_fn``) is tested in ``tests/test_serving.py``.
@@ -44,7 +45,8 @@ import jax
 import jax.numpy as jnp
 
 from acr_wsss_tpu.configs import ModelConfig, parse_bool as _parse_bool
-from acr_wsss_tpu.getam import GETAM_FUNCS, getam_cams, make_forward_for_getam
+from acr_wsss_tpu.getam import (GETAM_FUNCS, getam_cams,
+                                make_forward_for_getam, tap_config)
 
 
 def export_infer(
@@ -76,17 +78,14 @@ def export_infer(
     n_tokens = grid * grid + spec.num_prefix_tokens
     k = class_slots or num_classes
 
-    # Truncated gradient taps for the unrolled trunk (see infer_cam
-    # build_infer_fn): the exported program's per-class backward covers
-    # only layers >= start_layer.
-    off_start = (0 if getattr(model, "scan_blocks", False)
-                 else min(start_layer, spec.depth))
+    # Tap policy (truncated gradient taps + func-aware probs export) is
+    # SHARED with infer_cam.build_infer_fn via getam.tap_config, so the
+    # exported artifact cannot desynchronize from the live path.
+    off_start, export = tap_config(model, start_layer, getam_func)
 
     def infer(p, x, class_ids):
         offsets_shape = (spec.depth - off_start, x.shape[0], spec.num_heads,
                          n_tokens, n_tokens)
-        export = ("full" if getam_func in ("cam_grad", "cam_grad_s")
-                  else "mean")
         forward = make_forward_for_getam(model, p, x, export=export,
                                          with_patch_cam=True)
         cams, logits, _, patch_cam = getam_cams(

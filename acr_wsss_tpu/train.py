@@ -231,6 +231,12 @@ def train(cfg: TrainConfig) -> TrainState:
         from acr_wsss_tpu.parallel import distributed
 
         distributed.initialize()
+    # AFTER distributed init: enabling the persistent compile cache probes
+    # the backend (jax.default_backend()), and jax.distributed.initialize
+    # must run before anything initializes XLA.
+    from acr_wsss_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     mesh = _fit_data_mesh(cfg)
     host_id, num_hosts = jax.process_index(), jax.process_count()
 
@@ -346,73 +352,76 @@ def train(cfg: TrainConfig) -> TrainState:
     batch = shard_batch(next(train_iter), b_sharding)
     preempted = False
     guard = _mesh_ctx.enter_context(PreemptionGuard())
-    for step in range(start_step, total_micro_steps + 1):
-        # Profiler window (SURVEY.md §5.1 rebuild note): capture a trace of
-        # steady-state steps when requested.
-        if cfg.profile_dir and step == 10:
-            jax.profiler.start_trace(cfg.profile_dir)
-        if cfg.profile_dir and step == 20:
-            jax.profiler.stop_trace()
+    try:
+        for step in range(start_step, total_micro_steps + 1):
+            # Profiler window (SURVEY.md §5.1 rebuild note): capture a trace of
+            # steady-state steps when requested.
+            if cfg.profile_dir and step == 10:
+                jax.profiler.start_trace(cfg.profile_dir)
+            if cfg.profile_dir and step == 20:
+                jax.profiler.stop_trace()
 
-        state, parts = train_step(state, batch)
-        if step < total_micro_steps:
-            batch = shard_batch(next(train_iter), b_sharding)
-        meter.add({"loss": float(parts["loss"])})
+            state, parts = train_step(state, batch)
+            if step < total_micro_steps:
+                batch = shard_batch(next(train_iter), b_sharding)
+            meter.add({"loss": float(parts["loss"])})
 
-        if step % cfg.log_every == 0 and host_id == 0:
-            timer.update_progress(max(step, 1) / total_micro_steps)
-            imps = (step + 1) * cfg.batch_size / max(timer.get_stage_elapsed(), 1e-9)
-            loss_avg = meter.pop("loss")
-            print(
-                f"Iter:{step:5d}/{total_micro_steps:5d}",
-                "Loss:%.4f" % loss_avg,
-                "imps:%.1f" % imps,
-                "Fin:%s" % timer.str_est_finish(),
-                flush=True,
-            )
-            metrics_writer.write(step, {"loss": loss_avg, "imps": imps,
-                                        **{k: float(v) for k, v in parts.items()}})
+            if step % cfg.log_every == 0 and host_id == 0:
+                timer.update_progress(max(step, 1) / total_micro_steps)
+                imps = (step + 1) * cfg.batch_size / max(timer.get_stage_elapsed(), 1e-9)
+                loss_avg = meter.pop("loss")
+                print(
+                    f"Iter:{step:5d}/{total_micro_steps:5d}",
+                    "Loss:%.4f" % loss_avg,
+                    "imps:%.1f" % imps,
+                    "Fin:%s" % timer.str_est_finish(),
+                    flush=True,
+                )
+                metrics_writer.write(step, {"loss": loss_avg, "imps": imps,
+                                            **{k: float(v) for k, v in parts.items()}})
 
-        if step and step % cfg.val_every == 0 and val_names:
-            val_loss = validate(cfg, model, state.params, eval_step,
-                                val_names, labels)
-            if host_id == 0:
-                print("val loss: %.4f" % val_loss, flush=True)
+            if step and step % cfg.val_every == 0 and val_names:
+                val_loss = validate(cfg, model, state.params, eval_step,
+                                    val_names, labels)
+                if host_id == 0:
+                    print("val loss: %.4f" % val_loss, flush=True)
 
-        if step and step % cfg.checkpoint_every == 0:
-            ckpt.save(step, jax.device_get(
-                {"params": state.params, "opt_state": state.opt_state,
-                 "step": step}))
+            if step and step % cfg.checkpoint_every == 0:
+                ckpt.save(step, jax.device_get(
+                    {"params": state.params, "opt_state": state.opt_state,
+                     "step": step}))
 
-        # Preemption check. Multi-host: the signal may reach only some
-        # processes, and diverging on a per-process flag would desync the
-        # SPMD program (one host breaks, the rest hang at their next
-        # collective) — so the flag is AGREED via an allgather at a
-        # deterministic cadence (every log_every steps; a preemption
-        # notice allows ~30s, far more than 50 steps).
-        fired = guard.fired
-        if num_hosts > 1:
-            if step % cfg.log_every == 0:
-                from jax.experimental import multihost_utils
+            # Preemption check. Multi-host: the signal may reach only some
+            # processes, and diverging on a per-process flag would desync the
+            # SPMD program (one host breaks, the rest hang at their next
+            # collective) — so the flag is AGREED via an allgather at a
+            # deterministic cadence (every log_every steps; a preemption
+            # notice allows ~30s, far more than 50 steps).
+            fired = guard.fired
+            if num_hosts > 1:
+                if step % cfg.log_every == 0:
+                    from jax.experimental import multihost_utils
 
-                fired = bool(np.any(multihost_utils.process_allgather(
-                    np.asarray([guard.fired]))))
-            else:
-                fired = False
-        if fired:
-            # Preemption-safe stop (utils/preemption.py): persist the full
-            # resumable state at this step boundary and exit cleanly. The
-            # restore block above continues from step+1 on the next launch.
-            ckpt.save(step, jax.device_get(
-                {"params": state.params, "opt_state": state.opt_state,
-                 "step": step}))
-            preempted = True
-            if host_id == 0:
-                print(f"preempted: checkpoint saved at step {step}; "
-                      "relaunch to resume", flush=True)
-            break
-
-    _mesh_ctx.close()
+                    fired = bool(np.any(multihost_utils.process_allgather(
+                        np.asarray([guard.fired]))))
+                else:
+                    fired = False
+            if fired:
+                # Preemption-safe stop (utils/preemption.py): persist the full
+                # resumable state at this step boundary and exit cleanly. The
+                # restore block above continues from step+1 on the next launch.
+                ckpt.save(step, jax.device_get(
+                    {"params": state.params, "opt_state": state.opt_state,
+                     "step": step}))
+                preempted = True
+                if host_id == 0:
+                    print(f"preempted: checkpoint saved at step {step}; "
+                          "relaunch to resume", flush=True)
+                break
+    finally:
+        # unconditional: restores signal handlers (PreemptionGuard)
+        # and the ambient-mesh context even if a step raises
+        _mesh_ctx.close()
     if preempted:
         ckpt.close()
         return state
@@ -554,10 +563,11 @@ def parse_args(argv=None) -> TrainConfig:
 
 
 def main(argv=None) -> None:
-    """Console entry point (``acr-train``): parse flags, run training."""
-    from acr_wsss_tpu.utils.compile_cache import enable_persistent_cache
+    """Console entry point (``acr-train``): parse flags, run training.
 
-    enable_persistent_cache()
+    The persistent compile cache is enabled inside :func:`train` (it must
+    come after ``jax.distributed.initialize`` under ``--multihost``).
+    """
     train(parse_args(argv))
 
 

@@ -64,10 +64,8 @@ def parse_args(argv=None) -> TrainConfig:
 
 
 def main(argv=None) -> None:
-    """Console entry point (``acr-train-coco``)."""
-    from acr_wsss_tpu.utils.compile_cache import enable_persistent_cache
-
-    enable_persistent_cache()
+    """Console entry point (``acr-train-coco``); the compile cache is
+    enabled inside train(), after any distributed initialization."""
     train(parse_args(argv))
 
 

@@ -136,12 +136,16 @@ def main(argv=None):
     from acr_wsss_tpu.utils.preemption import PreemptionGuard
 
     os.makedirs(args.weight_dir, exist_ok=True)
+    # _last.npz means "training finished"; mid-run snapshots (periodic +
+    # preemption) go to _snapshot.npz so a partial model is never
+    # mislabeled as the final artifact.
     ckpt_path = os.path.join(args.weight_dir, f"{args.session_name}_last.npz")
+    snap_path = os.path.join(args.weight_dir,
+                             f"{args.session_name}_snapshot.npz")
 
     # Double-buffered feeding (see train.py): enqueue batch N+1's H2D before
     # the float() sync on step N so host and device overlap.
     batch = _next_batch(0)
-    preempted = False
     with PreemptionGuard() as guard:
         for step in range(max_step + 1):
             state, parts = step_fn(state, batch)
@@ -153,16 +157,16 @@ def main(argv=None):
                 print(f"Iter:{step:5d}/{max_step}",
                       "Loss:%.4f" % meter.pop("loss"), flush=True)
             if step and args.save_every and step % args.save_every == 0:
-                save_params_npz(ckpt_path, jax.device_get(state.params))
-                print(f"model saved (step {step})", flush=True)
+                save_params_npz(snap_path, jax.device_get(state.params))
+                print(f"model saved (step {step}): {snap_path}", flush=True)
             if guard.fired:
-                preempted = True
-                break
+                save_params_npz(snap_path, jax.device_get(state.params))
+                print(f"model saved (preempted at step {step}): {snap_path}",
+                      flush=True)
+                return None
 
     save_params_npz(ckpt_path, jax.device_get(state.params))
-    print("model saved%s!" % (" (preempted)" if preempted else ""), flush=True)
-    if preempted:
-        return None
+    print("model saved!", flush=True)
 
     if args.val_list and args.gt_dir:
         from acr_wsss_tpu import evaluate

@@ -172,11 +172,16 @@ def main(argv=None):
     from acr_wsss_tpu.utils.preemption import PreemptionGuard
 
     os.makedirs(args.weight_dir, exist_ok=True)
-    ckpt_path = os.path.join(args.weight_dir, f"{cfg.session_name}_last.npz")
+    # _last.npz means "training finished" to downstream stages; mid-run
+    # snapshots (periodic + preemption) go to _snapshot.npz so a partial
+    # model is never mislabeled as the final artifact.
+    final_path = os.path.join(args.weight_dir, f"{cfg.session_name}_last.npz")
+    snap_path = os.path.join(args.weight_dir,
+                             f"{cfg.session_name}_snapshot.npz")
 
-    def save(tag=""):
-        save_params_npz(ckpt_path, jax.device_get(state.params))
-        print(f"model saved{tag}: {ckpt_path}", flush=True)
+    def save(path, tag=""):
+        save_params_npz(path, jax.device_get(state.params))
+        print(f"model saved{tag}: {path}", flush=True)
 
     # Double-buffered feeding (see train.py): enqueue batch N+1's H2D before
     # the float() sync on step N so host and device overlap.
@@ -193,11 +198,11 @@ def main(argv=None):
                       "Loss:%.4f" % meter.pop("loss"),
                       "Fin:%s" % timer.str_est_finish(), flush=True)
             if step and args.save_every and step % args.save_every == 0:
-                save(f" (step {step})")
+                save(snap_path, f" (step {step})")
             if guard.fired:
-                save(f" (preempted at step {step})")
+                save(snap_path, f" (preempted at step {step})")
                 return state
-    save()
+    save(final_path)
     return state
 
 

@@ -226,21 +226,26 @@ def test_persistent_compile_cache_helper(tmp_path, monkeypatch):
     machine code across hosts is unsafe and unneeded)."""
     import acr_wsss_tpu.utils.compile_cache as cc
 
-    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "cc"))
-    # on the CPU backend the helper declines (cache stays unset)
-    assert cc.enable_persistent_cache() is None
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "cc"))
+        # on the CPU backend the helper declines (cache stays unset)
+        assert cc.enable_persistent_cache() is None
 
-    # on an accelerator backend it configures jax and creates the dir
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    assert cc.enable_persistent_cache() == str(tmp_path / "cc")
-    assert (tmp_path / "cc").is_dir()
-    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+        # on an accelerator backend it configures jax and creates the dir
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert cc.enable_persistent_cache() == str(tmp_path / "cc")
+        assert (tmp_path / "cc").is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
 
-    monkeypatch.setenv("ACR_NO_COMPILE_CACHE", "1")
-    assert cc.enable_persistent_cache() is None
-
-    # leave the process-global jax config as we found it for later tests
-    jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setenv("ACR_NO_COMPILE_CACHE", "1")
+        assert cc.enable_persistent_cache() is None
+    finally:
+        # restore process-global jax config even if an assert failed
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
 
 
 def test_mean_export_matches_full_for_grad_funcs(rng):
