@@ -76,3 +76,47 @@ def test_infer_pipeline_pamr_option(tmp_path, rng):
         assert np.isfinite(refined[c]).all()
     # refinement moves mass along image affinities — outputs must differ
     assert max(float(np.abs(refined[c] - base[c]).max()) for c in base) > 1e-4
+
+
+@pytest.mark.parametrize("dilations", [(1,), (1, 2), (1, 2, 4, 8)])
+@pytest.mark.parametrize("num_iter", [1, 3])
+def test_pamr_pallas_matches_xla(dilations, num_iter, rng):
+    """The Pallas stencil kernels equal the XLA formulation bit-for-bit in
+    structure (same fp32 ops ordering is not guaranteed, so fp32-tight
+    tolerances)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from acr_wsss_tpu.ops.pamr_pallas import pamr_pallas
+
+    B, K, H, W = 2, 3, 37, 29
+    C = 5
+    x = rng.normal(size=(B, K, H, W)).astype(np.float32)
+    mask = rng.uniform(size=(B, C, 17, 11)).astype(np.float32)
+
+    ref = np.asarray(pamr(jnp.asarray(x), jnp.asarray(mask),
+                          num_iter=num_iter, dilations=dilations))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(pamr_pallas(jnp.asarray(x), jnp.asarray(mask),
+                                     num_iter=num_iter, dilations=dilations))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_pamr_pallas_tall_image(rng):
+    """H > the row tile (48) exercises the multi-row-tile grid + the
+    partial last tile; C > the channel tile would need C > 16 (covered by
+    padding logic at C=5 above and the Cp slice here)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from acr_wsss_tpu.ops.pamr_pallas import pamr_pallas
+
+    B, K, H, W = 1, 3, 97, 21
+    C = 2
+    x = rng.normal(size=(B, K, H, W)).astype(np.float32)
+    mask = rng.uniform(size=(B, C, H, W)).astype(np.float32)
+
+    ref = np.asarray(pamr(jnp.asarray(x), jnp.asarray(mask),
+                          num_iter=2, dilations=(1, 2)))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(pamr_pallas(jnp.asarray(x), jnp.asarray(mask),
+                                     num_iter=2, dilations=(1, 2)))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
