@@ -190,8 +190,12 @@ def pamr_pallas(
     TR = min(_TR, _round_up(H, 8))
     Ht = pl.cdiv(H, TR)
     rows = Ht * TR
-    TC = min(_TC, C)
-    Ct = pl.cdiv(C, TC)
+    # Balanced channel tile: ceil(C / #tiles) instead of a fixed 16, so the
+    # padded channel count Cp barely exceeds C (C=21: TC=11, Cp=22 — 1 dead
+    # channel vs 11 with TC=16). The channel axis is not a Mosaic-tiled dim
+    # (blocks are (1, TC, TR, Wp)), so any TC is legal.
+    Ct = pl.cdiv(C, _TC)
+    TC = pl.cdiv(C, Ct)
     Cp = Ct * TC
     taps_std = _taps_std(dil)
     taps_nb = _taps_neighbors(dil)
