@@ -182,6 +182,58 @@ def _bench_serving() -> None:
     }))
 
 
+def _bench_pamr() -> None:
+    """PAMR refinement kernel (``BENCH_MODE=pamr``): the Pallas stencil
+    path (``ops/pamr_pallas.py``, what ``--pamr`` runs on TPU) vs the XLA
+    formulation at the production shape (two flip-TTA views, 384^2, C=21,
+    10 iterations, dilations 1..24). Marginal device time per call =
+    (T(1+N chained calls) - T(1 call)) / N, each run ending in a forced
+    scalar readback — differencing cancels this box's ~125 ms fixed
+    tunnel dispatch/readback overhead per sync, which an on-host TPU VM
+    would not pay. Chaining (call k's output is call k+1's mask) prevents
+    overlap. ``vs_baseline`` is the XLA/pallas time ratio."""
+    import functools
+
+    import numpy as np
+
+    from acr_wsss_tpu.ops.pamr import pamr
+    from acr_wsss_tpu.ops.pamr_pallas import pamr_pallas
+
+    crop = int(os.environ.get("BENCH_CROP", "384"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    iters = int(os.environ.get("BENCH_PAMR_ITERS", "10"))
+    dil = (1, 2, 4, 8, 12, 24)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 3, crop, crop)).astype(np.float32))
+    m = jnp.asarray(rng.uniform(size=(2, 21, crop, crop)).astype(np.float32))
+
+    def marginal_ms(fn) -> float:
+        def run(n: int) -> float:
+            cur = m
+            t0 = time.perf_counter()
+            for _ in range(n):
+                cur = fn(x, cur)
+            float(jnp.sum(cur))  # force full execution + readback
+            return time.perf_counter() - t0
+
+        run(1)  # warm compile
+        return (run(1 + steps) - run(1)) / steps * 1e3
+
+    pallas_ms = marginal_ms(
+        functools.partial(pamr_pallas, num_iter=iters, dilations=dil))
+    xla_ms = marginal_ms(
+        jax.jit(functools.partial(pamr, num_iter=iters, dilations=dil)))
+    print(json.dumps({
+        "metric": "pamr_refine_ms_per_call",
+        "value": round(pallas_ms, 2),
+        "unit": "ms (marginal device time, 10-iter call)",
+        "vs_baseline": round(xla_ms / pallas_ms, 2),
+        "xla_ms_per_call": round(xla_ms, 2),
+        "shape": [2, 21, crop, crop], "iters": iters, "dilations": dil,
+    }))
+
+
 def main() -> None:
     from acr_wsss_tpu.configs import ModelConfig, TrainConfig
     from acr_wsss_tpu.train import create_train_state, make_train_step
@@ -190,6 +242,8 @@ def main() -> None:
         return _bench_infer()
     if os.environ.get("BENCH_MODE", "train") == "serving":
         return _bench_serving()
+    if os.environ.get("BENCH_MODE", "train") == "pamr":
+        return _bench_pamr()
 
     # Batch 24 is the measured single-chip sweet spot (batch 32/48
     # measure lower under remat/memory pressure, fused or not). The
