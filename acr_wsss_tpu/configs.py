@@ -218,6 +218,11 @@ class InferConfig:
     # pixel-adaptive affinities (``ops/pamr.py``) before TTA summation.
     pamr_iters: int = 0
     pamr_dilations: Sequence[int] = (1, 2, 4, 8, 12, 24)
+    # Data-parallel inference mesh size (0/1 = single device). One process
+    # drives a dp-chip ('data',) mesh: the TTA-view batch axis is sharded,
+    # params replicated, outputs identical. Replaces the reference's
+    # scale-out story (one process per GPU over manual file-list splits).
+    dp: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

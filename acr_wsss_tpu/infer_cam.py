@@ -22,6 +22,7 @@ dense-CRF variants, optional JET heatmap JPEGs.
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -41,13 +42,22 @@ from acr_wsss_tpu.utils.checkpoint import load_params_npz
 
 def build_infer_fn(model: ACR, params, crop_size: int, start_layer: int,
                    getam_func: str, use_aff: bool, num_classes: int,
-                   class_slots: int = 0):
+                   class_slots: int = 0, mesh=None):
     """jit-compiled: (2, crop, crop, 3)[, slot ids] -> dict of device arrays.
 
     ``class_slots`` > 0 backprops only that many class slots per call (the
     reference loops present classes only, ``infer_cam.py:171-172``; typical
     VOC images carry 1-3 labels, so 4-8 slots cut the dominant per-class
     backward cost vs sweeping all 20).
+
+    ``mesh`` (a 1-axis ``jax.sharding.Mesh`` named ``data``) runs the pass
+    data-parallel across chips: each image's forward + GETAM vjp is
+    independent along the batch (TTA-view) axis, so params are replicated
+    and the view batch is sharded — GSPMD inserts no cross-chip collectives
+    on the compute path. The batch size must divide by the mesh size
+    (``run`` rounds ``batch_images`` up to guarantee it). The reference
+    scales inference by launching one process per GPU over a file-list
+    split; here one process drives the whole mesh with identical outputs.
     """
     spec = model.spec
     grid = crop_size // 16
@@ -57,7 +67,17 @@ def build_infer_fn(model: ACR, params, crop_size: int, start_layer: int,
     # shared with serving.export_infer via getam.tap_config.
     off_start, export = tap_config(model, start_layer, getam_func)
 
-    @jax.jit
+    jit_kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        jit_kwargs["in_shardings"] = (
+            NamedSharding(mesh, PartitionSpec()),        # params: replicated
+            NamedSharding(mesh, PartitionSpec("data")),  # views: batch-sharded
+            NamedSharding(mesh, PartitionSpec()),        # class ids: replicated
+        )
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def infer_with_params(p, x, class_ids):
         # params are a jit ARGUMENT, not a closure: closed-over arrays get
         # baked into the serialized program as giant constants (hundreds
@@ -338,20 +358,47 @@ def run(cfg: InferConfig) -> None:
 
         params = scanned_to_unrolled(params)
 
+    # --dp N: one process drives an N-chip data-parallel mesh (the
+    # reference scales inference by one process per GPU over manual
+    # file-list splits). The TTA-view batch axis is sharded; outputs are
+    # identical to the single-device program.
+    dp = max(int(getattr(cfg, "dp", 0) or 0), 0)
+    mesh = None
+    views_per_img = 2 if cfg.flip_tta else 1
+    V = max(1, cfg.batch_images)
+    if dp > 1:
+        devices = jax.devices()
+        if dp > len(devices):
+            raise ValueError(
+                f"--dp {dp} requested but only {len(devices)} devices "
+                f"visible ({devices[0].platform})")
+        mesh = jax.sharding.Mesh(np.asarray(devices[:dp]), ("data",))
+        while (V * views_per_img) % dp:
+            V += 1
+        if V != max(1, cfg.batch_images):
+            print(f"dp={dp}: batch_images {cfg.batch_images} -> {V} so the "
+                  f"{views_per_img}-view batch divides the mesh", flush=True)
+
     infer_fns = {
         scale: build_infer_fn(
             model, params, int(cfg.crop_size * scale), cfg.start_layer,
             cfg.getam_func, cfg.use_aff, cfg.model.num_classes,
-            class_slots=cfg.class_slots)
+            class_slots=cfg.class_slots, mesh=mesh)
         for scale in cfg.scales
     }
     infer_fn = infer_fns[cfg.scales[0]]
     pamr_fn = None
     if getattr(cfg, "pamr_iters", 0):
-        from acr_wsss_tpu.ops.pamr import pamr_jit
+        if mesh is not None:
+            from acr_wsss_tpu.ops.pamr import pamr_sharded
 
-        # one jit fn serves every scale (recompiles per input shape)
-        pamr_fn = pamr_jit(cfg.pamr_iters, tuple(cfg.pamr_dilations))
+            pamr_fn = pamr_sharded(cfg.pamr_iters,
+                                   tuple(cfg.pamr_dilations), mesh)
+        else:
+            from acr_wsss_tpu.ops.pamr import pamr_jit
+
+            # one jit fn serves every scale (recompiles per input shape)
+            pamr_fn = pamr_jit(cfg.pamr_iters, tuple(cfg.pamr_dilations))
 
     if getattr(cfg, "dataset", "voc12") == "coco":
         from acr_wsss_tpu.data import coco as coco_data
@@ -373,7 +420,6 @@ def run(cfg: InferConfig) -> None:
     if cfg.out_cam:
         os.makedirs(cfg.out_cam, exist_ok=True)
     print("generating cam...", flush=True)
-    V = max(1, cfg.batch_images)
     for gi in range(0, len(names), V):
         group = names[gi:gi + V]
         # pad the final partial group (repeat the last name) so the whole
@@ -437,6 +483,11 @@ def parse_args(argv=None) -> InferConfig:
                              "never calls it). 10 is the usual setting.")
     parser.add_argument("--pamr_dilations", default="1,2,4,8,12,24",
                         help="comma-separated PAMR dilation list")
+    parser.add_argument("--dp", default=0, type=int,
+                        help="data-parallel device count (0/1 = single "
+                             "device): shard the TTA-view batch across a "
+                             "dp-chip mesh from one process; outputs are "
+                             "identical to the single-device run")
     parser.add_argument("--scan", action="store_true",
                         help="use the scanned trunk: ~12x smaller compiled "
                              "program, but the GETAM backward then covers "
@@ -464,6 +515,7 @@ def parse_args(argv=None) -> InferConfig:
         cls_labels_path=args.cls_labels,
         class_slots=args.class_slots,
         batch_images=args.batch_images,
+        dp=args.dp,
         pamr_iters=args.pamr,
         pamr_dilations=tuple(
             int(d) for d in args.pamr_dilations.split(",") if d.strip()),

@@ -129,3 +129,27 @@ def pamr_jit(num_iter: int = 1, dilations: Sequence[int] = (1,)):
         return pamr_pallas_jit(num_iter=num_iter, dilations=tuple(dilations))
     return jax.jit(functools.partial(pamr, num_iter=num_iter,
                                      dilations=tuple(dilations)))
+
+
+def pamr_sharded(num_iter: int, dilations: Sequence[int], mesh,
+                 axis: str = "data"):
+    """:func:`pamr_jit` batch-sharded over ``mesh[axis]`` via ``shard_map``.
+
+    PAMR is independent per batch element, so data parallelism is exact:
+    each device refines its shard of the (identity + flip) TTA views.
+    shard_map (rather than plain GSPMD sharding) because the TPU path is
+    Pallas kernels, which must be manually partitioned. Both inputs'
+    leading (batch) dims must be divisible by the mesh axis size.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if jax.default_backend() == "tpu":
+        from acr_wsss_tpu.ops.pamr_pallas import pamr_pallas
+
+        inner = functools.partial(pamr_pallas, num_iter=num_iter,
+                                  dilations=tuple(dilations))
+    else:
+        inner = functools.partial(pamr, num_iter=num_iter,
+                                  dilations=tuple(dilations))
+    return jax.jit(jax.shard_map(
+        inner, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(axis)))

@@ -128,6 +128,9 @@ def parse_args(argv=None):
     parser.add_argument("--pamr", default=0, type=int, metavar="ITERS",
                         help="PAMR CAM refinement iterations in the infer "
                              "stage (0 = off, the reference behavior)")
+    parser.add_argument("--infer_dp", default=0, type=int,
+                        help="infer stage: data-parallel device count "
+                             "(0/1 = single device)")
     parser.add_argument("--start_layer", default=10, type=int)
     parser.add_argument("--getam_func", default="grad",
                         choices=["grad", "grad_s", "cam_grad", "cam_grad_s"])
@@ -208,6 +211,7 @@ def main(argv=None) -> None:
         infer_list=infer_list,
         cls_labels_path=labels_path,
         pamr_iters=args.pamr,
+        dp=args.infer_dp,
     )
     eval_cfg = EvalConfig(
         predict_dir=args.out_cam,

@@ -171,3 +171,48 @@ def test_multiscale_inference_sums_scales(fixture_dir):
         assert 0.0 <= cams_ms[c].min() and cams_ms[c].max() <= 1.0 + 1e-6
     # the 1.5x scale genuinely contributes (not silently dropped)
     assert any(not np.allclose(cams_ms[c], cams_ss[c]) for c in cams_ms)
+
+
+def test_dp_mesh_inference_matches_single_device(tmp_path, rng):
+    """--dp data-parallel inference: a 4-device ('data',) mesh sharding the
+    TTA-view batch produces the same CAM artifacts as the single-device
+    program (params replicated, per-image compute independent along the
+    view axis — no cross-chip collectives on the compute path)."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from acr_wsss_tpu.infer_cam import build_infer_fn, process_images_batched
+    from acr_wsss_tpu.models.acr import ACR
+
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    model = ACR(backbone_name="vitb", dtype=jnp.float32, attn_impl="xla")
+    params = model.init(jax.random.key(1), jnp.zeros((1, 32, 32, 3)))
+    # V=2 images x 2 TTA views = batch 4 over 4 devices; class_slots
+    # exercises the replicated class-ids operand too.
+    plain = build_infer_fn(model, params, 32, start_layer=10,
+                           getam_func="grad", use_aff=True, num_classes=20,
+                           class_slots=2)
+    sharded = build_infer_fn(model, params, 32, start_layer=10,
+                             getam_func="grad", use_aff=True, num_classes=20,
+                             class_slots=2, mesh=mesh)
+
+    paths, labs = [], []
+    for i in range(2):
+        p = tmp_path / f"dp{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, size=(40, 52, 3), dtype=np.uint8)).save(p)
+        lab = np.zeros(20, np.float32)
+        lab[[i, i + 5]] = 1.0
+        paths.append(str(p))
+        labs.append(lab)
+
+    ref = process_images_batched(plain, paths, labs, 32, flip_tta=True)
+    got = process_images_batched(sharded, paths, labs, 32, flip_tta=True)
+    for (cam_r, patch_r, _), (cam_g, patch_g, _) in zip(ref, got):
+        assert sorted(cam_r) == sorted(cam_g)
+        for c in cam_r:
+            # 1e-4: GSPMD partitioning shifts fp32 fusion rounding ~1e-5,
+            # amplified by min-max normalization (same bound as the
+            # batched-vs-single test above)
+            np.testing.assert_allclose(cam_g[c], cam_r[c], atol=1e-4)
+            np.testing.assert_allclose(patch_g[c], patch_r[c], atol=1e-4)

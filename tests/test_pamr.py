@@ -120,3 +120,19 @@ def test_pamr_pallas_tall_image(rng):
         out = np.asarray(pamr_pallas(jnp.asarray(x), jnp.asarray(mask),
                                      num_iter=2, dilations=(1, 2)))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_pamr_sharded_matches_dense(rng):
+    """pamr_sharded over a 4-device ('data',) mesh == the plain jit path
+    (batch elements are independent, so data parallelism is exact)."""
+    import jax
+
+    from acr_wsss_tpu.ops.pamr import pamr_jit, pamr_sharded
+
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    x = rng.normal(size=(4, 3, 16, 24)).astype(np.float32)
+    m = rng.uniform(size=(4, 5, 16, 24)).astype(np.float32)
+    dense = pamr_jit(3, (1, 2))(x, m)
+    sharded = pamr_sharded(3, (1, 2), mesh)(x, m)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               atol=1e-6)

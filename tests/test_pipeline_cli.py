@@ -191,3 +191,40 @@ def test_console_entry_points_resolve():
         mod = importlib.import_module(module)
         fn = getattr(mod, attr, None)
         assert callable(fn), f"{script} -> {module}:{attr} is not callable"
+
+
+def test_infer_cli_dp_mesh(tiny_voc, tmp_path):
+    """``acr-infer-cam --dp 2``: the data-parallel mesh path through the
+    CLI (mesh construction, batch_images rounding, sharded PAMR) writes
+    the same artifact set as the tests above expect."""
+    import jax
+    import jax.numpy as jnp
+
+    from acr_wsss_tpu import infer_cam
+    from acr_wsss_tpu.models.acr import ACR
+    from acr_wsss_tpu.utils.checkpoint import save_params_npz
+
+    root, names = tiny_voc
+    model = ACR(backbone_name="vitb", dtype=jnp.float32, attn_impl="xla")
+    params = model.init(jax.random.key(2), jnp.zeros((1, 32, 32, 3)))
+    weights = tmp_path / "dp_w.npz"
+    save_params_npz(str(weights), params)
+
+    out_cam = tmp_path / "dp_cams"
+    infer_cam.main([
+        "--weights", str(weights),
+        "--backbone", "vitb",
+        "--attn_impl", "xla",
+        "--LISTpath", str(root / "list.txt"),
+        "--IMpath", str(root / "img"),
+        "--cls_labels", str(root / "cls_labels.npy"),
+        "--crop_size", "32",
+        "--out_cam", str(out_cam),
+        "--dp", "2",
+        "--batch_images", "2",
+        "--pamr", "1",
+    ])
+    for i, name in enumerate(names):
+        cam = np.load(out_cam / f"{name}.npy", allow_pickle=True).item()
+        assert (i % 3) in cam
+        assert cam[i % 3].shape == (48, 56)
