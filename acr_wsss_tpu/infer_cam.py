@@ -483,6 +483,13 @@ def parse_args(argv=None) -> InferConfig:
                              "never calls it). 10 is the usual setting.")
     parser.add_argument("--pamr_dilations", default="1,2,4,8,12,24",
                         help="comma-separated PAMR dilation list")
+    parser.add_argument("--scales", default="1.0",
+                        help="comma-separated multi-scale TTA factors "
+                             "(reference infer_cam.py:145-146 scale hook); "
+                             "each crop_size*scale must be a multiple of 16 "
+                             "(the patch stride), e.g. 0.5,0.75,1.0,1.25,1.5 "
+                             "at crop 384. Per-scale CAMs are upsampled to "
+                             "native size and summed before normalization.")
     parser.add_argument("--dp", default=0, type=int,
                         help="data-parallel device count (0/1 = single "
                              "device): shard the TTA-view batch across a "
@@ -497,6 +504,14 @@ def parse_args(argv=None) -> InferConfig:
     parser.add_argument("--no_scan", action="store_true",
                         help="deprecated: the unrolled trunk is the default")
     args = parser.parse_args(argv)
+    scales = tuple(float(s) for s in args.scales.split(",") if s.strip())
+    for s in scales:
+        if int(args.crop_size * s) % 16:
+            raise SystemExit(
+                f"--scales {s}: crop_size*scale = {args.crop_size * s:g} is "
+                f"not a multiple of the 16-pixel patch stride; pick scales "
+                f"that keep the token grid integral (e.g. multiples of 1/6 "
+                f"at crop 384)")
     return InferConfig(
         model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl,
                           scan_blocks=args.scan),
@@ -505,6 +520,7 @@ def parse_args(argv=None) -> InferConfig:
         start_layer=args.start_layer,
         getam_func=args.getam_func,
         use_aff=args.aff,
+        scales=scales,
         out_cam=args.out_cam,
         out_crf=args.out_crf,
         heatmap=args.heatmap,

@@ -131,6 +131,10 @@ def parse_args(argv=None):
     parser.add_argument("--infer_dp", default=0, type=int,
                         help="infer stage: data-parallel device count "
                              "(0/1 = single device)")
+    parser.add_argument("--infer_scales", default="1.0",
+                        help="infer stage: comma-separated multi-scale TTA "
+                             "factors; each crop_size*scale must be a "
+                             "multiple of 16")
     parser.add_argument("--start_layer", default=10, type=int)
     parser.add_argument("--getam_func", default="grad",
                         choices=["grad", "grad_s", "cam_grad", "cam_grad_s"])
@@ -212,6 +216,8 @@ def main(argv=None) -> None:
         cls_labels_path=labels_path,
         pamr_iters=args.pamr,
         dp=args.infer_dp,
+        scales=tuple(float(s) for s in args.infer_scales.split(",")
+                     if s.strip()),
     )
     eval_cfg = EvalConfig(
         predict_dir=args.out_cam,

@@ -223,8 +223,24 @@ def test_infer_cli_dp_mesh(tiny_voc, tmp_path):
         "--dp", "2",
         "--batch_images", "2",
         "--pamr", "1",
+        "--scales", "1.0,1.5",   # 32, 48: multi-scale TTA composed with dp
     ])
     for i, name in enumerate(names):
         cam = np.load(out_cam / f"{name}.npy", allow_pickle=True).item()
         assert (i % 3) in cam
         assert cam[i % 3].shape == (48, 56)
+
+
+def test_infer_cli_rejects_non_integral_scale():
+    """--scales validation: crop_size*scale off the 16-pixel patch stride
+    is a config error caught at parse time, not a shape error deep in jit."""
+    import pytest as _pytest
+
+    from acr_wsss_tpu.infer_cam import parse_args
+
+    cfg = parse_args(["--weights", "w.npz", "--crop_size", "384",
+                      "--scales", "0.5,1.25"])
+    assert cfg.scales == (0.5, 1.25)
+    with _pytest.raises(SystemExit):
+        parse_args(["--weights", "w.npz", "--crop_size", "384",
+                    "--scales", "1.1"])
