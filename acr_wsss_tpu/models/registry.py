@@ -43,7 +43,9 @@ def list_models(filter: str = "") -> List[str]:
     return names
 
 
-def create_model(name: str, pretrained: bool = False, **kwargs):
+def create_model(name: str, pretrained: bool = False,
+                 features_only: bool = False, out_indices=None,
+                 feature_cls: str = "list", out_map=None, **kwargs):
     """Build a registered backbone; the factory of the reference
     (``models/factory.py:create_model``).
 
@@ -55,8 +57,20 @@ def create_model(name: str, pretrained: bool = False, **kwargs):
     count; to change ``num_classes``, init the model and graft with
     ``zoo.graft_standalone(init_tree, variables)`` — shape-mismatched
     leaves (the classifier) keep their fresh initialization, exactly as
-    timm's ``load_pretrained`` classifier filtering."""
+    timm's ``load_pretrained`` classifier filtering.
+
+    With ``features_only=True`` (reference ``models/helpers.py:446-460``
+    → ``models/features.py:FeatureListNet``) the model is wrapped in a
+    :class:`~acr_wsss_tpu.models.features.FeatureExtractor` whose
+    ``apply`` returns the pyramid taps as a list (optionally selected by
+    ``out_indices``) and which exposes ``feature_info()``. Pretrained
+    variables graft unchanged — the wrapper delegates ``init``."""
     model = model_entrypoint(name)(**kwargs)
+    if features_only:
+        from acr_wsss_tpu.models.features import FeatureExtractor
+        model = FeatureExtractor(model, out_indices=out_indices, name=name,
+                                 as_dict=(feature_cls == "dict"),
+                                 out_map=out_map)
     if not pretrained:
         return model
     from acr_wsss_tpu.models import zoo
