@@ -317,10 +317,11 @@ ZOO_URLS: Dict[str, str] = {
     "rexnet_150": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-rexnet/rexnetv1_150-bd1a6aa8.pth",
     "rexnet_200": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-rexnet/rexnetv1_200-8c0b7f2d.pth",
     # Standalone timm ViT/DeiT classifiers (reference cfg tables
-    # models/vision_transformer.py:49-132, vision_transformer_hybrid.py:36-47;
-    # vit_huge_patch14_224_in21k ships via hf_hub only — no URL upstream
-    # either). ACR short names above ("vitb", "deit", ...) stay the ACR-
-    # layout converts; these vit_* names convert to ViTClassifier layout.
+    # models/vision_transformer.py:49-132, vision_transformer_hybrid.py:36-47).
+    # ACR short names above ("vitb", "deit", ...) stay the ACR-layout
+    # converts; these vit_* names convert to ViTClassifier layout.
+    # vit_huge ships via the hub scheme only (reference cfg :95-96).
+    "vit_huge_patch14_224_in21k": "hf_hub:timm/vit_huge_patch14_224_in21k",
     "vit_small_patch16_224": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-weights/vit_small_p16_224-15ec54c9.pth",
     "vit_base_patch16_224": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_base_p16_224-80ecf9dd.pth",
     "vit_base_patch16_384": "https://github.com/rwightman/pytorch-image-models/releases/download/v0.1-vitjx/jx_vit_base_p16_384-83fb41ba.pth",
@@ -485,6 +486,23 @@ def npz_path(backbone: str, directory: Optional[str] = None) -> str:
     return os.path.join(directory or zoo_dir(), f"{backbone}_in21k.npz")
 
 
+def hf_hub_to_url(hf_ref: str) -> str:
+    """Resolve the reference's hub scheme to a plain checkpoint URL.
+
+    ``hf_hub:org/name[@revision]`` (models/hub.py:63-96: ``hf_split`` +
+    ``hf_hub_url(model_id, 'pytorch_model.bin', revision)``) resolves to
+    the repo's ``pytorch_model.bin`` on the HF CDN. Same zero-egress story
+    as plain URLs: fetch elsewhere, pass ``--url file://<path>`` here.
+    """
+    model_id = hf_ref[len("hf_hub:"):]
+    parts = model_id.split("@")
+    if not (1 <= len(parts) <= 2) or not parts[0]:
+        raise ValueError(f"bad hf_hub reference {hf_ref!r}")
+    revision = parts[1] if len(parts) == 2 else "main"
+    return (f"https://huggingface.co/{parts[0]}/resolve/{revision}"
+            "/pytorch_model.bin")
+
+
 def fetch(backbone: str, directory: Optional[str] = None,
           url: Optional[str] = None, timeout: float = 600.0) -> str:
     """Download + convert a pretrained checkpoint into the npz zoo.
@@ -500,13 +518,19 @@ def fetch(backbone: str, directory: Optional[str] = None,
     url = url or ZOO_URLS.get(backbone)
     if not url:
         raise ValueError(f"no zoo URL for backbone {backbone!r}")
+    local_name = None
+    if url.startswith("hf_hub:"):
+        # Every HF repo serves the same basename (pytorch_model.bin), so
+        # cache hf downloads under a per-backbone filename.
+        url = hf_hub_to_url(url)
+        local_name = f"{backbone}_pytorch_model.bin"
     directory = directory or zoo_dir()
     os.makedirs(directory, exist_ok=True)
     out = npz_path(backbone, directory)
     if os.path.exists(out):
         return out
 
-    pth = os.path.join(directory, os.path.basename(url))
+    pth = os.path.join(directory, local_name or os.path.basename(url))
     if not os.path.exists(pth):
         try:
             urllib.request.urlretrieve(url, pth)  # noqa: S310

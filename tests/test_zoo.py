@@ -254,6 +254,25 @@ def test_create_model_pretrained_roundtrip(tmp_path, monkeypatch):
         np.asarray(ref_vars["params"]["stem"]["conv"]["kernel"]))
 
 
+def test_hf_hub_scheme_resolution():
+    """The reference hub scheme (models/hub.py:63-96) — 'hf_hub:org/name'
+    with an optional '@revision' — resolves to the repo's
+    pytorch_model.bin URL; malformed refs fail fast."""
+    from acr_wsss_tpu.models.zoo import ZOO_URLS, hf_hub_to_url
+
+    assert hf_hub_to_url("hf_hub:timm/eca_nfnet_l0") == (
+        "https://huggingface.co/timm/eca_nfnet_l0/resolve/main"
+        "/pytorch_model.bin")
+    assert hf_hub_to_url("hf_hub:timm/x@abc123") == (
+        "https://huggingface.co/timm/x/resolve/abc123/pytorch_model.bin")
+    with pytest.raises(ValueError, match="hf_hub"):
+        hf_hub_to_url("hf_hub:a@b@c")
+    with pytest.raises(ValueError, match="hf_hub"):
+        hf_hub_to_url("hf_hub:@rev")
+    # the one hub-only reference checkpoint routes through the scheme
+    assert ZOO_URLS["vit_huge_patch14_224_in21k"].startswith("hf_hub:")
+
+
 def test_zoo_urls_resolve_to_registry_names():
     """Every ZOO_URLS key is buildable: a registry name or one of the ACR
     backbone short names (so fetch(name) always has a model target)."""
