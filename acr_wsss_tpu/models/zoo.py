@@ -533,7 +533,14 @@ def fetch(backbone: str, directory: Optional[str] = None,
     pth = os.path.join(directory, local_name or os.path.basename(url))
     if not os.path.exists(pth):
         try:
-            urllib.request.urlretrieve(url, pth)  # noqa: S310
+            import shutil
+
+            # urlopen (not urlretrieve) so the timeout applies; write to a
+            # temp name so an interrupted download never shadows the cache.
+            with urllib.request.urlopen(url, timeout=timeout) as r:  # noqa: S310
+                with open(pth + ".part", "wb") as f:
+                    shutil.copyfileobj(r, f)
+            os.replace(pth + ".part", pth)
         except (urllib.error.URLError, OSError) as e:
             raise RuntimeError(
                 f"cannot download {url} (no egress?): {e}. Fetch the file "
