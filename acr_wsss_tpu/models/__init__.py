@@ -2,9 +2,18 @@ from acr_wsss_tpu.models import acr as _acr  # noqa: F401  (registers ACR builde
 from acr_wsss_tpu.models.acr import ACR, BACKBONES, resolve_backbone  # noqa: F401
 from acr_wsss_tpu.models.registry import (  # noqa: F401
     create_model,
+    get_default_cfg,
+    get_model_default_value,
+    has_model_default_key,
     is_model,
+    is_model_default_key,
+    is_model_in_modules,
+    is_model_pretrained,
     list_models,
+    list_modules,
     register_model,
+    safe_model_name,
+    split_model_name,
 )
 from acr_wsss_tpu.models.vit import VisionTransformer  # noqa: F401
 from acr_wsss_tpu.models.hybrid import ResNetV2Stem  # noqa: F401

@@ -11,9 +11,13 @@ hidden behind URL downloads.
 from __future__ import annotations
 
 import fnmatch
-from typing import Callable, Dict, List
+import re
+from collections import defaultdict
+from typing import Callable, Dict, List, Optional, Sequence, Set, Union
 
 _model_entrypoints: Dict[str, Callable] = {}
+_module_to_models: Dict[str, Set[str]] = defaultdict(set)
+_model_to_module: Dict[str, str] = {}
 
 
 def register_model(fn: Callable) -> Callable:
@@ -21,6 +25,9 @@ def register_model(fn: Callable) -> Callable:
     if name in _model_entrypoints:
         raise ValueError(f"model {name!r} already registered")
     _model_entrypoints[name] = fn
+    module = fn.__module__.rsplit(".", 1)[-1]
+    _module_to_models[module].add(name)
+    _model_to_module[name] = module
     return fn
 
 
@@ -36,16 +43,95 @@ def model_entrypoint(name: str) -> Callable:
         ) from None
 
 
-def list_models(filter: str = "") -> List[str]:
-    names = sorted(_model_entrypoints)
+def _natural_key(s: str):
+    # 'resnet101' sorts after 'resnet50' (reference models/registry.py:49-50)
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s.lower())]
+
+
+def list_models(filter: str = "", module: str = "", pretrained: bool = False,
+                exclude_filters: Union[str, Sequence[str]] = "") -> List[str]:
+    """Query the registry (reference ``models/registry.py:53-81`` surface):
+    fnmatch include/exclude filters, per-module restriction, and
+    ``pretrained=True`` for names the weight zoo can actually fetch+convert
+    (the reference's ``_model_has_pretrained`` = names with a cfg URL)."""
+    names: Sequence[str] = (
+        sorted(_module_to_models.get(module, ())) if module
+        else list(_model_entrypoints)
+    )
     if filter:
         names = fnmatch.filter(names, filter)
-    return names
+    if exclude_filters:
+        if isinstance(exclude_filters, str):
+            exclude_filters = [exclude_filters]
+        for xf in exclude_filters:
+            excluded = set(fnmatch.filter(names, xf))
+            if excluded:
+                names = [n for n in names if n not in excluded]
+    if pretrained:
+        names = [n for n in names if is_model_pretrained(n)]
+    return sorted(names, key=_natural_key)
+
+
+def list_modules() -> List[str]:
+    return sorted(_module_to_models)
+
+
+def is_model_in_modules(name: str, module_names) -> bool:
+    assert isinstance(module_names, (tuple, list, set))
+    return _model_to_module.get(name) in set(module_names)
+
+
+def is_model_pretrained(name: str) -> bool:
+    from acr_wsss_tpu.models import zoo
+    return bool(zoo.ZOO_URLS.get(name))
+
+
+def get_default_cfg(name: str) -> Optional[Dict]:
+    """Data cfg (input_size/crop_pct/interpolation/mean/std/url/num_classes)
+    for a registered name; see :mod:`acr_wsss_tpu.models.cfg`."""
+    if not is_model(name):
+        return None
+    from acr_wsss_tpu.models.cfg import default_cfg
+    return default_cfg(name)
+
+
+def has_model_default_key(name: str, cfg_key: str) -> bool:
+    cfg = get_default_cfg(name)
+    return cfg is not None and cfg_key in cfg
+
+
+def is_model_default_key(name: str, cfg_key: str) -> bool:
+    cfg = get_default_cfg(name)
+    return bool(cfg and cfg.get(cfg_key, False))
+
+
+def get_model_default_value(name: str, cfg_key: str):
+    cfg = get_default_cfg(name)
+    return None if cfg is None else cfg.get(cfg_key, None)
+
+
+def split_model_name(model_name: str):
+    """'hf_hub:org/name' -> ('hf_hub', 'org/name'); bare names -> ('', name)
+    (reference ``models/factory.py:7-14``)."""
+    parts = model_name.split(":", 1)
+    if len(parts) == 1:
+        return "", parts[0]
+    source, name = parts
+    assert source in ("timm", "hf_hub")
+    return source, name
+
+
+def safe_model_name(model_name: str, remove_source: bool = True) -> str:
+    if remove_source:
+        model_name = split_model_name(model_name)[-1]
+    return "".join(c if c.isalnum() else "_" for c in model_name).rstrip("_")
 
 
 def create_model(name: str, pretrained: bool = False,
                  features_only: bool = False, out_indices=None,
-                 feature_cls: str = "list", out_map=None, **kwargs):
+                 feature_cls: str = "list", out_map=None,
+                 checkpoint_path: str = "", scriptable=None, exportable=None,
+                 no_jit=None, **kwargs):
     """Build a registered backbone; the factory of the reference
     (``models/factory.py:create_model``).
 
@@ -64,13 +150,43 @@ def create_model(name: str, pretrained: bool = False,
     :class:`~acr_wsss_tpu.models.features.FeatureExtractor` whose
     ``apply`` returns the pyramid taps as a list (optionally selected by
     ``out_indices``) and which exposes ``feature_info()``. Pretrained
-    variables graft unchanged — the wrapper delegates ``init``."""
+    variables graft unchanged — the wrapper delegates ``init``.
+
+    ``checkpoint_path`` (reference ``models/factory.py:84-85``) loads an
+    explicit checkpoint after build instead of the zoo URL: a ``.npz``
+    native tree, or a torch ``.pth``/``.tar`` routed through the
+    converter. ``scriptable``/``exportable``/``no_jit`` are the
+    reference's torchscript layer-config toggles — meaningless for flax
+    modules under jit (everything is traceable by construction), accepted
+    so migrating call sites don't break. ``None``-valued kwargs are
+    dropped before construction (reference ``models/factory.py:66-69``:
+    CLI args default to None to mean "keep the model default")."""
+    source, name = split_model_name(name)
+    if source == "hf_hub":
+        raise NotImplementedError(
+            "hf_hub:-sourced create_model needs the hub cfg download; "
+            "register the checkpoint URL via models.zoo (zoo.hf_hub_to_url "
+            "resolves the same scheme) and use the bare model name."
+        )
+    kwargs = {k: v for k, v in kwargs.items() if v is not None}
     model = model_entrypoint(name)(**kwargs)
     if features_only:
         from acr_wsss_tpu.models.features import FeatureExtractor
         model = FeatureExtractor(model, out_indices=out_indices, name=name,
                                  as_dict=(feature_cls == "dict"),
                                  out_map=out_map)
+    if checkpoint_path:
+        from acr_wsss_tpu.utils.checkpoint import load_params_npz
+        if checkpoint_path.endswith(".npz"):
+            return model, load_params_npz(checkpoint_path)
+        import torch
+        from acr_wsss_tpu.models import zoo
+        state = torch.load(checkpoint_path, map_location="cpu",
+                           weights_only=True)
+        for key in ("model", "state_dict"):
+            if isinstance(state, dict) and key in state:
+                state = state[key]
+        return model, zoo.convert_state_dict(name, state)
     if not pretrained:
         return model
     from acr_wsss_tpu.models import zoo

@@ -318,3 +318,108 @@ def test_init_with_pretrained_scan_layout(tmp_path):
             src["params"]["trunk"]["blocks_0"])[0]))
     out = scanned.apply(params, x)
     assert out["logits"].shape == (1, 20)
+
+
+def test_registry_query_helpers():
+    from acr_wsss_tpu import models as M
+
+    # fnmatch include/exclude + natural sort (resnet50 before resnet101)
+    names = M.list_models("resnet*", exclude_filters="resnet*d")
+    assert "resnet50" in names and "resnet50d" not in names
+    assert names.index("resnet50") < names.index("resnet101")
+
+    # module restriction uses our module layout
+    assert "swin_base_patch4_window12_384" in M.list_models(module="swin")
+    assert "resnet50" not in M.list_models(module="swin")
+    assert "swin" in M.list_modules()
+    assert M.is_model_in_modules("resnet50", ["cnn", "swin"])
+    assert not M.is_model_in_modules("resnet50", ["swin"])
+
+    # pretrained filter = zoo URL coverage
+    pre = M.list_models("swin_*", pretrained=True)
+    assert "swin_base_patch4_window12_384" in pre
+    assert M.is_model_pretrained("resnet50")
+
+    # source-prefix helpers (reference models/factory.py:7-22)
+    assert M.split_model_name("hf_hub:org/name") == ("hf_hub", "org/name")
+    assert M.split_model_name("resnet50") == ("", "resnet50")
+    assert M.safe_model_name("hf_hub:org/name") == "org_name"
+
+
+def test_default_cfg_lookup():
+    from acr_wsss_tpu import models as M
+
+    cfg = M.get_default_cfg("resnet50")
+    assert cfg["input_size"] == (3, 224, 224)
+    assert cfg["crop_pct"] == 0.875 and cfg["interpolation"] == "bicubic"
+    assert cfg["mean"] == (0.485, 0.456, 0.406)
+
+    # 0.5-normed ViT at 384; in21k/in22k label spaces; DPN stats; the
+    # dpn68b exception (ImageNet-stats member of the DPN family)
+    assert M.get_default_cfg("vit_base_patch16_384")["mean"] == (0.5,) * 3
+    assert M.get_default_cfg("vit_base_patch16_384")["crop_pct"] == 1.0
+    assert M.get_default_cfg("vit_base_patch16_224_in21k")["num_classes"] == 21843
+    assert M.get_default_cfg(
+        "swin_base_patch4_window7_224_in22k")["num_classes"] == 21841
+    assert M.get_default_cfg("dpn68")["mean"] != M.get_default_cfg("dpn68b")["mean"]
+
+    # query helpers mirror the reference registry surface
+    assert M.has_model_default_key("resnet50", "crop_pct")
+    assert not M.has_model_default_key("resnet50", "pool_size")
+    assert M.is_model_default_key("tf_efficientnet_b7_ns", "crop_pct")
+    assert M.get_model_default_value("tf_efficientnet_b7_ns", "input_size") == (
+        3, 600, 600)
+    assert M.get_model_default_value("nonexistent_model", "mean") is None
+
+
+def test_create_model_checkpoint_path_and_none_kwargs(tmp_path):
+    import numpy as np
+
+    from acr_wsss_tpu import models as M
+    from acr_wsss_tpu.utils.checkpoint import load_params_npz, save_params_npz
+
+    # None-valued kwargs are dropped (reference factory semantics): a
+    # builder without a 'drop_rate' parameter must not receive it.
+    model = M.create_model("resnet18", drop_rate=None)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+
+    npz = tmp_path / "ckpt.npz"
+    save_params_npz(str(npz), jax.tree.map(np.asarray, variables))
+    model2, loaded = M.create_model("resnet18", checkpoint_path=str(npz))
+    out1 = model2.apply(loaded, jnp.ones((1, 32, 32, 3)), train=False)
+    out2 = model.apply(variables, jnp.ones((1, 32, 32, 3)), train=False)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        out1, out2)
+
+
+@requires_reference
+def test_default_cfgs_match_reference_tables():
+    """Every data-cfg field agrees with the reference's default_cfgs for
+    every name both registries know (reference models/registry.py:113-139,
+    per-file default_cfgs tables)."""
+    import sys
+
+    from tests.reference_oracle import REFERENCE_ROOT, install_timm_shim
+
+    install_timm_shim()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import models as refmodels  # noqa: F401  (populates the registry)
+    from models.registry import _model_default_cfgs
+
+    from acr_wsss_tpu import models as M
+
+    shared = [n for n in _model_default_cfgs if M.is_model(n)]
+    assert len(shared) > 400  # the registries overlap almost completely
+    mismatches = []
+    for n in shared:
+        ref = _model_default_cfgs[n]
+        got = M.get_default_cfg(n)
+        for key in ("num_classes", "input_size", "crop_pct", "interpolation"):
+            if tuple(np.atleast_1d(ref[key])) != tuple(np.atleast_1d(got[key])):
+                mismatches.append((n, key, ref[key], got[key]))
+        for key in ("mean", "std"):
+            if not np.allclose(ref[key], got[key]):
+                mismatches.append((n, key, ref[key], got[key]))
+    assert not mismatches, mismatches[:20]
