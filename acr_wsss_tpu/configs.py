@@ -200,6 +200,11 @@ class InferConfig:
     heatmap: Optional[str] = None
     low_alpha: int = 1
     high_alpha: int = 12
+    # On-device CRF for the --out_crf stage: jit crf_inference_jax at one
+    # (crf_pad, crf_pad) bucket instead of per-image host pydensecrf-style
+    # calls (ops/crf.py; quantified agreement in tests/test_bilateral_crf.py).
+    crf_device: bool = False
+    crf_pad: int = 512
     image_dir: str = "voc/image/path"
     infer_list: str = "voc12/train_id.txt"
     cls_labels_path: str = "voc12/cls_labels.npy"

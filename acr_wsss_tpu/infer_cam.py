@@ -319,6 +319,51 @@ def crf_with_alpha(cam_dict: Dict[int, np.ndarray], alpha: float,
     return out
 
 
+def make_crf_device_fn(pad: int):
+    """jit-compiled on-device dense-CRF at ONE padded shape.
+
+    Compiling ``crf_inference_jax`` once at (pad, pad) with the full label
+    slab keeps the whole inference run on a single executable despite
+    per-image native resolutions (pad-to-bucket, the TPU answer to
+    pydensecrf's per-shape host calls)."""
+    import jax
+
+    from acr_wsss_tpu.ops import crf as crf_ops
+
+    return jax.jit(lambda img, probs: crf_ops.crf_inference_jax(img, probs))
+
+
+def crf_with_alpha_device(cam_dict: Dict[int, np.ndarray], alpha: float,
+                          orig_img: np.ndarray, crf_fn,
+                          num_classes: int = 20,
+                          pad: int = 512) -> Dict[int, np.ndarray]:
+    """On-device variant of :func:`crf_with_alpha` (``--crf_device``).
+
+    Same background-power fusion semantics; differences vs the host path:
+    the label axis is the full (num_classes+1) slab with absent classes at
+    ~0 probability (the mean-field renormalization sends them to ~0, as
+    dropping them does), and image+probs are edge-replicated to the
+    (pad, pad) bucket then cropped back. Images larger than the bucket
+    fall back to the native host engine."""
+    H, W = orig_img.shape[:2]
+    if H > pad or W > pad or not cam_dict:
+        return crf_with_alpha(cam_dict, alpha, orig_img)
+    v = np.array(list(cam_dict.values()))
+    bg_score = np.power(1 - np.max(v, axis=0), alpha)
+    probs = np.full((num_classes + 1, H, W), 1e-7, np.float32)
+    probs[0] = bg_score
+    for i, key in enumerate(cam_dict):
+        probs[key + 1] = v[i]
+    probs_p = np.pad(probs, ((0, 0), (0, pad - H), (0, pad - W)), mode="edge")
+    img_p = np.pad(orig_img.astype(np.float32),
+                   ((0, pad - H), (0, pad - W), (0, 0)), mode="edge")
+    out = np.asarray(crf_fn(img_p, probs_p))[:, :H, :W]
+    result = {0: out[0]}
+    for key in cam_dict:
+        result[key + 1] = out[key + 1]
+    return result
+
+
 def save_heatmaps(heatmap_dir: str, name: str, rgb: np.ndarray,
                   cam_dict: Dict[int, np.ndarray]) -> None:
     os.makedirs(heatmap_dir, exist_ok=True)
@@ -400,6 +445,11 @@ def run(cfg: InferConfig) -> None:
             # one jit fn serves every scale (recompiles per input shape)
             pamr_fn = pamr_jit(cfg.pamr_iters, tuple(cfg.pamr_dilations))
 
+    num_classes = cfg.model.num_classes
+    crf_device_fn = None
+    if cfg.out_crf and getattr(cfg, "crf_device", False):
+        crf_device_fn = make_crf_device_fn(getattr(cfg, "crf_pad", 512))
+
     if getattr(cfg, "dataset", "voc12") == "coco":
         from acr_wsss_tpu.data import coco as coco_data
 
@@ -443,7 +493,13 @@ def run(cfg: InferConfig) -> None:
                 np.save(os.path.join(cfg.out_cam, f"{name}.npy"), cam_dict)  # type: ignore[arg-type]
             if cfg.out_crf:
                 for t in (cfg.low_alpha, cfg.high_alpha):
-                    crf = crf_with_alpha(cam_dict, t, rgb)
+                    if crf_device_fn is not None:
+                        crf = crf_with_alpha_device(
+                            cam_dict, t, rgb, crf_device_fn,
+                            num_classes=num_classes,
+                            pad=getattr(cfg, "crf_pad", 512))
+                    else:
+                        crf = crf_with_alpha(cam_dict, t, rgb)
                     folder = f"{cfg.out_crf}_{t}"
                     os.makedirs(folder, exist_ok=True)
                     np.save(os.path.join(folder, f"{name}.npy"), crf)  # type: ignore[arg-type]
@@ -470,6 +526,13 @@ def parse_args(argv=None) -> InferConfig:
     parser.add_argument("--crop_size", default=384, type=int)
     parser.add_argument("--low_alpha", default=1, type=int)
     parser.add_argument("--high_alpha", default=12, type=int)
+    parser.add_argument("--crf_device", action="store_true",
+                        help="run the --out_crf stage on device "
+                             "(jit bilateral-grid mean-field at one padded "
+                             "bucket) instead of the host C++ engine")
+    parser.add_argument("--crf_pad", default=512, type=int,
+                        help="pad-to-bucket size for --crf_device; larger "
+                             "images fall back to the host engine")
     parser.add_argument("--attn_impl", default="xla", choices=["xla", "pallas"])
     parser.add_argument("--class_slots", default=4, type=int,
                         help="present-class backprop slots per pass (0 = all classes)")
@@ -526,6 +589,8 @@ def parse_args(argv=None) -> InferConfig:
         heatmap=args.heatmap,
         low_alpha=args.low_alpha,
         high_alpha=args.high_alpha,
+        crf_device=args.crf_device,
+        crf_pad=args.crf_pad,
         image_dir=args.IMpath,
         infer_list=args.LISTpath,
         cls_labels_path=args.cls_labels,

@@ -76,14 +76,29 @@ def crf_inference_label(img: np.ndarray, labels_map: np.ndarray, t: int = 10,
 def crf_inference_jax(img, probs, t: int = 10, sxy_g: float = 3.0,
                       compat_g: float = 3.0, sxy_b: float = 80.0,
                       srgb: float = 13.0, compat_b: float = 10.0,
-                      grid_stride: Optional[int] = None):
+                      grid_stride: Optional[int] = None,
+                      max_color_bins: int = 16):
     """jit-able dense-CRF mean-field approximation.
 
     Messages:
-      * Gaussian kernel: depthwise conv with a truncated (4-sigma) kernel;
+      * Gaussian kernel: depthwise conv with a truncated (4-sigma) kernel —
+        exact up to truncation;
       * bilateral kernel: splat/blur/slice on a regular 5-D bilateral grid
-        (Chen et al. 2007) — the XLA-friendly stand-in for the
-        permutohedral lattice (scatter-adds + gathers, all static shapes).
+        (Chen & Paris & Durand 2007) over (y, x, R, G, B) — the
+        XLA-friendly stand-in for the reference's permutohedral lattice
+        (``wrapper/bilateralfilter/permutohedral.cpp:115-293``); all
+        scatter-adds/gathers, static shapes. The grid blur is EDGE-CLAMPED
+        (zero-padded shifts — out-of-grid cells carry no mass), not
+        cyclic; the per-axis [1 2 1] pass count is chosen so the composed
+        blur variance matches the requested sigma at the grid's sampling
+        rate (one pass has variance 0.5 cell^2, so n = 2 (sigma/cell)^2).
+
+    Known approximation vs the native mean-field engine (quantified in
+    ``tests/test_bilateral_crf.py::test_crf_jax_vs_native_meanfield``):
+    nearest-cell splat/slice (no multilinear interpolation) and a color
+    sampling rate capped at ``max_color_bins`` per channel (memory: the
+    grid holds ``(H/stride)*(W/stride)*bins^3`` cells per label), so very
+    small ``srgb`` is effectively widened to ``256/max_color_bins``.
 
     Args:
       img: (H, W, 3) uint8/float RGB.
@@ -112,28 +127,52 @@ def crf_inference_jax(img, probs, t: int = 10, sxy_g: float = 3.0,
     ones = jnp.ones((1, H, W), jnp.float32)
     norm_g = jax.lax.rsqrt(jnp.maximum(gauss_filter(ones), 1e-20))
 
-    # --- Bilateral grid --------------------------------------------------
-    stride = grid_stride or max(4, int(sxy_b / 2))
+    # --- Bilateral grid (5-D: y, x, R, G, B) -----------------------------
+    stride = grid_stride or max(2, int(round(sxy_b / 2)))
+    bins = min(max_color_bins, max(2, int(round(256.0 / max(srgb, 1.0)))))
+    csize = 256.0 / bins
     gh, gw = H // stride + 2, W // stride + 2
-    gc = 256 // max(int(srgb * 2), 1) + 2
-    lum = jnp.mean(img, axis=-1)  # grid over luminance (3 color dims -> 1)
+    gcd = bins + 2  # one pad cell each side of the color range
+    # [1 2 1] pass counts matching the requested sigmas (variance
+    # n * 0.5 * cell^2 == sigma^2), clamped to at least one pass.
+    n_sp = max(1, int(round(2.0 * (sxy_b / stride) ** 2)))
+    n_co = max(1, int(round(2.0 * (srgb / csize) ** 2)))
 
     ys, xs = jnp.mgrid[0:H, 0:W]
     gy = (ys / stride).astype(jnp.int32)
     gx = (xs / stride).astype(jnp.int32)
-    gz = (lum / max(int(srgb * 2), 1)).astype(jnp.int32)
-    flat_idx = (gy * gw + gx) * gc + jnp.clip(gz, 0, gc - 1)
+    rgb = jnp.clip((img / csize).astype(jnp.int32), 0, gcd - 1)
+    flat_idx = (((gy * gw + gx) * gcd + rgb[..., 0]) * gcd
+                + rgb[..., 1]) * gcd + rgb[..., 2]
     flat_idx = flat_idx.reshape(-1)
+    grid_shape = (gh, gw, gcd, gcd, gcd)
+
+    def blur_axis(g, axis: int, passes: int):
+        # zero-padded [1 2 1]/4 — edges clamp, no cyclic wraparound
+        pad = [(0, 0)] * g.ndim
+        pad[axis] = (1, 1)
+        n = g.shape[axis]
+        for _ in range(passes):
+            gp = jnp.pad(g, pad)
+            sl = [slice(None)] * g.ndim
+
+            def take(o, sl=sl, gp=gp, n=n):
+                s = list(sl)
+                s[axis] = slice(o, o + n)
+                return gp[tuple(s)]
+
+            g = (take(0) + 2.0 * take(1) + take(2)) * 0.25
+        return g
 
     def grid_filter(x):  # (C, H, W) -> approximate bilateral filtering
         C = x.shape[0]
-        grid = jnp.zeros((C, gh * gw * gc), jnp.float32)
+        grid = jnp.zeros((C, gh * gw * gcd * gcd * gcd), jnp.float32)
         grid = grid.at[:, flat_idx].add(x.reshape(C, -1))
-        g3 = grid.reshape(C, gh, gw, gc)
-        # one [1 2 1] blur pass per grid axis
-        for axis in (1, 2, 3):
-            g3 = (jnp.roll(g3, 1, axis) + 2 * g3 + jnp.roll(g3, -1, axis)) / 4
-        return g3.reshape(C, -1)[:, flat_idx].reshape(C, H, W)
+        g5 = grid.reshape((C,) + grid_shape)
+        for axis, passes in ((1, n_sp), (2, n_sp),
+                             (3, n_co), (4, n_co), (5, n_co)):
+            g5 = blur_axis(g5, axis, passes)
+        return g5.reshape(C, -1)[:, flat_idx].reshape(C, H, W)
 
     norm_b = jax.lax.rsqrt(jnp.maximum(grid_filter(ones), 1e-20))
 

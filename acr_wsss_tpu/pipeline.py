@@ -139,6 +139,14 @@ def parse_args(argv=None):
     parser.add_argument("--getam_func", default="grad",
                         choices=["grad", "grad_s", "cam_grad", "cam_grad_s"])
     parser.add_argument("--out_cam", default="output/cam_npy")
+    parser.add_argument("--out_crf", default=None,
+                        help="also write background-power CRF-fused CAMs "
+                             "(reference infer_cam.py:218-225) under "
+                             "<out_crf>_<low/high alpha>/")
+    parser.add_argument("--crf_device", action="store_true",
+                        help="run the --out_crf stage on device (jit "
+                             "bilateral-grid mean-field, ops/crf.py) "
+                             "instead of the host C++ engine")
     parser.add_argument("--heatmap", default=None)
     # eval (train_acr.sh:40-47)
     parser.add_argument("--logfile", default="evallog.txt")
@@ -210,6 +218,8 @@ def main(argv=None) -> None:
         getam_func=args.getam_func,
         use_aff=True,
         out_cam=args.out_cam,
+        out_crf=args.out_crf,
+        crf_device=args.crf_device,
         heatmap=args.heatmap,
         image_dir=args.IMpath,
         infer_list=infer_list,

@@ -251,6 +251,62 @@ def _bench_pamr() -> None:
     }))
 
 
+def _bench_crf() -> None:
+    """On-device dense-CRF (``BENCH_MODE=crf``): the ``--crf_device`` path.
+
+    Times the jit bilateral-grid mean-field (``ops/crf.py``) at the padded
+    bucket the inference CLI compiles — (pad, pad) RGB, 21 labels, 10
+    iterations, reference recipe sxy 3/3 + 80/13/10 — as marginal device
+    time per call (chained calls, differenced against one call, same
+    methodology as BENCH_MODE=pamr: cancels this box's fixed tunnel
+    dispatch/readback cost). ``vs_baseline`` is the host C++ mean-field
+    engine's time for the identical job on this box."""
+    import numpy as np
+
+    from acr_wsss_tpu.ops import crf as crf_ops
+
+    pad = int(os.environ.get("BENCH_CRF_PAD", "512"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    L = 21
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 255, (pad, pad, 3)).astype(np.float32))
+    p = rng.uniform(0.01, 1, (L, pad, pad)).astype(np.float32)
+    probs = jnp.asarray(p / p.sum(0, keepdims=True))
+
+    fn = jax.jit(lambda i, q: crf_ops.crf_inference_jax(i, q))
+
+    def run(n: int) -> float:
+        cur = probs
+        t0 = time.perf_counter()
+        for _ in range(n):
+            cur = fn(img, cur)  # chained: call k+1 consumes call k's output
+        float(jnp.sum(cur))
+        return time.perf_counter() - t0
+
+    run(1)  # warm compile
+    dev_ms = (run(1 + steps) - run(1)) / steps * 1e3
+
+    host_ms = None
+    try:
+        imgh = np.asarray(img)
+        ph = np.asarray(probs)
+        t0 = time.perf_counter()
+        crf_ops.crf_inference(imgh, ph)
+        host_ms = (time.perf_counter() - t0) * 1e3
+    except RuntimeError:
+        pass  # no C++ toolchain: device number still stands alone
+
+    _mark_done()
+    print(json.dumps({
+        "metric": "crf_device_ms_per_image",
+        "value": round(dev_ms, 2),
+        "unit": "ms (marginal device time, 10-iter mean-field)",
+        "vs_baseline": (round(host_ms / dev_ms, 2) if host_ms else None),
+        "host_native_ms": round(host_ms, 1) if host_ms else None,
+        "shape": [L, pad, pad],
+    }))
+
+
 def main() -> None:
     from acr_wsss_tpu.configs import ModelConfig, TrainConfig
     from acr_wsss_tpu.train import create_train_state, make_train_step
@@ -261,6 +317,8 @@ def main() -> None:
         return _bench_serving()
     if os.environ.get("BENCH_MODE", "train") == "pamr":
         return _bench_pamr()
+    if os.environ.get("BENCH_MODE", "train") == "crf":
+        return _bench_crf()
 
     # Batch 24 is the measured single-chip sweet spot (batch 32/48
     # measure lower under remat/memory pressure, fused or not). The

@@ -140,6 +140,12 @@ def main(argv=None):
                          "learnability_r3.json)")
     ap.add_argument("--start_layer", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pretrained", action="store_true",
+                    help="initialize the trunk from the zoo npz "
+                         "(ACR_WSSS_ZOO or ~/.cache/acr_wsss_tpu/zoo) — the "
+                         "reference recipe's ImageNet init "
+                         "(DPT/blocks.py:14-94 pretrained=True). The "
+                         "control floor stays random-init either way.")
     ap.add_argument("--workdir", default=None,
                     help="keep artifacts here (default: a temp dir)")
     ap.add_argument("--control", action="store_true",
@@ -192,7 +198,8 @@ def main(argv=None):
     pipeline.main(common + [
         "--session_name", "learn", "--weight_dir", os.path.join(work, "w"),
         "--out_cam", os.path.join(work, "cam"),
-        "--comment", "learnability"])
+        "--comment", "learnability"]
+        + (["--pretrained"] if args.pretrained else []))
     record["trained"] = eval_cams(
         os.path.join(work, "cam"), root, names, thresholds)
     print("trained:", record["trained"], flush=True)

@@ -30,6 +30,31 @@ import pytest  # noqa: E402
 
 REFERENCE_ROOT = pathlib.Path("/root/reference")
 
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (torch-oracle parity, 8-device "
+             "mesh equivalence, end-to-end pipelines). Default `pytest "
+             "tests/ -q` is the fast tier (<~15 min on a 1-vCPU box); "
+             "`--runslow` is the full CI/round-end suite.")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy suite (torch oracles, mesh equivalence, e2e loops) — "
+        "skipped unless --runslow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 requires_reference = pytest.mark.skipif(
     not REFERENCE_ROOT.exists(),
     reason="reference implementation not mounted",

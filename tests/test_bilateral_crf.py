@@ -96,6 +96,100 @@ def test_densecrf_label_variant(lib, rng):
     assert (out[:, :7] == 0).mean() > 0.9
 
 
+def test_crf_jax_no_spatial_wraparound(rng):
+    """Regression: the grid blur must be edge-clamped, not cyclic.
+
+    Same color on the far-left and far-right of the image, hot values only
+    on the left: a cyclic blur (the old ``jnp.roll`` implementation) leaks
+    mass across the spatial grid boundary into the right edge."""
+    import jax
+
+    h, w = 32, 64
+    img = np.full((h, w, 3), 128, np.float32)  # uniform color everywhere
+    probs = np.zeros((2, h, w), np.float32)
+    probs[0] = 0.01
+    probs[0, :, :4] = 0.99  # class-0 evidence only at the left edge
+    probs[1] = 1.0 - probs[0]
+
+    out = np.asarray(jax.jit(lambda i, p: crf.crf_inference_jax(
+        i, p, t=3, sxy_b=8.0, grid_stride=4))(img, probs))
+    # left edge keeps its label; right edge must NOT pick up class 0
+    assert (np.argmax(out, 0)[:, :3] == 0).mean() > 0.9
+    assert (np.argmax(out, 0)[:, -8:] == 1).mean() == 1.0
+
+
+def test_crf_jax_vs_native_meanfield(lib, rng):
+    """Quantitative agreement with the native mean-field engine.
+
+    Textured multi-region fixture + noisy unary, identical hyperparameters
+    through both engines (the native permutohedral mean-field and the
+    on-device bilateral-grid approximation): argmax maps must agree on
+    nearly all pixels, and the JAX path must fix most of the pixels the
+    native CRF fixes (the refinement itself, not just the easy ones)."""
+    import jax
+
+    h, w = 48, 48
+    img = np.zeros((h, w, 3), np.float32)
+    img[:, :16] = [200, 40, 40]
+    img[:, 16:32] = [40, 190, 40]
+    img[:, 32:] = [40, 40, 210]
+    img += rng.normal(0, 8, size=img.shape).astype(np.float32)
+    img = np.clip(img, 0, 255)
+
+    gt = np.zeros((h, w), np.int64)
+    gt[:, 16:32] = 1
+    gt[:, 32:] = 2
+    probs = np.full((3, h, w), 0.1, np.float32)
+    for c in range(3):
+        probs[c][gt == c] = 0.8
+    # corrupt 15% of pixels with a wrong confident label
+    noise = rng.uniform(size=(h, w)) < 0.15
+    wrong = (gt + rng.integers(1, 3, size=(h, w))) % 3
+    for c in range(3):
+        probs[c][noise] = np.where(wrong[noise] == c, 0.8, 0.1)
+    probs /= probs.sum(0, keepdims=True)
+
+    kw = dict(t=5, sxy_g=3.0, compat_g=3.0, sxy_b=16.0, srgb=13.0,
+              compat_b=10.0)
+    native = crf._densecrf(img, probs, kw["t"], kw["sxy_g"], kw["compat_g"],
+                           kw["sxy_b"], kw["srgb"], kw["compat_b"])
+    ondev = np.asarray(jax.jit(
+        lambda i, p: crf.crf_inference_jax(i, p, **kw))(img, probs))
+
+    np.testing.assert_allclose(ondev.sum(0), 1.0, atol=1e-4)
+    pred_n = np.argmax(native, 0)
+    pred_j = np.argmax(ondev, 0)
+    agree = (pred_n == pred_j).mean()
+    assert agree > 0.95, f"argmax agreement {agree:.3f}"
+    # both engines must actually refine: the corrupted pixels get fixed
+    fixed_native = (pred_n[noise] == gt[noise]).mean()
+    fixed_jax = (pred_j[noise] == gt[noise]).mean()
+    assert fixed_native > 0.85, fixed_native
+    assert fixed_jax > 0.85, fixed_jax
+
+
+def test_crf_with_alpha_device_matches_host(lib, rng):
+    """--crf_device wiring: the padded-bucket device fusion must agree
+    with the host crf_with_alpha on keys, shapes and argmax."""
+    from acr_wsss_tpu import infer_cam
+
+    img = _toy_image(rng, 24, 20).astype(np.uint8)
+    cam = np.zeros((24, 20), np.float32)
+    cam[:, :10] = 0.95
+    cam_dict = {4: cam, 11: 1.0 - cam}
+
+    host = infer_cam.crf_with_alpha(cam_dict, 4.0, img)
+    fn = infer_cam.make_crf_device_fn(pad=32)
+    dev = infer_cam.crf_with_alpha_device(cam_dict, 4.0, img, fn,
+                                          num_classes=20, pad=32)
+    assert set(dev) == set(host) == {0, 5, 12}
+    assert all(dev[k].shape == (24, 20) for k in dev)
+    idx = sorted(host)
+    agree = (np.argmax(np.stack([host[k] for k in idx]), 0)
+             == np.argmax(np.stack([dev[k] for k in idx]), 0)).mean()
+    assert agree > 0.9, agree
+
+
 def test_crf_jax_approximation_smoke(rng):
     import jax
 

@@ -1,5 +1,9 @@
 """Classic CNN families (resnet/vgg/densenet): shapes, BN state, SyncBN."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run with --runslow
+
 import numpy as np
 import pytest
 

@@ -8,6 +8,10 @@ of the real zoo configs (swin_base_384, pit_b) is asserted via eval_shape.
 Skipped when /root/reference is not mounted.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run with --runslow
+
 import numpy as np
 import pytest
 

@@ -6,6 +6,10 @@ images + random-init weights through the full ``infer_cam`` pipeline
 dicts, scored by the evaluation harness.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run with --runslow
+
 import os
 
 import numpy as np

@@ -6,6 +6,10 @@ Random reference weights are converted with
 to fp32 tolerance. Skipped when /root/reference is not mounted.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run with --runslow
+
 import numpy as np
 import pytest
 

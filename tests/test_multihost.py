@@ -8,6 +8,10 @@ Each process feeds a distinct shard; the jit-compiled global reduction must
 see ALL shards on both processes.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run with --runslow
+
 import os
 import socket
 import subprocess

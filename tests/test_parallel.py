@@ -18,8 +18,11 @@ from acr_wsss_tpu.configs import ModelConfig, TrainConfig
 from acr_wsss_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicated
 from acr_wsss_tpu.train import create_train_state, make_train_step
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+pytestmark = [
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 virtual devices"),
+    pytest.mark.slow,  # heavy tier: run with --runslow
+]
 
 CROP = 64
 

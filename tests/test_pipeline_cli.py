@@ -5,6 +5,10 @@ Reference equivalent: ``train_acr.sh:1-49`` chaining train_acr.py,
 infer_cam.py and evaluation.py.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run with --runslow
+
 import os
 
 import numpy as np

@@ -23,8 +23,11 @@ from acr_wsss_tpu.parallel.pipeline import (
 )
 from acr_wsss_tpu.train import create_train_state, make_train_step
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+pytestmark = [
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 virtual devices"),
+    pytest.mark.slow,  # heavy tier: run with --runslow
+]
 
 CROP = 64
 GRID = (CROP // 16, CROP // 16)

@@ -14,6 +14,10 @@ This is the closest in-repo proxy for the mIoU +-0.3 north star given that
 no VOC data ships in this environment.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run with --runslow
+
 import os
 import sys
 

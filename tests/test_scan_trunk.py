@@ -1,5 +1,9 @@
 """Scanned-depth trunk: numerics equal to the unrolled trunk."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run with --runslow
+
 import numpy as np
 import pytest
 

@@ -5,6 +5,10 @@ build_infer_fn's outputs exactly after a save -> load -> call round trip,
 with weights passed at call time and with weights embedded.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run with --runslow
+
 import numpy as np
 
 import jax

@@ -1,6 +1,10 @@
 """Full training-loop integration: files -> iterator -> SPMD step ->
 checkpoint -> resume, on a tiny synthetic VOC-shaped dataset (CPU)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run with --runslow
+
 import dataclasses
 import os
 

@@ -17,6 +17,10 @@ training system produces the same trajectory, it produces the same model.
 Skipped when /root/reference is not mounted.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run with --runslow
+
 import numpy as np
 import pytest
 

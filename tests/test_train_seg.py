@@ -6,6 +6,10 @@ for (``myTool.py:825-857`` joint loss, ``myTool.py:1826-1895`` validation)
 but never wires end-to-end in-repo.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run with --runslow
+
 import os
 
 import numpy as np
