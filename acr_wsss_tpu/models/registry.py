@@ -162,12 +162,22 @@ def create_model(name: str, pretrained: bool = False,
     dropped before construction (reference ``models/factory.py:66-69``:
     CLI args default to None to mean "keep the model default")."""
     source, name = split_model_name(name)
+    hf_ref = None
     if source == "hf_hub":
-        raise NotImplementedError(
-            "hf_hub:-sourced create_model needs the hub cfg download; "
-            "register the checkpoint URL via models.zoo (zoo.hf_hub_to_url "
-            "resolves the same scheme) and use the bare model name."
-        )
+        # Reference flow (models/factory.py:69-73 + models/hub.py:85-91):
+        # the repo's config.json names the architecture; the model is
+        # built from that entrypoint and, with pretrained=True, weighted
+        # from the repo's pytorch_model.bin. Zero-egress environments
+        # point ACR_WSSS_HF_ENDPOINT at a file:// mirror of the repo tree.
+        from acr_wsss_tpu.models import zoo
+
+        hf_ref, hub_cfg = name, zoo.load_hf_model_config(name)
+        arch = hub_cfg.get("architecture")
+        if not arch or not is_model(arch):
+            raise ValueError(
+                f"hf_hub:{hf_ref} config.json architecture {arch!r} is not "
+                "a registered model")
+        name = arch
     kwargs = {k: v for k, v in kwargs.items() if v is not None}
     model = model_entrypoint(name)(**kwargs)
     if features_only:
@@ -192,6 +202,9 @@ def create_model(name: str, pretrained: bool = False,
     from acr_wsss_tpu.models import zoo
     from acr_wsss_tpu.utils.checkpoint import load_params_npz
 
+    if hf_ref is not None:
+        return model, zoo.convert_state_dict(name,
+                                             zoo.load_hf_state_dict(hf_ref))
     return model, load_params_npz(zoo.fetch(name))
 
 

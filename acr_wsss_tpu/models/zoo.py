@@ -486,6 +486,24 @@ def npz_path(backbone: str, directory: Optional[str] = None) -> str:
     return os.path.join(directory or zoo_dir(), f"{backbone}_in21k.npz")
 
 
+def hf_file_url(hf_ref: str, filename: str) -> str:
+    """URL of one file in an HF model repo (reference ``models/hub.py:
+    hf_hub_url`` semantics). ``hf_ref`` is ``[hf_hub:]org/name[@revision]``.
+
+    ``ACR_WSSS_HF_ENDPOINT`` overrides the hub host — pointing it at a
+    ``file://`` tree serves hermetic fixtures in zero-egress environments
+    (the test story for hf_hub-sourced ``create_model``)."""
+    if hf_ref.startswith("hf_hub:"):
+        hf_ref = hf_ref[len("hf_hub:"):]
+    parts = hf_ref.split("@")
+    if not (1 <= len(parts) <= 2) or not parts[0]:
+        raise ValueError(f"bad hf_hub reference {hf_ref!r}")
+    revision = parts[1] if len(parts) == 2 else "main"
+    endpoint = os.environ.get("ACR_WSSS_HF_ENDPOINT",
+                              "https://huggingface.co")
+    return f"{endpoint}/{parts[0]}/resolve/{revision}/{filename}"
+
+
 def hf_hub_to_url(hf_ref: str) -> str:
     """Resolve the reference's hub scheme to a plain checkpoint URL.
 
@@ -494,13 +512,67 @@ def hf_hub_to_url(hf_ref: str) -> str:
     the repo's ``pytorch_model.bin`` on the HF CDN. Same zero-egress story
     as plain URLs: fetch elsewhere, pass ``--url file://<path>`` here.
     """
-    model_id = hf_ref[len("hf_hub:"):]
-    parts = model_id.split("@")
-    if not (1 <= len(parts) <= 2) or not parts[0]:
-        raise ValueError(f"bad hf_hub reference {hf_ref!r}")
-    revision = parts[1] if len(parts) == 2 else "main"
-    return (f"https://huggingface.co/{parts[0]}/resolve/{revision}"
-            "/pytorch_model.bin")
+    return hf_file_url(hf_ref, "pytorch_model.bin")
+
+
+def fetch_hf_file(hf_ref: str, filename: str,
+                  directory: Optional[str] = None,
+                  timeout: float = 600.0) -> str:
+    """Download-and-cache one HF repo file (reference ``models/hub.py:
+    _download_from_hf``: ``cached_download(hf_hub_url(...))`` into the
+    torch-hub ``hf`` cache dir). Cached under ``<zoo>/hf/<flat name>``."""
+    import shutil
+    import urllib.error
+    import urllib.request
+
+    directory = directory or os.path.join(zoo_dir(), "hf")
+    os.makedirs(directory, exist_ok=True)
+    if hf_ref.startswith("hf_hub:"):
+        hf_ref = hf_ref[len("hf_hub:"):]
+    flat = hf_ref.replace("/", "_").replace("@", "_")
+    out = os.path.join(directory, f"{flat}_{filename}")
+    if os.path.exists(out):
+        return out
+    url = hf_file_url(hf_ref, filename)
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as r:  # noqa: S310
+            with open(out + ".part", "wb") as f:
+                shutil.copyfileobj(r, f)
+        os.replace(out + ".part", out)
+    except (urllib.error.URLError, OSError) as e:
+        raise RuntimeError(
+            f"cannot download {url} (no egress?): {e}. Mirror the repo "
+            "file tree locally and set ACR_WSSS_HF_ENDPOINT=file://<root>."
+        ) from e
+    return out
+
+
+def load_hf_model_config(hf_ref: str) -> Dict:
+    """Fetch + parse an HF repo's ``config.json`` (reference
+    ``models/hub.py:load_model_config_from_hf``). The returned dict gains
+    ``hf_hub: <model id>`` so the weight load can find the repo again."""
+    import json
+
+    path = fetch_hf_file(hf_ref, "config.json")
+    with open(path, encoding="utf-8") as f:
+        cfg = json.load(f)
+    if hf_ref.startswith("hf_hub:"):
+        hf_ref = hf_ref[len("hf_hub:"):]
+    cfg["hf_hub"] = hf_ref
+    return cfg
+
+
+def load_hf_state_dict(hf_ref: str) -> Dict:
+    """Fetch an HF repo's ``pytorch_model.bin`` and load the state dict
+    (reference ``models/hub.py:load_state_dict_from_hf``)."""
+    import torch
+
+    path = fetch_hf_file(hf_ref, "pytorch_model.bin")
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    for key in ("model", "state_dict"):
+        if isinstance(state, dict) and key in state:
+            state = state[key]
+    return state
 
 
 def fetch(backbone: str, directory: Optional[str] = None,

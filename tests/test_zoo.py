@@ -5,6 +5,8 @@ Hermetic stand-in for the reference's pretrained auto-download
 converted to the native npz zoo format, and loaded without torch.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -252,6 +254,92 @@ def test_create_model_pretrained_roundtrip(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(grafted["params"]["stem"]["conv"]["kernel"]),
         np.asarray(ref_vars["params"]["stem"]["conv"]["kernel"]))
+
+
+def _fake_hub_repo(root, org_name, config: dict, state_dict=None):
+    """Materialize a file:// HF repo tree (<root>/<org>/<name>/resolve/
+    main/...) the ACR_WSSS_HF_ENDPOINT override serves hermetically."""
+    import json
+
+    d = os.path.join(str(root), *org_name.split("/"), "resolve", "main")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(config, f)
+    if state_dict is not None:
+        import torch
+
+        torch.save(state_dict, os.path.join(d, "pytorch_model.bin"))
+    return f"file://{root}"
+
+
+def test_create_model_hf_hub_architecture_resolution(tmp_path, monkeypatch):
+    """create_model('hf_hub:org/name'): the repo's config.json names the
+    architecture (reference models/factory.py:69-73 +
+    models/hub.py:85-91); unknown architectures fail fast."""
+    from acr_wsss_tpu.models.registry import create_model
+
+    endpoint = _fake_hub_repo(tmp_path, "fakeorg/tiny-regnet",
+                              {"architecture": "regnetx_002",
+                               "num_classes": 1000})
+    _fake_hub_repo(tmp_path, "fakeorg/bogus", {"architecture": "not_a_net"})
+    monkeypatch.setenv("ACR_WSSS_HF_ENDPOINT", endpoint)
+    monkeypatch.setenv("ACR_WSSS_ZOO", str(tmp_path / "zoo"))
+
+    model = create_model("hf_hub:fakeorg/tiny-regnet", dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.key(0), x, train=True)
+    out = model.apply(variables, x, train=False)
+    assert out["logits"].shape == (1, 1000)  # built AS the cfg architecture
+
+    with pytest.raises(ValueError, match="not_a_net"):
+        create_model("hf_hub:fakeorg/bogus")
+
+
+@requires_reference
+def test_create_model_hf_hub_pretrained(tmp_path, monkeypatch):
+    """create_model('hf_hub:...', pretrained=True) end to end from a
+    file:// fixture: config.json -> architecture, pytorch_model.bin ->
+    converted variables, eval-forward parity vs the torch source
+    (reference models/helpers.py:168-174 load_state_dict_from_hf)."""
+    import torch
+
+    from tests.test_convert_swin_pit import _load_vendored
+
+    from acr_wsss_tpu.models.registry import create_model
+
+    ref_resnet = _load_vendored("resnet")
+    torch.manual_seed(3)
+    ref = ref_resnet.ResNet(ref_resnet.Bottleneck, [1, 1, 1, 1],
+                            num_classes=1000)
+    rng = np.random.default_rng(11)
+    ref.train()
+    with torch.no_grad():
+        for _ in range(2):  # move BN stats off init
+            ref(torch.from_numpy(
+                rng.normal(size=(2, 3, 64, 64)).astype(np.float32)))
+    ref.eval()
+
+    endpoint = _fake_hub_repo(
+        tmp_path, "fakeorg/mini-resnet",
+        {"architecture": "resnet50", "num_classes": 1000},
+        state_dict=ref.state_dict())
+    monkeypatch.setenv("ACR_WSSS_HF_ENDPOINT", endpoint)
+    monkeypatch.setenv("ACR_WSSS_ZOO", str(tmp_path / "zoo"))
+
+    model, variables = create_model(
+        "hf_hub:fakeorg/mini-resnet", pretrained=True, num_classes=1000,
+        dtype=jnp.float32, layers=(1, 1, 1, 1))
+    img = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref(torch.from_numpy(img)).numpy()
+    out = model.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
+                               atol=5e-4, rtol=1e-4)
+
+    # the .bin and config are cached under <zoo>/hf
+    cached = os.listdir(str(tmp_path / "zoo" / "hf"))
+    assert any(c.endswith("pytorch_model.bin") for c in cached)
 
 
 def test_hf_hub_scheme_resolution():
