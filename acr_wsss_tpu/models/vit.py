@@ -38,19 +38,40 @@ from acr_wsss_tpu.ops.attention import attention_with_probs
 Dtype = Any
 
 
-def _token_constraint(x, token_sharding):
-    """Constrain (B, N, D) tokens to P(batch_axis, seq_axis, None) —
-    sequence parallelism by GSPMD annotation. A no-op when traced outside
-    a mesh context (init, single-device runs) or under a mesh that lacks
-    the named axes, so the knob is safe to leave on in configs."""
-    if token_sharding is None:
-        return x
+def _named_constraint(x, axes):
+    """``with_sharding_constraint`` over named mesh axes, as a safe no-op
+    when traced outside a mesh context (init, single-device runs) or under
+    a mesh that lacks the named axes — so the knobs can stay on in
+    configs."""
     mesh = jax.sharding.get_abstract_mesh()
-    named = [a for a in token_sharding if a is not None]
+    named = [a for a in axes if a is not None]
     if mesh.empty or any(a not in mesh.axis_names for a in named):
         return x
     return jax.lax.with_sharding_constraint(
-        x, jax.sharding.PartitionSpec(*token_sharding, None))
+        x, jax.sharding.PartitionSpec(*axes))
+
+
+def _token_constraint(x, token_sharding):
+    """Constrain (B, N, D) tokens to P(batch_axis, seq_axis, None) —
+    sequence parallelism by GSPMD annotation."""
+    if token_sharding is None:
+        return x
+    return _named_constraint(x, (*token_sharding, None))
+
+
+def _image_constraint(x, token_sharding):
+    """Pin the (B, H, W, C) image input to its arrival layout —
+    batch-sharded, spatially replicated. Without this anchor the
+    token-level seq constraint back-propagates a spatial sharding onto
+    the image parameter itself, which GSPMD can only reach from the
+    batch-sharded input via 'involuntary full rematerialization'
+    (replicate-then-slice) — observed on the dp x tp x sp mesh at both
+    toy and production (384) crops. With the anchor, the reshard happens
+    at the annotated token boundary instead: splitting a replicated axis,
+    no collective."""
+    if token_sharding is None:
+        return x
+    return _named_constraint(x, (token_sharding[0], None, None, None))
 
 
 class Attention(nn.Module):
@@ -282,6 +303,7 @@ class VisionTransformer(nn.Module):
         B, H, W, _ = x.shape
         gh, gw = H // self.patch_size, W // self.patch_size
 
+        x = _image_constraint(x, self.token_sharding)
         stem_features = None
         if self.backbone is not None:
             x, stem_features = self.backbone(name="backbone")(x.astype(self.dtype))
