@@ -128,6 +128,9 @@ def parse_args(argv=None):
     parser.add_argument("--pamr", default=0, type=int, metavar="ITERS",
                         help="PAMR CAM refinement iterations in the infer "
                              "stage (0 = off, the reference behavior)")
+    parser.add_argument("--infer_batch_images", default=4, type=int,
+                        help="images per compiled inference pass (identical "
+                             "outputs to one-at-a-time; amortizes dispatch)")
     parser.add_argument("--infer_dp", default=0, type=int,
                         help="infer stage: data-parallel device count "
                              "(0/1 = single device)")
@@ -225,6 +228,7 @@ def main(argv=None) -> None:
         infer_list=infer_list,
         cls_labels_path=labels_path,
         pamr_iters=args.pamr,
+        batch_images=args.infer_batch_images,
         dp=args.infer_dp,
         scales=tuple(float(s) for s in args.infer_scales.split(",")
                      if s.strip()),
