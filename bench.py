@@ -493,28 +493,39 @@ def _fallback_record() -> dict:
     still diagnosable."""
     import glob
 
+    mode = os.environ.get("BENCH_MODE", "train")
+    # last-known-good artifact pattern + metric name per bench mode
+    patterns = {
+        "train": ("bench_r*_synthetic*.json",
+                  "train_images_per_sec_per_chip", "images/sec"),
+        "infer": ("bench_r*_infer*.json",
+                  "cam_infer_images_per_sec_per_chip", "images/sec"),
+        "serving": ("bench_r*_serving*.json",
+                    "serving_ms_per_request", "ms (p50)"),
+        "pamr": ("bench_r*_pamr*.json", "pamr_refine_ms_per_call", "ms"),
+        "crf": ("bench_r*_crf*.json", "crf_device_ms_per_image", "ms"),
+    }
+    pattern, metric, unit = patterns.get(mode, patterns["train"])
+
     here = os.path.dirname(os.path.abspath(__file__))
     best = None
     for path in sorted(
-            glob.glob(os.path.join(here, "bench_artifacts",
-                                   "bench_r*_synthetic*.json")),
+            glob.glob(os.path.join(here, "bench_artifacts", pattern)),
             key=os.path.getmtime, reverse=True):
         try:
             with open(path) as f:
                 rec = json.load(f)
             if rec.get("value") is not None:
-                best = {"metric": rec.get(
-                            "metric", "train_images_per_sec_per_chip"),
+                best = {"metric": rec.get("metric", metric),
                         "value": rec["value"],
-                        "unit": rec.get("unit", "images/sec"),
+                        "unit": rec.get("unit", unit),
                         "vs_baseline": rec.get("vs_baseline"),
                         "stale": True,
                         "stale_source": os.path.relpath(path, here)}
                 break
         except (OSError, ValueError):
             continue
-    return best or {"metric": "train_images_per_sec_per_chip",
-                    "value": None, "unit": "images/sec",
+    return best or {"metric": metric, "value": None, "unit": unit,
                     "vs_baseline": None, "stale": True,
                     "stale_source": None}
 
