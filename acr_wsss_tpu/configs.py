@@ -176,6 +176,12 @@ class TrainConfig:
     aligned_mirror: bool = True
     # Write a JAX profiler trace of steps 10-20 here (None = off).
     profile_dir: Optional[str] = None
+    # Hung-step watchdog (utils/watchdog.py): if no train step completes
+    # within this many seconds AFTER the first step (compile exempt), the
+    # process exits EX_TEMPFAIL so a relaunch resumes from the last
+    # checkpoint. Guards against wedged remote-backend RPCs that block
+    # forever without raising. 0 = off.
+    step_timeout_s: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

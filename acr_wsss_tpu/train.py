@@ -352,6 +352,10 @@ def train(cfg: TrainConfig) -> TrainState:
     batch = shard_batch(next(train_iter), b_sharding)
     preempted = False
     guard = _mesh_ctx.enter_context(PreemptionGuard())
+    from acr_wsss_tpu.utils.watchdog import StepWatchdog
+
+    watchdog = _mesh_ctx.enter_context(
+        StepWatchdog(getattr(cfg, "step_timeout_s", 0.0)))
     try:
         for step in range(start_step, total_micro_steps + 1):
             # Profiler window (SURVEY.md §5.1 rebuild note): capture a trace of
@@ -365,6 +369,7 @@ def train(cfg: TrainConfig) -> TrainState:
             if step < total_micro_steps:
                 batch = shard_batch(next(train_iter), b_sharding)
             meter.add({"loss": float(parts["loss"])})
+            watchdog.beat()  # the float() above synced: a real step landed
 
             if step % cfg.log_every == 0 and host_id == 0:
                 timer.update_progress(max(step, 1) / total_micro_steps)
@@ -495,6 +500,11 @@ def parse_args(argv=None) -> TrainConfig:
                         help="initialize jax.distributed (multi-host pod)")
     parser.add_argument("--accum_steps", default=1, type=int,
                         help="gradient accumulation micro-steps per update")
+    parser.add_argument("--step_timeout_s", default=0.0, type=float,
+                        help="hung-step watchdog: exit EX_TEMPFAIL (75) if "
+                             "no step completes within this budget after "
+                             "the first (compile exempt) — a relaunch "
+                             "resumes from the last checkpoint. 0 = off")
     parser.add_argument("--pretrained", action="store_true",
                         help="init the trunk from the ImageNet zoo npz "
                              "(python -m acr_wsss_tpu.models.zoo fetch ...)")
@@ -559,6 +569,7 @@ def parse_args(argv=None) -> TrainConfig:
         cache_decoded=args.cache_decoded,
         fsdp=args.fsdp,
         clip_grad_norm=args.clip_grad_norm,
+        step_timeout_s=args.step_timeout_s,
     )
 
 

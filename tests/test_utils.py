@@ -85,3 +85,40 @@ def test_pred_acc_topk():
     assert pred_acc(target, np.array([0.9, 0.0, 0.8, 0.1])) == 1.0
     assert pred_acc(target, np.array([0.0, 0.9, 0.0, 0.8])) == 0.0
     assert pred_acc(np.zeros(4, np.float32), np.zeros(4)) == 1.0
+
+
+def test_step_watchdog_fires_on_stall():
+    """No beat within the budget -> exit_fn called exactly once with a
+    diagnosis; beats keep it quiet; stop() disarms it."""
+    import time
+
+    from acr_wsss_tpu.utils.watchdog import StepWatchdog
+
+    fired = []
+    wd = StepWatchdog(0.3, exit_fn=fired.append)
+    for _ in range(4):  # steady beats: stays quiet
+        wd.beat()
+        time.sleep(0.1)
+    assert not fired
+    time.sleep(1.0)  # stall past the budget
+    assert len(fired) == 1 and "watchdog" in fired[0]
+    wd.stop()
+
+
+def test_step_watchdog_disabled_and_clock_starts_at_first_beat():
+    import time
+
+    from acr_wsss_tpu.utils.watchdog import StepWatchdog
+
+    fired = []
+    off = StepWatchdog(0.0, exit_fn=fired.append)
+    off.beat()
+    time.sleep(0.3)
+    assert not fired and not off.enabled
+    off.stop()
+
+    # armed but never beaten: the clock has not started -> no fire
+    armed = StepWatchdog(0.1, exit_fn=fired.append)
+    time.sleep(0.3)
+    assert not fired
+    armed.stop()
