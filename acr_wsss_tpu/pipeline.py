@@ -113,6 +113,9 @@ def parse_args(argv=None):
                              "512 (VOC) / 640 (COCO)")
     parser.add_argument("--cache_decoded", action="store_true",
                         help="cache decoded uint8 rasters in RAM")
+    parser.add_argument("--step_timeout_s", default=0.0, type=float,
+                        help="hung-step watchdog budget for the train "
+                             "stage (utils/watchdog.py); 0 = off")
     parser.add_argument("--clip_grad_norm", default=0.0, type=float,
                         help="global-norm gradient clipping (0 = off, the "
                              "reference behavior; for from-scratch runs)")
@@ -209,6 +212,7 @@ def main(argv=None) -> None:
         aug_pad=args.aug_pad or (640 if coco else 512),
         cache_decoded=args.cache_decoded,
         clip_grad_norm=args.clip_grad_norm,
+        step_timeout_s=args.step_timeout_s,
     )
     infer_cfg = InferConfig(
         model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl,

@@ -140,6 +140,9 @@ def main(argv=None):
                          "learnability_r3.json)")
     ap.add_argument("--start_layer", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--step_timeout_s", type=float, default=0.0,
+                    help="hung-step watchdog for the train stages "
+                         "(tunneled backends can wedge mid-step)")
     ap.add_argument("--pretrained", action="store_true",
                     help="initialize the trunk from the zoo npz "
                          "(ACR_WSSS_ZOO or ~/.cache/acr_wsss_tpu/zoo) — the "
@@ -178,6 +181,7 @@ def main(argv=None):
         "--getam_func", args.getam_func,
         "--start_layer", str(args.start_layer),
         "--clip_grad_norm", str(args.clip),
+        "--step_timeout_s", str(args.step_timeout_s),
         "--logfile", os.path.join(work, "evallog.txt"),
     ]
     thresholds = [i / 50.0 for i in range(50)]
