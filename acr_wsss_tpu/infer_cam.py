@@ -308,6 +308,11 @@ def crf_with_alpha(cam_dict: Dict[int, np.ndarray], alpha: float,
     """Background-power CRF fusion (reference ``infer_cam.py:27-40``)."""
     from acr_wsss_tpu.ops import crf as crf_ops
 
+    if not cam_dict:
+        # No present classes: everything is background with certainty 1
+        # (the reference never hits this — its label files always carry
+        # >=1 class — but an empty dict must not crash the np.max below).
+        return {0: np.ones(orig_img.shape[:2], np.float32)}
     v = np.array(list(cam_dict.values()))
     bg_score = np.power(1 - np.max(v, axis=0, keepdims=True), alpha)
     bgcam_score = np.concatenate((bg_score, v), axis=0)
@@ -346,7 +351,9 @@ def crf_with_alpha_device(cam_dict: Dict[int, np.ndarray], alpha: float,
     (pad, pad) bucket then cropped back. Images larger than the bucket
     fall back to the native host engine."""
     H, W = orig_img.shape[:2]
-    if H > pad or W > pad or not cam_dict:
+    if not cam_dict:
+        return {0: np.ones((H, W), np.float32)}
+    if H > pad or W > pad:
         return crf_with_alpha(cam_dict, alpha, orig_img)
     v = np.array(list(cam_dict.values()))
     bg_score = np.power(1 - np.max(v, axis=0), alpha)

@@ -1046,6 +1046,66 @@ def scanned_to_unrolled(params: Dict) -> Dict:
     return params
 
 
+def flax_params_to_torch_state_dict(
+        params: Dict,
+        template_state_dict: Mapping[str, "np.ndarray"],
+        with_bkg_token: bool = False,
+) -> Dict[str, "np.ndarray"]:
+    """Inverse of :func:`torch_state_dict_to_flax`: export a flax ACR param
+    tree back into a reference-layout torch ``state_dict``.
+
+    Enables injecting OUR trained weights into the literal reference torch
+    model (``DPT/ACR.py``) — e.g. for independent-training A/B runs that
+    give both frameworks the same starting trunk. ``template_state_dict``
+    (typically ``ref_model.state_dict()``) enumerates the target keys and
+    shapes; keys the forward path never touches (``scratch.*``, ImageNet
+    ``head``, ``pre_logits``) are left out of the result so
+    ``load_state_dict(..., strict=False)`` keeps the template's values for
+    them. Transform inversion is exact (pure transposes), so
+    torch->flax->torch round-trips bit-identically on every covered key.
+    Scanned trees must be unrolled first (:func:`scanned_to_unrolled`).
+    """
+    out: Dict[str, np.ndarray] = {}
+
+    def np_of(v):
+        return (v.detach().cpu().numpy()
+                if hasattr(v, "detach") else np.asarray(v))
+
+    for name, tv in template_state_dict.items():
+        shape = tuple(np_of(tv).shape)
+        if with_bkg_token and name.endswith("bkg_token"):
+            leaf = params["params"]["trunk"].get("bkg_token")
+            if leaf is not None:
+                out[name] = np.asarray(leaf, np.float32).reshape(shape)
+            continue
+        if IGNORED.match(name):
+            continue
+        mapped = _map_name(name, np.zeros(shape, np.float32))
+        if mapped is None:
+            continue
+        leaf_path, transform = mapped
+        node = params["params"]
+        for key in leaf_path:
+            if key not in node:
+                raise KeyError(
+                    f"flax tree is missing {'/'.join(leaf_path)} "
+                    f"(needed for torch key {name!r})")
+            node = node[key]
+        leaf = np.asarray(node, np.float32)
+        if transform is _linear:
+            v = np.ascontiguousarray(leaf.T)
+        elif transform is _conv:
+            v = np.ascontiguousarray(leaf.transpose(3, 2, 0, 1))
+        else:
+            v = leaf
+        if tuple(v.shape) != shape:
+            raise ValueError(
+                f"shape mismatch exporting {name}: flax {v.shape} vs "
+                f"torch template {shape}")
+        out[name] = v
+    return out
+
+
 def main(argv=None) -> None:
     """CLI: convert a reference torch checkpoint (.pth state dict) to the
     flax .npz interchange format.

@@ -179,6 +179,24 @@ def create_model(name: str, pretrained: bool = False,
                 "a registered model")
         name = arch
     kwargs = {k: v for k, v in kwargs.items() if v is not None}
+    if hf_ref is not None:
+        # Reference external_default_cfg semantics (models/factory.py:
+        # 69-73 + hub.py:85-91): repo-specified build fields take effect
+        # as defaults, so a hub repo with its own num_classes builds a
+        # matching head without the caller re-specifying it. Explicit
+        # kwargs still win. Only fields the entrypoint accepts are
+        # applied (entrypoints without **kwargs would otherwise raise).
+        import inspect
+
+        ep = model_entrypoint(name)
+        sig = inspect.signature(ep)
+        has_var_kw = any(p.kind is inspect.Parameter.VAR_KEYWORD
+                         for p in sig.parameters.values())
+        for key in ("num_classes", "in_chans", "img_size"):
+            if key not in hub_cfg:
+                continue
+            if has_var_kw or key in sig.parameters:
+                kwargs.setdefault(key, hub_cfg[key])
     model = model_entrypoint(name)(**kwargs)
     if features_only:
         from acr_wsss_tpu.models.features import FeatureExtractor

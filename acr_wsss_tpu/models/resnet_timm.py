@@ -338,8 +338,8 @@ _TIMM_RESNET_CFGS = {
                              base_width=4),
     "resnext50d_32x4d": dict(layers=(3, 4, 6, 3), cardinality=32,
                              base_width=4, **_D),
-    # ECA-ResNets (:1031-1108; *_pruned need the adapt-file configs and
-    # are intentionally absent, like the other pruned defs)
+    # ECA-ResNets (:1031-1108; the *_pruned variants carry their
+    # adapt-file channel tables inline and are registered further below)
     "ecaresnet26t": dict(layers=(2, 2, 2, 2), attn="eca", **_T),
     "ecaresnet50d": dict(layers=(3, 4, 6, 3), attn="eca", **_D),
     "ecaresnet50t": dict(layers=(3, 4, 6, 3), attn="eca", **_T),

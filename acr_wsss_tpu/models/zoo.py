@@ -525,12 +525,20 @@ def fetch_hf_file(hf_ref: str, filename: str,
     import urllib.error
     import urllib.request
 
+    import re
+
     directory = directory or os.path.join(zoo_dir(), "hf")
-    os.makedirs(directory, exist_ok=True)
     if hf_ref.startswith("hf_hub:"):
         hf_ref = hf_ref[len("hf_hub:"):]
-    flat = hf_ref.replace("/", "_").replace("@", "_")
-    out = os.path.join(directory, f"{flat}_{filename}")
+    # Collision-free cache layout: one directory level per repo-ref
+    # component ("org/name[@rev]" -> <cache>/org/name@rev/<filename>),
+    # so distinct repos can never flatten onto the same key (e.g.
+    # "org_a/b" vs "org/a_b" under the old '_'-joined scheme).
+    safe = [re.sub(r"[^A-Za-z0-9._@-]", "_", part) or "_"
+            for part in hf_ref.split("/")]
+    directory = os.path.join(directory, *safe)
+    os.makedirs(directory, exist_ok=True)
+    out = os.path.join(directory, filename)
     if os.path.exists(out):
         return out
     url = hf_file_url(hf_ref, filename)

@@ -31,11 +31,21 @@ from acr_wsss_tpu.configs import EvalConfig, InferConfig, ModelConfig, TrainConf
 
 
 def run_pipeline(train_cfg: TrainConfig, infer_cfg: InferConfig,
-                 eval_cfg: EvalConfig, stages=("train", "infer", "eval")) -> None:
+                 eval_cfg: EvalConfig, stages=("train", "infer", "eval"),
+                 train_relaunches: int = 0) -> None:
     if "train" in stages:
-        from acr_wsss_tpu.train import train
+        if train_relaunches > 0:
+            # Supervised mode: the train stage runs in a child process and
+            # a hung-step watchdog exit (EX_TEMPFAIL) auto-relaunches it,
+            # resuming from the latest orbax checkpoint
+            # (utils/supervisor.py). Pair with --step_timeout_s.
+            from acr_wsss_tpu.utils.supervisor import run_train_supervised
 
-        train(train_cfg)
+            run_train_supervised(train_cfg, max_relaunches=train_relaunches)
+        else:
+            from acr_wsss_tpu.train import train
+
+            train(train_cfg)
     if "infer" in stages:
         from acr_wsss_tpu.infer_cam import run as infer_run
 
@@ -116,6 +126,11 @@ def parse_args(argv=None):
     parser.add_argument("--step_timeout_s", default=0.0, type=float,
                         help="hung-step watchdog budget for the train "
                              "stage (utils/watchdog.py); 0 = off")
+    parser.add_argument("--train_relaunches", default=0, type=int,
+                        help="run the train stage under the relaunch "
+                             "supervisor (utils/supervisor.py): a hung-"
+                             "step watchdog exit auto-relaunches up to N "
+                             "times, resuming from the latest checkpoint")
     parser.add_argument("--clip_grad_norm", default=0.0, type=float,
                         help="global-norm gradient clipping (0 = off, the "
                              "reference behavior; for from-scratch runs)")
@@ -248,7 +263,8 @@ def main(argv=None) -> None:
         curve=args.eval_threshold is None,
         num_classes=num_classes + 1,
     )
-    run_pipeline(train_cfg, infer_cfg, eval_cfg, stages)
+    run_pipeline(train_cfg, infer_cfg, eval_cfg, stages,
+                 train_relaunches=args.train_relaunches)
 
 
 if __name__ == "__main__":

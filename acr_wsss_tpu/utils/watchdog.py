@@ -47,6 +47,7 @@ class StepWatchdog:
         self._last: Optional[float] = None
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._beats = 0
 
     @property
     def enabled(self) -> bool:
@@ -60,6 +61,27 @@ class StepWatchdog:
         if self._thread is None:
             self._thread = threading.Thread(target=self._watch, daemon=True)
             self._thread.start()
+        self._maybe_inject_hang()
+
+    def _maybe_inject_hang(self) -> None:
+        """Deterministic fault injection for supervisor tests.
+
+        ``ACR_FAULT_HANG_ONCE=<sentinel path>``: on beat number
+        ``ACR_FAULT_HANG_BEAT`` (default 2), if the sentinel does not
+        exist yet, create it and wedge the calling (main) thread —
+        simulating exactly the observed failure (a blocking device sync
+        that never returns). The watchdog thread then fires the real
+        EX_TEMPFAIL path; the relaunched process sees the sentinel and
+        runs clean. No-op unless the env var is set."""
+        sentinel = os.environ.get("ACR_FAULT_HANG_ONCE")
+        if not sentinel:
+            return
+        self._beats += 1
+        if (self._beats == int(os.environ.get("ACR_FAULT_HANG_BEAT", "2"))
+                and not os.path.exists(sentinel)):
+            with open(sentinel, "w") as f:
+                f.write("hang injected\n")
+            time.sleep(10 ** 9)  # wedged until the watchdog exits us
 
     def stop(self) -> None:
         self._stop.set()

@@ -210,3 +210,38 @@ def test_s2d_stem_fold_exact():
     for k in taps_a:
         np.testing.assert_allclose(np.asarray(taps_b[k]),
                                    np.asarray(taps_a[k]), atol=5e-5)
+
+
+@requires_reference
+@pytest.mark.parametrize("backbone_name", ["vitb", "vitb_hybrid"])
+def test_flax_to_torch_export_roundtrip(backbone_name):
+    """torch -> flax -> torch round-trips bit-identically on every covered
+    key, and the export loads into the live reference model (the inverse
+    converter powering reference A/B runs; transforms are pure transposes
+    so exactness — not tolerance — is the claim)."""
+    import jax
+    import torch
+
+    from acr_wsss_tpu.models.convert import flax_params_to_torch_state_dict
+
+    ref, model, params = _build_pair(backbone_name)
+    template = {k: v for k, v in ref.state_dict().items()}
+    exported = flax_params_to_torch_state_dict(params, template)
+
+    for k, v in exported.items():
+        np.testing.assert_array_equal(
+            v, template[k].detach().numpy(), err_msg=k)
+    # every flax leaf is consumed by exactly one torch key — nothing of
+    # OUR trained state silently fails to reach the torch model
+    n_leaves = len(jax.tree_util.tree_leaves(params))
+    assert len(exported) == n_leaves
+
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in exported.items()}, strict=False)
+    assert not unexpected
+    # keys absent from the export are exactly the off-forward-path ones
+    assert all(m.startswith(("scratch.",
+                             "pretrained.model.bkg_token",
+                             "pretrained.model.head.",
+                             "pretrained.model.pre_logits."))
+               for m in missing), missing

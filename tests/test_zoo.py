@@ -295,6 +295,47 @@ def test_create_model_hf_hub_architecture_resolution(tmp_path, monkeypatch):
         create_model("hf_hub:fakeorg/bogus")
 
 
+def test_create_model_hf_hub_cfg_fields_as_defaults(tmp_path, monkeypatch):
+    """Repo config.json build fields act as kwargs defaults (reference
+    external_default_cfg, models/factory.py:69-73): a hub repo declaring
+    its own num_classes builds a matching head without the caller
+    re-specifying it; explicit kwargs still win."""
+    from acr_wsss_tpu.models.registry import create_model
+
+    endpoint = _fake_hub_repo(tmp_path, "fakeorg/seven-class",
+                              {"architecture": "regnetx_002",
+                               "num_classes": 7})
+    monkeypatch.setenv("ACR_WSSS_HF_ENDPOINT", endpoint)
+    monkeypatch.setenv("ACR_WSSS_ZOO", str(tmp_path / "zoo"))
+
+    x = jnp.zeros((1, 64, 64, 3))
+    model = create_model("hf_hub:fakeorg/seven-class", dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=True)
+    out = model.apply(variables, x, train=False)
+    assert out["logits"].shape == (1, 7)  # hub cfg num_classes applied
+
+    model3 = create_model("hf_hub:fakeorg/seven-class", num_classes=3,
+                          dtype=jnp.float32)
+    v3 = model3.init(jax.random.key(0), x, train=True)
+    assert model3.apply(v3, x, train=False)["logits"].shape == (1, 3)
+
+
+def test_hf_cache_layout_no_collisions(tmp_path, monkeypatch):
+    """Distinct repo refs must cache to distinct paths (the old flattened
+    '_'-joined key collided e.g. 'org_a/b' with 'org/a_b')."""
+    from acr_wsss_tpu.models import zoo
+
+    endpoint = _fake_hub_repo(tmp_path, "org_a/b", {"architecture": "x"})
+    _fake_hub_repo(tmp_path, "org/a_b", {"architecture": "y"})
+    monkeypatch.setenv("ACR_WSSS_HF_ENDPOINT", endpoint)
+    monkeypatch.setenv("ACR_WSSS_ZOO", str(tmp_path / "zoo"))
+
+    cfg1 = zoo.load_hf_model_config("org_a/b")
+    cfg2 = zoo.load_hf_model_config("org/a_b")
+    assert cfg1["architecture"] == "x"
+    assert cfg2["architecture"] == "y"
+
+
 @requires_reference
 def test_create_model_hf_hub_pretrained(tmp_path, monkeypatch):
     """create_model('hf_hub:...', pretrained=True) end to end from a
@@ -337,9 +378,10 @@ def test_create_model_hf_hub_pretrained(tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(out["logits"]), logits_t,
                                atol=5e-4, rtol=1e-4)
 
-    # the .bin and config are cached under <zoo>/hf
-    cached = os.listdir(str(tmp_path / "zoo" / "hf"))
-    assert any(c.endswith("pytorch_model.bin") for c in cached)
+    # the .bin and config are cached under <zoo>/hf/<org>/<name>/
+    cached = [f for _, _, files in os.walk(str(tmp_path / "zoo" / "hf"))
+              for f in files]
+    assert "pytorch_model.bin" in cached
 
 
 def test_hf_hub_scheme_resolution():
