@@ -69,7 +69,10 @@ def test_hang_watchdog_relaunch_resumes_to_completion(tiny_voc, tmp_path,
     from acr_wsss_tpu.utils.supervisor import run_train_supervised
 
     root, names = tiny_voc
-    cfg = _cfg(root, tmp_path, step_timeout_s=3.0)
+    # generous budget: under CI contention a LIVE step can take seconds;
+    # the injected hang sleeps forever, so the watchdog still fires
+    # deterministically — just later.
+    cfg = _cfg(root, tmp_path, step_timeout_s=30.0)
     sentinel = tmp_path / "hang_injected"
     # spawn children must land on CPU, not the axon TPU plugin
     monkeypatch.delenv("PYTHONPATH", raising=False)
