@@ -134,6 +134,11 @@ def parse_args(argv=None):
     parser.add_argument("--clip_grad_norm", default=0.0, type=float,
                         help="global-norm gradient clipping (0 = off, the "
                              "reference behavior; for from-scratch runs)")
+    parser.add_argument("--reference_optimizer_quirk", action="store_true",
+                        help="reproduce the reference PolyOptimizer's SGD-"
+                             "argument mixup (weight_decay lands in the "
+                             "momentum slot: effectively momentum=5e-4, no "
+                             "decay — tool/torchutils.py:12)")
     # infer (train_acr.sh:26-37)
     parser.add_argument("--infer_list", default=None,
                         help="default: voc12/train_id.txt (VOC) or the "
@@ -227,6 +232,7 @@ def main(argv=None) -> None:
         aug_pad=args.aug_pad or (640 if coco else 512),
         cache_decoded=args.cache_decoded,
         clip_grad_norm=args.clip_grad_norm,
+        reference_optimizer_quirk=args.reference_optimizer_quirk,
         step_timeout_s=args.step_timeout_s,
     )
     infer_cfg = InferConfig(

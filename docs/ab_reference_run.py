@@ -67,7 +67,7 @@ def _inject_trunk(ref, npz_path: str):
 
 def train_reference(ref, root: str, names, epochs: int, batch: int,
                     lr: float, alpha: float, crop: int, seed: int,
-                    log_every: int = 5):
+                    log_every: int = 5, fix_optimizer: bool = False):
     """The literal reference training computation over the corpus.
 
     Loss assembly mirrors ``train_acr.py:135-174`` (MLSM on both views +
@@ -95,8 +95,20 @@ def train_reference(ref, root: str, names, epochs: int, batch: int,
 
     steps_per_epoch = len(names) // batch
     max_step = steps_per_epoch * epochs
-    optimizer = torchutils.PolyOptimizer(
-        ref.parameters(), lr=lr, weight_decay=5e-4, max_step=max_step)
+    if fix_optimizer:
+        # The quirk-CORRECTED reference: what tool/torchutils.py:10-31
+        # clearly intends (SGD momentum 0.9 + weight decay 5e-4 + poly
+        # lr) instead of what it does (weight_decay lands in torch SGD's
+        # momentum positional slot -> momentum 5e-4, no decay). Used to
+        # attribute A/B gaps to the quirk itself.
+        optimizer = torch.optim.SGD(ref.parameters(), lr=lr, momentum=0.9,
+                                    weight_decay=5e-4)
+        sched = torch.optim.lr_scheduler.LambdaLR(
+            optimizer, lambda step: (1 - step / max_step) ** 0.9)
+    else:
+        optimizer = torchutils.PolyOptimizer(
+            ref.parameters(), lr=lr, weight_decay=5e-4, max_step=max_step)
+        sched = None
 
     ref.train()
     losses = []
@@ -139,6 +151,8 @@ def train_reference(ref, root: str, names, epochs: int, batch: int,
         optimizer.zero_grad()
         loss.backward()
         optimizer.step()
+        if sched is not None:
+            sched.step()
         losses.append(float(loss.item()))
         if step % log_every == 0 or step == max_step - 1:
             print(f"  ref step {step + 1}/{max_step} loss {losses[-1]:.4f} "
@@ -247,6 +261,14 @@ def main(argv=None):
     ap.add_argument("--workdir", default="/tmp/ab_reference")
     ap.add_argument("--skip_ours", action="store_true")
     ap.add_argument("--skip_ref", action="store_true")
+    ap.add_argument("--ref_fix_optimizer", action="store_true",
+                    help="reference arm with the PolyOptimizer quirk "
+                         "CORRECTED (real momentum 0.9 + wd 5e-4) — "
+                         "isolates the quirk's contribution to any gap")
+    ap.add_argument("--ours_quirk", action="store_true",
+                    help="our arm WITH the reference quirk reproduced "
+                         "(pipeline --reference_optimizer_quirk) — the "
+                         "other half of the attribution")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -308,7 +330,7 @@ def main(argv=None):
             "--out_cam", os.path.join(work, "cam_ours"),
             "--logfile", os.path.join(work, "evallog.txt"),
             "--comment", "ab-ours",
-        ])
+        ] + (["--reference_optimizer_quirk"] if args.ours_quirk else []))
         record["ours"] = learnability_run.eval_cams(
             os.path.join(work, "cam_ours"), root, names, thresholds)
         record["ours"]["wall_s"] = round(time.time() - t0, 1)
@@ -327,7 +349,8 @@ def main(argv=None):
         t0 = time.time()
         ref_losses = train_reference(
             ref, root, names, args.epochs, args.batch, args.lr, args.alpha,
-            args.crop, seed=args.seed + 1)
+            args.crop, seed=args.seed + 1,
+            fix_optimizer=args.ref_fix_optimizer)
         infer_reference(ref, root, names, labels, args.crop,
                         args.getam_func, args.start_layer, use_aff=True,
                         out_dir=os.path.join(work, "cam_ref"))
