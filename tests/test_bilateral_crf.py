@@ -265,3 +265,25 @@ def test_crf_jax_vs_native_production_scale(lib, rng):
     assert agree > 0.97, f"argmax agreement {agree:.4f} at production shape"
     assert moved > 0.02, f"CRF moved only {moved:.4f} of pixels (fixture " \
                          "too easy to certify agreement)"
+
+
+def test_crf_splat_matmul_matches_scatter(rng):
+    """The TPU one-hot-matmul splat/slice formulation must match the
+    scatter formulation (same nearest-cell assignment; bf16 operand
+    rounding only) — including a non-divisible H/W where the cell padding
+    path is exercised."""
+    import jax
+
+    from acr_wsss_tpu.ops.crf import crf_inference_jax
+
+    for (h, w, sxy) in ((64, 80, 16.0), (50, 47, 8.0)):
+        img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+        p = rng.uniform(0.01, 1, (5, h, w)).astype(np.float32)
+        p /= p.sum(0, keepdims=True)
+        a = np.asarray(crf_inference_jax(img, p, t=3, sxy_b=sxy,
+                                         splat_impl="scatter"))
+        b = np.asarray(crf_inference_jax(img, p, t=3, sxy_b=sxy,
+                                         splat_impl="matmul"))
+        agree = (a.argmax(0) == b.argmax(0)).mean()
+        assert agree > 0.99, f"{h}x{w}: argmax agreement {agree:.4f}"
+        np.testing.assert_allclose(a, b, atol=0.1)  # bf16 through 3 iters
