@@ -134,6 +134,9 @@ def parse_args(argv=None):
     parser.add_argument("--clip_grad_norm", default=0.0, type=float,
                         help="global-norm gradient clipping (0 = off, the "
                              "reference behavior; for from-scratch runs)")
+    parser.add_argument("--seed", default=0, type=int,
+                        help="training seed (init + data order + aug "
+                             "draws; TrainConfig.seed)")
     parser.add_argument("--reference_optimizer_quirk", action="store_true",
                         help="reproduce the reference PolyOptimizer's SGD-"
                              "argument mixup (weight_decay lands in the "
@@ -234,6 +237,7 @@ def main(argv=None) -> None:
         clip_grad_norm=args.clip_grad_norm,
         reference_optimizer_quirk=args.reference_optimizer_quirk,
         step_timeout_s=args.step_timeout_s,
+        seed=args.seed,
     )
     infer_cfg = InferConfig(
         model=ModelConfig(backbone=args.backbone, attn_impl=args.attn_impl,
