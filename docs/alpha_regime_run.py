@@ -80,6 +80,7 @@ def run_arm(work: str, root: str, tag: str, alpha: float, seed: int,
         "--getam_func", args.getam_func,
         "--start_layer", str(args.start_layer),
         "--seed", str(seed),
+        "--clip_grad_norm", str(args.clip),
         "--pretrained",
         "--out_cam", cam,
         "--logfile", os.path.join(work, "evallog.txt"),
@@ -108,6 +109,10 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=0.02)
+    ap.add_argument("--clip", type=float, default=1.0,
+                    help="global-norm gradient clipping: the 1200-step "
+                         "horizon at lr 0.02 NaNs without it (3 of 4 "
+                         "unclipped arms diverged in the first r5 run)")
     ap.add_argument("--backbone", default="vitb_hybrid")
     ap.add_argument("--attn_impl", default="xla")
     ap.add_argument("--getam_func", default="grad")
